@@ -1,0 +1,382 @@
+"""Deduplication operators (north-star LLM-pipeline surface).
+
+Five tiers, each designed for 100 TB from the start:
+
+- exact (``q_dedup_exact``): hash-groupBy distinct — one shuffle, partial
+  dedup map-side.
+- MinHash + LSH (``q_dedup_minhash``): shingle → 16 deterministic minhash
+  permutations → 8 bands × 2 rows → candidates share a band bucket. The
+  candidate join is an *inverted-index equi-join on (band, bucket)* — never
+  an all-pairs cross join — so cost scales with bucket collision counts.
+- SimHash (``q_dedup_simhash``): 32-bit weighted-bit signature, banded into
+  4 × 8-bit blocks for candidate generation (hamming ≤ 3 ⇒ at least one
+  exact block by pigeonhole), then exact hamming filter via bit_count(xor).
+- n-gram Jaccard (``q_dedup_ngram_jaccard``): exact trigram-set Jaccard via
+  a shingle-level equi-join (inverted index), fully SQL-expressible — this
+  one has a complete DuckDB oracle.
+- embedding cosine (``q_dedup_embedding``): near-dup pairs above a cosine
+  threshold; the brute-force tier is correct at fixture scale, the LSH path
+  for billions of vectors is in operators/similarity.py.
+
+Determinism (SURVEY.md §7.3 risk 6): every "random" constant (permutation
+coefficients, band layout) is a hard-coded literal; token hashes derive from
+md5, which is identical everywhere. No RNG, no time.
+
+All signatures are built with JVM-side expressions (md5/conv/pmod/transform/
+array_min) — no Python in the hot path; the only Python-visible piece is
+plan composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+# ---------------------------------------------------------------- exact ----
+
+
+@register(
+    "q_dedup_exact",
+    group="D",
+    oracle="""
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a projected events subset: dropDuplicates == hash
+    aggregate with map-side partial dedup; the shuffle carries only distinct
+    pairs per input partition."""
+    e = table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates().orderBy("user_id", "event_type")
+
+
+# ------------------------------------------------------------- minhash -----
+
+# 16 fixed permutations h_i(x) = (A[i]*x + B[i]) mod P over 31-bit token
+# hashes; P prime, constants chosen once (deterministic across runs/engines).
+_MINHASH_P = 2_147_483_647  # 2^31 - 1
+_MINHASH_A = (
+    1_103_515_245, 1_103_245_617, 747_796_405, 22_695_477,
+    65_793_941, 134_775_813, 214_013_477, 177_621_101,
+    904_279_661, 694_847_533, 394_118_081, 297_746_757,
+    720_931_181, 137_438_691, 888_888_881, 505_860_137,
+)
+_MINHASH_B = (
+    12_345, 54_321, 98_765, 13_579,
+    24_680, 11_111, 77_777, 31_415,
+    27_182, 16_180, 14_142, 17_320,
+    22_360, 26_457, 28_284, 30_000,
+)
+_N_PERM = 16
+_N_BANDS = 8  # 2 rows per band
+
+
+def _shingles(col, k: int = 3):
+    """Array of distinct k-token shingle strings (array-side, no explode)."""
+    toks = tokens_nonempty(col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    # Short docs: fall back to the whole text as a single shingle.
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.col(col) if isinstance(col, str) else col)))
+
+
+def _token_hash31(c):
+    """Deterministic 31-bit hash of a string: md5 → first 8 hex → int mod P.
+    md5 is bit-identical across engines and runs (unlike Spark's seed-able
+    hash/xxhash64, this also makes the pipeline reproducible for audits)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % _MINHASH_P
+
+
+def _perm(a: int, b: int):
+    """One minhash permutation as a single-arg lambda (PySpark infers higher-
+    order-function arity from the Python signature, so no default args)."""
+
+    def f(x):
+        return (a * x + b) % _MINHASH_P
+
+    return f
+
+
+def minhash_signature(col) -> "F.Column":
+    """Column: array<long> of 16 minhash values for the text column."""
+    hashes = F.transform(_shingles(col), _token_hash31)
+    mins = [
+        F.array_min(F.transform(hashes, _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    ]
+    return F.array(*mins)
+
+
+@register(
+    "q_dedup_minhash",
+    group="I",
+    oracle=None,  # rows-only: LSH banding is not cleanly SQL-expressible
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs on documents.text.
+
+    shingle(3) → 16-perm minhash → 8 bands × 2 rows → bucket-join.
+    Candidates = pairs agreeing on ≥1 full band, then filtered by estimated
+    Jaccard (matching minhashes / 16) ≥ 0.5. The join is on (band_id,
+    bucket) so work scales with real collisions; at 100 TB you additionally
+    salt giant buckets and cap bucket width (documented, not needed at SF)."""
+    docs = table(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", minhash_signature("text").alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            F.element_at("sig", 2 * b + 1),
+                            F.element_at("sig", 2 * b + 2),
+                        ).alias("bucket"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est_jac = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / _N_PERM
+    )
+    return (
+        pairs.select("doc_a", "doc_b", F.round(est_jac, 2).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------- simhash -----
+
+_SIMHASH_BITS = 32
+_SIMHASH_BLOCKS = 4  # 8 bits each; hamming<=3 ==> >=1 identical block
+
+
+@register(
+    "q_dedup_simhash",
+    group="I",
+    oracle=None,  # rows-only: bit-level signature pipeline
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signature from md5 token hashes
+    (bit k of the signature = sign of Σ±1 over tokens), candidates via
+    4×8-bit block banding (pigeonhole for hamming ≤ 3), exact
+    bit_count(xor) ≤ 3 filter. Aggregation is a single groupBy(doc_id) with
+    32 conditional sums — map-side partials keep the shuffle tiny."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("token"))
+    h = _token_hash31(F.col("token")).alias("h")
+    toks = toks.select("doc_id", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0)) for k in range(_SIMHASH_BITS)],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF)).alias("block"),
+                    )
+                    for i in range(_SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.block_id", "b.block")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard ----------
+
+_JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    group="I",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM t
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(p.common AS DOUBLE) / (x.n + y.n - p.common), 2) AS jaccard
+FROM pairs p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-set Jaccard near-dup pairs (threshold 0.5).
+
+    Pairs come from an inverted-index equi-join on shingle (only documents
+    sharing a shingle ever meet — no cross join), then
+    |∩| / (|A| + |B| − |∩|) from pre-aggregated set sizes. At 100 TB the
+    same plan holds with a stop-shingle cap on pathological hot shingles."""
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(_shingles("text")).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 2).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------- embedding cosine --------
+
+_COSINE_DUP_THRESHOLD = 0.4
+
+
+def _dot(a, b):
+    """Sequential-fold dot product of two array<double> columns — the fold
+    order is left-to-right on both Spark (aggregate) and DuckDB
+    (list_dot_product), so results are bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    group="I",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 2) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4).
+
+    Floats are cast to double BEFORE any arithmetic (FIXTURES.md gotcha #5).
+    This is the exact tier: an all-pairs theta-join, correct at fixture
+    scale; the sub-quadratic path for web-scale corpora is the LSH/banded
+    variant in operators/similarity.py (same output contract)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= _COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 2).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,193 @@
+"""Streaming-shaped operators over the events table (SURVEY.md §2.4 Group H).
+
+Batch implementations whose window semantics are chosen to be
+Structured-Streaming-compatible (the streaming/ package runs the same
+tumbling aggregation as a readStream query). The reference has no streaming
+semantics at all — its bounded buffer is pipelined execution, not event-time
+processing (SURVEY.md §2.3) — so this group is pure new surface.
+
+Cross-engine timestamp discipline (FIXTURES.md gotchas #1): events.ts is
+nanosecond parquet; Spark truncates to microseconds while DuckDB keeps ns.
+Every comparison/bucket here therefore goes through epoch *microseconds*
+(``unix_micros`` / ``epoch_us``) on both engines, and window starts are
+emitted as epoch-µs BIGINTs, never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+_HOUR_US = 3_600 * 1_000_000
+_HALF_HOUR_US = 1_800 * 1_000_000
+_SESSION_GAP_US = 1_800 * 1_000_000  # 30 min
+
+
+@register(
+    "q_stream_tumbling",
+    group="H",
+    oracle=f"""
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US}) * {_HOUR_US} AS win_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY win_start_us, event_type
+ORDER BY win_start_us, event_type
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling window counts + sum(value) by event_type, via the
+    native ``F.window`` (epoch-aligned, identical bucketing to the streaming
+    runtime). One hash-agg shuffle keyed on (window, type)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+@register(
+    "q_stream_sliding",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value FROM events
+), x AS (
+  SELECT (ts_us // {_HALF_HOUR_US}) * {_HALF_HOUR_US} - k * {_HALF_HOUR_US} AS win_start_us,
+         event_type, value
+  FROM e, unnest([0, 1]) AS u(k)
+)
+SELECT win_start_us, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM x
+GROUP BY win_start_us, event_type
+ORDER BY win_start_us, event_type
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min: each event lands in exactly two
+    epoch-aligned windows (Spark expands this with an internal explode — the
+    shuffle carries 2× the rows, which is the honest cost of overlap)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+@register(
+    "q_stream_session",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), marked AS (
+  SELECT user_id, event_id, value, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+              OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, event_id, value, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user (the batch analogue of
+    ``session_window``): lag → new-session flag → prefix-sum session ids →
+    per-session aggregate. The window and the aggregate share the user_id
+    hash partitioning, so the whole thing is one exchange."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("ts_us") - prev) > _SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        e.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q_stream_late",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value FROM events
+), wm AS (
+  SELECT MAX(ts_us) - 24 * {_HOUR_US} AS cutoff_us FROM e
+)
+SELECT (ts_us // {_HOUR_US}) * {_HOUR_US} AS win_start_us,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM e, wm
+WHERE e.ts_us >= wm.cutoff_us
+GROUP BY win_start_us, event_type
+ORDER BY win_start_us, event_type
+""",
+)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark analogue in batch: recompute the tumbling aggregate keeping
+    only events within 24h of max(ts) — the rows a ``withWatermark('ts',
+    '24 hours')`` streaming query would still accept at end-of-stream. The
+    global max joins in as a broadcast 1-row aggregate (no driver action)."""
+    e = table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    wm = e.agg((F.max("ts_us") - 24 * _HOUR_US).alias("cutoff_us"))
+    return (
+        e.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts_us") >= F.col("cutoff_us"))
+        .groupBy(
+            (F.col("ts_us") - (F.col("ts_us") % _HOUR_US)).alias("win_start_us"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("win_start_us", "event_type")
+    )

@@ -1,0 +1,176 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (north-star): image/audio/video content travels as an opaque
+``binary`` column with a typed metadata struct next to it — exactly the
+reference's opaque-bytes philosophy (``struct kvpair``, ``mapreduce.h:99``)
+lifted into a typed schema. Decode / feature-extract run as Arrow-batched
+``mapInPandas`` so each task processes whole record batches; partitioning is
+inherited from the scan, so a 100 TB media corpus parallelizes by file
+split with zero driver involvement.
+
+The actual codec step is STUBBED (image/audio libraries are not in this
+container): ``decode_media`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (derived from the
+payload bytes) exercises the full Spark-side plumbing — schema, batching,
+UDF signature — which is what the tests cover.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+# Schema of a multimodal record: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("content_md5", T.StringType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def as_media(docs: DataFrame) -> DataFrame:
+    """Lift documents into the multimodal record shape: text bytes stand in
+    for an encoded media payload (deterministic; real corpora would read the
+    payload from object storage)."""
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.md5("text").alias("content_md5"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads → per-record features via Arrow-batched mapInPandas.
+
+    Real decoding requires image/audio codecs not present in this
+    container; ``fake=True`` runs a deterministic stand-in (dimensions and a
+    16-dim byte-histogram feature derived from payload bytes) so the
+    distributed plumbing is fully exercised and testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this environment; "
+            "pass fake=True for the deterministic stub decoder"
+        )
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    # fake dimensions derived deterministically from size
+                    "width": (n_bytes % 640 + 16).astype("int32"),
+                    "height": (n_bytes % 480 + 16).astype("int32"),
+                    "feature": payloads.map(
+                        lambda b: [float((b or b"").count(bytes([i]))) for i in range(97, 113)]
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "q_multimodal_stats",
+    group="I",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 2) AS p50_chars,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 2) AS p90_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus profile with exact interpolated quantiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both linear
+    interpolation — SURVEY.md §2.4 chose the exact variant over
+    percentile_approx so the oracle hashes match)."""
+    d = table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("double")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(nc), 2).alias("avg_chars"),
+            F.round(F.percentile(nc, F.lit(0.5)), 2).alias("p50_chars"),
+            F.round(F.percentile(nc, F.lit(0.9)), 2).alias("p90_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "q_multimodal_meta",
+    group="I",
+    oracle="""
+SELECT doc_id,
+       'image' AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       source
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata lane of the multimodal record shape (payload size,
+    content hash, provenance) — pure JVM expressions, full oracle. The
+    binary payload lane is exercised by decode_media (tests), which has no
+    SQL equivalent."""
+    media = as_media(table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+        F.col("meta.source").alias("source"),
+    ).orderBy("doc_id")

@@ -1,0 +1,535 @@
+"""Relational core: scan/filter/project, joins, aggregation, sort/set-ops.
+
+The reference's map/reduce callback API (``mapreduce.h:48-56``) can *express*
+all of these (tag-in-map, merge-in-reduce — SURVEY.md §2.3); here each is a
+declarative DataFrame plan so Catalyst picks the physical strategy:
+
+- filters/projections push into the parquet scan (PushedFilters/ReadSchema);
+- join strategy (broadcast vs sort-merge vs shuffled-hash) is planner-chosen,
+  with explicit ``broadcast()`` hints where a dimension side is known-small —
+  at 100 TB the fact table never moves for those joins;
+- aggregates run partial (map-side) + final, unlike the reference's
+  single-reducer BST (``mapreduce.c:185``, ``find_or_insert``) which this
+  engine deliberately does NOT replicate;
+- global order appears only at the sink via range-partitioned sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.functions.money import (
+    SQL_CHARGED,
+    SQL_DISC_PRICE,
+    charged_price,
+    disc_price,
+    round2_dbl,
+)
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+# ---------------------------------------------------------------- Group B --
+
+
+@register(
+    "q_scan_project",
+    group="B",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(ROUND((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+       CAST(ROUND((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS charged
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + scalar arithmetic on lineitem. Column pruning means the
+    parquet scan reads only 6 of 11 columns (check ReadSchema)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        round2_dbl(disc_price()).alias("revenue"),
+        round2_dbl(charged_price()).alias("charged"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_filter_pred",
+    group="B",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice_r,
+       o_orderpriority
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND (o_orderstatus IN ('O', 'F'))
+  AND o_totalprice > 1000.0
+  AND o_orderpriority LIKE '%URGENT%'
+ORDER BY o_orderkey
+""",
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates: date range + IN + numeric + LIKE on orders.
+    All four predicates are pushdown-eligible (PushedFilters in the scan)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_totalprice") > 1000.0)
+            & F.col("o_orderpriority").like("%URGENT%")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------- Group C --
+
+
+@register(
+    "q_join_inner",
+    group="C",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment,
+       ROUND(o.o_totalprice, 2) AS o_totalprice_r
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join. Planner picks broadcast at test scale;
+    at 100 TB, customer (the smaller side) broadcasts or AQE converts to a
+    shuffled-hash join — orders never needs a sort."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_join_broadcast",
+    group="C",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_brand,
+       CAST(ROUND((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 25
+ORDER BY l.l_orderkey, l.l_linenumber
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ broadcast(part): the dimension ships to every executor, the
+    fact table is scanned in place — zero shuffle of the big side. The
+    p_size filter prunes the dimension before broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_name",
+            "p_brand",
+            round2_dbl(disc_price()).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q_join_multi",
+    group="C",
+    oracle="""
+SELECT n.n_name, r.r_name,
+       CAST(ROUND(SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+ORDER BY n.n_name, r.r_name
+""",
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way chain with group-agg on top. nation/region are
+    broadcast (25/5 rows at any scale); lineitem⋈orders is the one real
+    shuffle pair and Catalyst/AQE orders the joins."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            round2_dbl(F.sum(disc_price())).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name", "r_name")
+    )
+
+
+@register(
+    "q_join_left",
+    group="C",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       ROUND(COALESCE(o.o_totalprice, 0.0), 2) AS o_totalprice_r
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+ORDER BY c.c_custkey, o.o_orderkey
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with an extra join-side predicate (kept in the ON clause —
+    semantically different from a WHERE, and the planner pushes it to the
+    right side's scan)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F")
+    return (
+        c.join(o, cond, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("o_totalprice_r"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q_join_semi",
+    group="C",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000.0)
+ORDER BY c.c_custkey
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: the probe side streams, the build side
+    deduplicates inside the join — no post-join distinct needed."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_join_anti",
+    group="C",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (null-safe, unlike NOT IN)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_join_theta_range",
+    group="C",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, p.p_partkey, p.p_size
+FROM supplier s JOIN part p
+  ON p.p_size BETWEEN (s.s_suppkey % 10) * 3 AND (s.s_suppkey % 10) * 3 + 5
+ORDER BY s.s_suppkey, p.p_partkey
+""",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join: p_size within a band derived from the supplier
+    key. Physically BroadcastNestedLoop with the small side broadcast; at
+    scale the standard trick is bucketizing the range key into an equi-join
+    on bucket + residual filter (see operators/similarity.py for that
+    pattern applied to LSH)."""
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part")
+    lo = (s.s_suppkey % 10) * 3
+    cond = (p.p_size >= lo) & (p.p_size <= lo + 5)
+    return (
+        s.join(p, cond)
+        .select("s_suppkey", "s_name", "p_partkey", "p_size")
+        .orderBy("s_suppkey", "p_partkey")
+    )
+
+
+@register(
+    "q_join_asof",
+    group="C",
+    oracle="""
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, o_orderkey AS asof_orderkey
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each event, the latest
+    order by the same key at-or-before the event time. Expressed as
+    equi-join on key + window top-1 — the join and the window share the
+    same hash partitioning so AQE reuses the exchange. Deterministic
+    tie-break on o_orderkey."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = W.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------- Group D --
+
+
+@register(
+    "q_agg_basic",
+    group="D",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       CAST(ROUND(SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_discount), 2) AS avg_disc,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-hash-agg with 9 aggregates over 2 group
+    keys. Partial aggregation reduces each of the 32 input partitions to
+    ≤|groups| rows before the exchange — the shuffle is O(groups), not
+    O(rows), which is what makes this plan hold at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round2_dbl(F.sum(disc_price())).alias("sum_disc_price"),
+            round2_dbl(F.sum(charged_price())).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_agg_distinct",
+    group="D",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+       COUNT(DISTINCT o_custkey) AS n_cust,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_year, o_month
+ORDER BY o_year, o_month
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per month — Spark expands to a two-phase aggregate
+    (distinct keys first, then count) automatically."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_year", "o_month")
+    )
+
+
+@register(
+    "q_agg_rollup",
+    group="D",
+    oracle="""
+SELECT COALESCE(n_name, '<ALL>') AS n_name_g,
+       COALESCE(c_mktsegment, '<ALL>') AS mktsegment_g,
+       ROUND(SUM(c_acctbal), 2) AS sum_bal,
+       COUNT(*) AS n_cust
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+ORDER BY n_name_g, mktsegment_g
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(n_name, c_mktsegment): hierarchical subtotals + grand total.
+    NULL group markers are coalesced to '<ALL>' on both engines so the
+    value-hash is collation-independent."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("sum_bal"), F.count("*").alias("n_cust"))
+        .select(
+            F.coalesce("n_name", F.lit("<ALL>")).alias("n_name_g"),
+            F.coalesce("c_mktsegment", F.lit("<ALL>")).alias("mktsegment_g"),
+            "sum_bal",
+            "n_cust",
+        )
+        .orderBy("n_name_g", "mktsegment_g")
+    )
+
+
+@register(
+    "q_agg_cube",
+    group="D",
+    oracle="""
+SELECT COALESCE(l_returnflag, '<ALL>') AS returnflag_g,
+       COALESCE(l_linestatus, '<ALL>') AS linestatus_g,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY returnflag_g, linestatus_g
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combinations
+    in one pass (Spark expands to a single Expand + hash-agg, not 4 scans)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<ALL>")).alias("returnflag_g"),
+            F.coalesce("l_linestatus", F.lit("<ALL>")).alias("linestatus_g"),
+            "sum_qty",
+            "n_items",
+        )
+        .orderBy("returnflag_g", "linestatus_g")
+    )
+
+
+# ---------------------------------------------------------------- Group F --
+
+
+@register(
+    "q_sort_multi",
+    group="F",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice_r, o_orderpriority
+FROM orders
+ORDER BY o_orderpriority ASC, o_totalprice_r DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY (asc/desc mix) + LIMIT 100. The trailing unique
+    o_orderkey makes the cutoff deterministic. Spark plans this as
+    TakeOrderedAndProject — a top-k per partition + driver merge, never a
+    full global sort."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+            "o_orderpriority",
+        )
+        .orderBy(F.asc("o_orderpriority"), F.desc("o_totalprice_r"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_set_ops",
+    group="F",
+    oracle="""
+WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0),
+     urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'),
+     fallback AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+SELECT o_custkey, 'big_or_urgent' AS src FROM (
+  SELECT o_custkey FROM big UNION SELECT o_custkey FROM urgent
+)
+UNION ALL
+SELECT o_custkey, 'big_and_urgent' AS src FROM (
+  SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent
+)
+UNION ALL
+SELECT o_custkey, 'big_not_p' AS src FROM (
+  SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM fallback
+)
+ORDER BY src, o_custkey
+""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets from orders splits,
+    tagged and unioned into one result. Set semantics (dedup) throughout."""
+    o = table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000.0).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority").like("1%")).select("o_custkey")
+    fallback = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    u = big.union(urgent).distinct().withColumn("src", F.lit("big_or_urgent"))
+    i = big.intersect(urgent).withColumn("src", F.lit("big_and_urgent"))
+    e = big.subtract(fallback).withColumn("src", F.lit("big_not_p"))
+    return u.unionByName(i).unionByName(e).orderBy("src", "o_custkey")

@@ -1,0 +1,308 @@
+"""Text operators: word count (the reference's flagship) + text analysis.
+
+``q_text_wordcount`` re-expresses the reference's entire observable pipeline
+W1–W7 (SURVEY.md §2.2; ``bin/mr-wordc.o``: byte-range scan → boundary adjust
+→ tokenize → project (k,1) → exchange → BST count+sort → formatted sink) as
+one declarative plan: scan → explode(split) → filter → hash-agg → sort.
+Catalyst supplies what the reference hand-built: partitioned scan with
+straddle handling (FileSourceScanExec), partial+final hash aggregation
+instead of the single-reducer BST (``mapreduce.c:185``), and a
+range-partitioned sort instead of in-order BST traversal (``print_tree``).
+
+Scale notes (100 TB): the only shuffle is the hash-agg exchange on ``token``
+with map-side partial aggregation, so shuffled bytes ≈ distinct tokens per
+partition, not corpus size. The sort is a second exchange but runs over the
+already-aggregated (small) result. No Python touches the hot path.
+
+The text-analysis extensions (language ID, quality scoring, token counting,
+fingerprinting) are all built from JVM-side expressions — per-row scalar
+pipelines that scale embarrassingly (no shuffle at all until an optional
+aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.functions.textfns import (
+    TOKEN_DELIM_RE,
+    explode_tokens,
+    tokens_nonempty,
+)
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+# DuckDB-side equivalent of tokens_nonempty(text).
+_ORACLE_TOKS = "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> t <> '')"
+
+
+@register(
+    "q_text_wordcount",
+    group="A",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_ORACLE_TOKS}) AS token FROM documents
+)
+SELECT token, COUNT(*) AS cnt
+FROM toks
+GROUP BY token
+ORDER BY token
+""",
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: W1–W7 word count over documents.text.
+
+    Tokens = ``[A-Za-z0-9]+`` runs, case-preserving, empties dropped;
+    COUNT(*) per token; byte-wise ascending order (Spark's default binary
+    UTF-8 string ordering == the reference's strcmp BST order).
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(explode_tokens("text"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("token")
+    )
+
+
+@register(
+    "q_text_ngrams",
+    group="I",
+    oracle="""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM b
+GROUP BY bigram
+ORDER BY bigram
+""",
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts over tokenized documents.text.
+
+    Bigrams are built array-side with ``zip_with`` over two slices — no
+    self-join, no extra shuffle beyond the final count agg.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_nonempty("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bigram")
+    )
+
+
+@register(
+    "q_text_tfidf",
+    group="I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT tf.doc_id, tf.token, tf.tf,
+       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 2) AS tfidf
+FROM tf, df, n
+WHERE tf.token = df.token
+ORDER BY tf.doc_id, tf.token
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): tf * ln(N / df), rounded.
+
+    The doc-count N joins in via a broadcast of a 1-row aggregate (no
+    driver-side ``count()``), and df(term) is a second hash-agg reusing the
+    (doc_id, token) grouping — both shuffles are on already-reduced data.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", explode_tokens("text"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 2).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+# Tiny deterministic stopword lexicons for the language-ID heuristic.
+_LANG_LEXICONS = {
+    "en": ("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ich", "ein", "mit", "zu"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
+}
+
+
+@register(
+    "q_text_langid",
+    group="I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS token FROM documents
+), hits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN token IN {_LANG_LEXICONS['en']} THEN 1 ELSE 0 END) AS h_en,
+         SUM(CASE WHEN token IN {_LANG_LEXICONS['de']} THEN 1 ELSE 0 END) AS h_de,
+         SUM(CASE WHEN token IN {_LANG_LEXICONS['es']} THEN 1 ELSE 0 END) AS h_es,
+         SUM(CASE WHEN token IN {_LANG_LEXICONS['fr']} THEN 1 ELSE 0 END) AS h_fr
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE
+         WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+         WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+         WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+         WHEN h_fr > 0 THEN 'fr'
+         ELSE 'und'
+       END AS lang_pred
+FROM hits
+ORDER BY doc_id
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-lexicon hit counting (deterministic heuristic).
+
+    Per-doc token hit counts against four tiny lexicons; argmax with a fixed
+    tie-break order (en > de > es > fr), 'und' when nothing hits. One
+    hash-agg shuffle on doc_id; lexicon matching is a codegen'd IN-list.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", explode_tokens("text"))
+    aggs = [
+        F.sum(F.when(F.col("token").isin(*words), 1).otherwise(0)).alias(f"h_{lang}")
+        for lang, words in _LANG_LEXICONS.items()
+    ]
+    hits = toks.groupBy("doc_id").agg(*aggs)
+    h = {lang: F.col(f"h_{lang}") for lang in _LANG_LEXICONS}
+    pred = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] > 0), "en")
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]) & (h["de"] > 0), "de")
+        .when((h["es"] >= h["fr"]) & (h["es"] > 0), "es")
+        .when(h["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return hits.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+@register(
+    "q_text_quality",
+    group="I",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> t <> '')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1), 2) AS punct_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1), 2) AS upper_ratio
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: char/token counts, punctuation and
+    uppercase ratios. Pure scalar pipeline — zero shuffles, fully codegen'd,
+    trivially 100 TB-parallel."""
+    docs = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    denom = F.greatest(n_chars, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_m"),
+        F.size(tokens_nonempty("text")).cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(n_punct.cast("double") / denom, 2).alias("punct_ratio"),
+        F.round(n_upper.cast("double") / denom, 2).alias("upper_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_tokens",
+    group="I",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | single digits | single symbols). Scalar-only; both
+    counts stay JVM-side via regexp_extract_all/split."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_fingerprint",
+    group="I",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_ORACLE_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) < 5 THEN md5(text)
+            ELSE list_aggregate(
+                   list_transform(range(1, len(toks) - 3),
+                                  i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])),
+                   'min')
+       END AS fingerprint
+FROM t
+ORDER BY doc_id
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-MD5 over 5-token shingles (a 1-permutation
+    MinHash — deterministic and engine-portable). Short docs fall back to
+    md5(text). Array-side shingling, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_nonempty("text")
+    d = docs.select("doc_id", "text", toks.alias("toks"))
+    n = F.size("toks")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), n - 5),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 5))),
+    )
+    fp = F.when(n < 5, F.md5("text")).otherwise(F.array_min(shingle_hashes))
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

@@ -1,0 +1,78 @@
+"""Query registry: the declared-query surface of the engine.
+
+Every operator the engine claims (SURVEY.md §2) registers here with
+ - a builder ``fn(spark, sf_dir) -> DataFrame`` (the Spark-first plan), and
+ - optionally ``oracle``: equivalent ANSI SQL for the DuckDB differential
+   oracle (None => genuinely non-SQL-expressible; rows-only check).
+
+Column-name contract: every computed/aggregate column is aliased identically
+in the Spark plan and the oracle SQL (the driver sorts columns by name
+before value-hashing). Float aggregates are wrapped in ROUND(x, 2) on both
+sides (SURVEY.md §2.4 convention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => rows-only check
+    group: str = ""
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    group: str = "",
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query builder under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, group=group, doc=doc or (fn.__doc__ or ""), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+_LOADED = False
+
+
+def load_all_queries() -> dict[str, Query]:
+    """Import every operator module so all queries register; return REGISTRY."""
+    global _LOADED
+    if not _LOADED:
+        # Import for registration side effects.
+        from mapreduce_framework_api_spark.operators import (  # noqa: F401
+            dedup,
+            events,
+            multimodal,
+            relational,
+            scalar_fns,
+            similarity,
+            text,
+            windows,
+        )
+        from mapreduce_framework_api_spark.compat import rdd_queries  # noqa: F401
+
+        _LOADED = True
+    return REGISTRY

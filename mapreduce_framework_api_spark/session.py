@@ -1,0 +1,52 @@
+"""SparkSession factory for the engine.
+
+The reference's engine instance is ``mr_create(map_fn, reduce_fn, threads,
+buffer_size)`` (``mapreduce.c:63-122``): ``threads`` maps to Spark
+parallelism, ``buffer_size`` has no user-facing analogue (shuffle-internal
+backpressure is Spark's job). ``mr_destroy`` maps to ``spark.stop()``.
+
+Configuration is chosen for correctness against the DuckDB oracle (UTC
+session timezone, ANSI off) and for scale-readiness (AQE on, skew-join
+handling on, shuffle partitions sized to cores locally — on a real cluster
+AQE coalescing makes the initial number far less sensitive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mapreduce-framework-api-spark",
+    cpus: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a configured SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, else all local cores. At 100 TB
+    the same code runs under whatever master the cluster provides; only the
+    ``local[N]`` master line is test-harness specific.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Right-size shuffles for local runs; AQE coalesces at runtime so a
+        # larger initial value is also safe on a real cluster.
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,87 @@
+"""Sources: table readers and format connectors.
+
+The reference's only source is a per-mapper POSIX fd on one local file
+(``mapreduce.h:48``, byte-range split computed by the app,
+``bin/mr-wordc.o:wc_count+0x2d-0x72``). Spark's FileSourceScanExec computes
+the same splits (``spark.sql.files.maxPartitionBytes``) with straddle
+handling built in, so the "source layer" here is a thin catalog over
+``spark.read`` — columnar parquet scans get predicate pushdown and column
+pruning from Catalyst for free, which is exactly what a 100 TB scan needs.
+
+Format support beyond the reference (parquet/csv/json/orc/text) is provided
+by ``read_any``; lake formats (delta/iceberg) need external jars and are
+gated behind import-try stubs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated synthetic catalog (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one catalog table as a DataFrame (lazy; pushdown-capable).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
+    a timestamp ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos
+    (legacy.parquet.nanosAsLong) and convert ns → µs in the plan
+    (``ts DIV 1000`` — integer division; a double roundtrip would lose
+    precision above 2^53 ns). Matches DuckDB's CAST(ts AS TIMESTAMP)
+    truncation, per the FIXTURES.md gotcha-#1 discipline.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(path)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Generic format connector: parquet/orc/csv/json/text.
+
+    The reference supports exactly one format (local text file via fd); this
+    is the widened, Spark-native source surface.
+    """
+    fmt = fmt.lower()
+    reader = spark.read.options(**options)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    if fmt == "csv":
+        return reader.csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "text":
+        return reader.text(path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
+    """Delta Lake connector stub — needs delta jars on the classpath."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:  # jar missing in this environment
+        raise NotImplementedError(
+            "Delta Lake requires the delta-spark jars on the classpath"
+        ) from exc
