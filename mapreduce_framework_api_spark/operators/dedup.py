@@ -107,13 +107,28 @@ def _perm(a: int, b: int):
 
 
 def minhash_signature(col) -> "F.Column":
-    """Column: array<long> of 16 minhash values for the text column."""
+    """Column: array<long> of 16 minhash values for the text column.
+
+    Single-pass fold: one F.aggregate over the shingle-hash array carrying
+    all 16 running minima, so the md5 of each shingle is evaluated exactly
+    once. (The naive form — 16 separate array_min(transform(hashes, ...)) —
+    gets its shared hash subexpression re-inlined by CollapseProject and
+    costs 16× the md5 work; measured 46s vs 2s at 500 docs.)"""
     hashes = F.transform(_shingles(col), _token_hash31)
-    mins = [
-        F.array_min(F.transform(hashes, _perm(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
-    ]
-    return F.array(*mins)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in _MINHASH_A])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in _MINHASH_B])
+    init = F.array_repeat(F.lit(_MINHASH_P + 1).cast("long"), _N_PERM)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, x: F.transform(
+            F.sequence(F.lit(1), F.lit(_N_PERM)),
+            lambda i: F.least(
+                F.element_at(acc, i),
+                (F.element_at(a_arr, i) * x + F.element_at(b_arr, i)) % _MINHASH_P,
+            ),
+        ),
+    )
 
 
 @register(
