@@ -1,0 +1,69 @@
+"""MapReduce compatibility facade: lifecycle, generality, error paths."""
+
+import pytest
+
+from mapreduce_framework_api_spark.compat.mapreduce import MapReduceJob, mr_create
+
+
+def test_lifecycle_and_result(spark, tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("a b b\nc c c\n")
+
+    def map_fn(idx, lines):
+        for line in lines:
+            for tok in line.split():
+                yield tok, 1
+
+    job = mr_create(map_fn, lambda a, b: a + b, partitions=4)
+    job.start(spark, str(p))
+    assert job.result() == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_custom_value_types(spark, tmp_path):
+    """The reference moves opaque bytes — any picklable (k, v) works here."""
+    p = tmp_path / "in.txt"
+    p.write_text("x 1\ny 2\nx 3\n")
+
+    def map_fn(idx, lines):
+        for line in lines:
+            k, v = line.split()
+            yield k, (int(v), 1)  # (sum, count) pair
+
+    def reduce_fn(a, b):
+        return (a[0] + b[0], a[1] + b[1])
+
+    job = MapReduceJob(map_fn, reduce_fn, partitions=2).start(spark, str(p))
+    assert job.result() == [("x", (4, 2)), ("y", (2, 1))]
+
+
+def test_finish_writes_formatted_sink(spark, tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("b a b\n")
+    out = tmp_path / "out.txt"
+    job = mr_create(
+        lambda i, ls: ((t, 1) for l in ls for t in l.split()), lambda a, b: a + b
+    ).start(spark, str(p))
+    elapsed = job.finish(str(out))
+    assert out.read_text() == "a, 1\nb, 2\n"
+    assert elapsed >= 0
+
+
+def test_map_error_fails_job(spark, tmp_path):
+    """mr_finish propagates a nonzero map status as failure
+    (``mapreduce.c:201-212``) — here a raising map_fn fails the job."""
+    p = tmp_path / "in.txt"
+    p.write_text("boom\n")
+
+    def bad_map(idx, lines):
+        raise ValueError("map failure")
+        yield  # pragma: no cover
+
+    job = mr_create(bad_map, lambda a, b: a + b).start(spark, str(p))
+    with pytest.raises(Exception):
+        job.result()
+
+
+def test_start_required_before_finish():
+    job = mr_create(lambda i, ls: [], lambda a, b: a)
+    with pytest.raises(RuntimeError):
+        job.result()
