@@ -1,0 +1,194 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has no streaming semantics — its bounded-buffer exchange is
+pipelined *execution*, not event-time processing (SURVEY.md §2.3, §4.2;
+``/root/reference/mapreduce.c:249,292`` is backpressure, not a watermark).
+This package is therefore pure new surface, mandated by the north star:
+the same event-time semantics as the batch Group-H queries
+(``operators/events.py``), run on the actual streaming runtime.
+
+Design notes (100 TB / always-on):
+
+- Source: ``spark.readStream`` over a parquet directory (file source). In
+  production this is Kafka/Kinesis; the file source exercises identical
+  planner/runtime paths (micro-batch, state store, watermark advance).
+- Every aggregation carries a watermark so state is bounded: without it, a
+  windowed agg on an unbounded stream grows state forever. Late rows
+  beyond the watermark are dropped — the exact semantics the batch
+  ``q_stream_late`` query mirrors.
+- Sessionization uses native ``F.session_window`` (state-store-backed
+  gap-merge), the streaming twin of the lag/prefix-sum batch plan in
+  ``q_stream_session``.
+- The custom stateful operator (running per-user event counter with
+  timeout) uses ``applyInPandasWithState`` — the escape hatch for
+  semantics the built-in windows can't express.
+
+Tests drive these with ``trigger(availableNow=True)`` against the sf0.001
+fixtures and assert the streaming results equal the batch Group-H results
+on the same data — one semantics, two runtimes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Keep in lockstep with operators/events.py so batch == streaming.
+WATERMARK = "24 hours"
+SESSION_GAP = "30 minutes"
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw parquet NANOS (see sources/readers.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet directory.
+
+    ``maxFilesPerTrigger=1`` keeps micro-batches bounded no matter how many
+    files land; the ns→µs conversion matches the batch reader so both lanes
+    see identical timestamps. The file stream source lists a *directory*
+    (new files appearing there are the stream); the fixture is a single
+    parquet file, so it is staged into a temp dir via symlink — in
+    production the landing directory already exists and files arrive in it.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(staged, "events.parquet"))
+        src = staged
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Per-hour tumbling counts + sum(value) by event_type, watermarked.
+
+    State per key is one window aggregate; the watermark lets the store
+    evict windows older than max(event time) − 24 h, so state size is
+    O(active windows), independent of stream length.
+    """
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame) -> DataFrame:
+    """30-minute-gap sessions per user via native ``session_window``.
+
+    The state store merges overlapping candidate sessions as events arrive
+    (possibly out of order within the watermark); emission happens once the
+    watermark passes session end + gap.
+    """
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_COUNTER_STATE_SCHEMA = "n_events long, sum_value double"
+_COUNTER_OUT_SCHEMA = "user_id long, n_events long, sum_value double"
+
+
+def _make_user_counter(idle_timeout_ms: int | None):
+    """Build the applyInPandasWithState update fn: running per-user totals.
+
+    State is one (count, sum) pair per user — the minimal custom stateful
+    operator. With ``idle_timeout_ms`` set, a processing-time timeout
+    expires idle users so state stays bounded on unbounded key spaces (the
+    100 TB concern: users are unbounded; windows/timeouts keep state
+    finite). Timeouts only fire on *subsequent* micro-batches, so finite
+    ``availableNow`` drains (tests) run without one — combining
+    ``idle_timeout_ms`` with ``availableNow`` makes the query wait for
+    processing-time timeouts and never terminate (observed: hang, not
+    error). Use timeouts only on continuous triggers.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return update
+
+
+def running_user_totals(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: running per-user (count, sum) emitted every
+    micro-batch — semantics no built-in window expresses (cumulative,
+    never-closing aggregate, optional idle-key eviction)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_user_counter(idle_timeout_ms),
+            outputStructType=_COUNTER_OUT_SCHEMA,
+            stateStructType=_COUNTER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain the whole (finite) stream into an in-memory table with
+    ``availableNow`` and return the completed query; callers read
+    ``spark.table(name)``. Test/demo sink — production uses kafka/parquet
+    sinks with checkpointing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

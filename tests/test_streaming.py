@@ -1,0 +1,66 @@
+"""Structured Streaming pipelines vs their batch twins (SURVEY.md §2.4 H).
+
+Each streaming pipeline is drained with ``availableNow`` over the sf0.001
+events fixture and compared against the batch Group-H implementation of the
+same semantics — one semantics, two runtimes. Nothing is late relative to
+the 24 h watermark when the whole fixture arrives in order, so streaming
+output must equal batch output exactly.
+"""
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from mapreduce_framework_api_spark.registry import load_all_queries
+from mapreduce_framework_api_spark.streaming.pipelines import (
+    read_events_stream,
+    run_to_memory,
+    running_user_totals,
+    session_aggregates,
+    tumbling_counts,
+)
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = tumbling_counts(read_events_stream(spark, SF_DIR))
+    # complete mode: emit every window, including those the watermark has
+    # not closed when the finite fixture stream ends (append would hold the
+    # trailing 24 h of windows in state forever-pending).
+    run_to_memory(stream, "t_tumbling", output_mode="complete")
+    got = _rows(spark.table("t_tumbling"), "win_start_us", "event_type")
+    batch = load_all_queries()["q_stream_tumbling"].fn(spark, SF_DIR)
+    assert got == _rows(batch, "win_start_us", "event_type")
+    assert len(got) > 0
+
+
+def test_streaming_sessions_equal_batch(spark):
+    stream = session_aggregates(read_events_stream(spark, SF_DIR))
+    run_to_memory(stream, "t_sessions", output_mode="complete")
+    got = _rows(spark.table("t_sessions"), "user_id", "session_start_us")
+    batch = (
+        load_all_queries()["q_stream_session"]
+        .fn(spark, SF_DIR)
+        .select("user_id", "session_start_us", "n_events", "sum_value")
+    )
+    assert got == _rows(batch, "user_id", "session_start_us")
+    assert len(got) > 0
+
+
+def test_stateful_running_totals(spark):
+    stream = running_user_totals(read_events_stream(spark, SF_DIR))
+    run_to_memory(stream, "t_totals", output_mode="update")
+    # One file → one micro-batch → the final update per user is the total.
+    got = spark.table("t_totals")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    totals = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    latest = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in got.collect()}
+    assert latest == totals
