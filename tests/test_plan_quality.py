@@ -1,0 +1,99 @@
+"""Plan-shape regressions: the 100 TB discipline, enforced at sf0.001.
+
+Correctness tests say the answer is right; these say the *plan* is the one
+we'd accept on a 1000-executor cluster reading 100 TB: filters pushed to
+the parquet scan, scans pruned to the referenced columns, small dimension
+tables broadcast (never shuffled), whole-stage codegen covering the hot
+loops, and no silent Python row-UDFs or cartesian products anywhere. A
+change that keeps results identical but regresses one of these fails here.
+"""
+
+from conftest import SF_DIR
+
+import pytest
+
+from mapreduce_framework_api_spark.plans.inspect import (
+    codegen_stage_count,
+    count_exchanges,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+    scans_python_udf,
+    simple_plan,
+)
+from mapreduce_framework_api_spark.registry import load_all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return load_all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    df = queries["q_filter_pred"].fn(spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in f for f in pushed), pushed
+    assert any("o_totalprice" in f for f in pushed), pushed
+
+
+def test_column_pruning_on_projection(spark, queries):
+    """q_scan_project touches 5 lineitem columns; the scan must not decode
+    the other 11 (l_comment, l_shipdate, ...)."""
+    df = queries["q_scan_project"].fn(spark, SF_DIR)
+    (schema,) = read_schemas(df)
+    assert "l_comment" not in schema and "l_shipdate" not in schema, schema
+    assert schema.count(":") <= 6, schema
+
+
+def test_small_dims_broadcast_not_shuffled(spark, queries):
+    """The TPC-H Q5-shaped 4-way join: every dimension (orders→customer→
+    nation→region relative to lineitem) broadcasts; a SortMergeJoin here
+    means a full shuffle of the fact table per join at scale."""
+    df = queries["q_join_multi"].fn(spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert strategies == ["BroadcastHashJoin"] * 4, strategies
+
+
+def test_explicit_broadcast_honored(spark, queries):
+    df = queries["q_join_broadcast"].fn(spark, SF_DIR)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_aggregate_is_partial_then_final(spark, queries):
+    """Map-side partial aggregation: two HashAggregate operators around one
+    Exchange — the shuffle carries one row per (group, partition), not one
+    per input row."""
+    df = queries["q_agg_basic"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("HashAggregate") == 2, plan
+    # one exchange for the agg + one for the final presentation sort
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_codegen_covers_relational_core(spark, queries):
+    for name in ("q_scan_project", "q_agg_basic", "q_join_multi"):
+        df = queries[name].fn(spark, SF_DIR)
+        assert codegen_stage_count(df) > 0, name
+
+
+def test_no_row_python_udfs_anywhere(spark, queries):
+    """Python in the hot path is Arrow-batched (MapInPandas) or absent —
+    never row-at-a-time BatchEvalPython."""
+    offenders = [
+        name
+        for name, q in queries.items()
+        if scans_python_udf(q.fn(spark, SF_DIR))
+    ]
+    assert offenders == [], offenders
+
+
+def test_no_cartesian_products_anywhere(spark, queries):
+    """No registered query may plan a CartesianProduct: unbounded pairwise
+    blowup at scale. (Theta/range joins go through broadcast nested loop
+    with one small side instead.)"""
+    offenders = [
+        name
+        for name, q in queries.items()
+        if "CartesianProduct" in join_strategies(q.fn(spark, SF_DIR))
+    ]
+    assert offenders == [], offenders
