@@ -533,3 +533,234 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = big.intersect(urgent).withColumn("src", F.lit("big_and_urgent"))
     e = big.subtract(fallback).withColumn("src", F.lit("big_not_p"))
     return u.unionByName(i).unionByName(e).orderBy("src", "o_custkey")
+
+
+# ------------------------------------------------- Group D (extended) -------
+
+
+@register(
+    "q_agg_grouping_sets",
+    group="D",
+    oracle="""
+SELECT COALESCE(n_name, '<ALL>') AS n_name_g,
+       COALESCE(c_mktsegment, '<ALL>') AS mktsegment_g,
+       CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+       ROUND(SUM(c_acctbal), 2) AS sum_bal,
+       COUNT(*) AS n_cust
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+ORDER BY g_nation, g_seg, n_name_g, mktsegment_g
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize.
+    Spark plans one Expand + one hash aggregate (the input is replicated
+    once per set map-side, then aggregated partial+final — no re-scan per
+    set). GROUPING() markers disambiguate real NULLs from subtotal rows."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, '<ALL>') AS n_name_g,
+               COALESCE(c_mktsegment, '<ALL>') AS mktsegment_g,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               ROUND(SUM(c_acctbal), 2) AS sum_bal,
+               COUNT(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+        ORDER BY g_nation, g_seg, n_name_g, mktsegment_g
+        """
+    )
+
+
+@register(
+    "q_agg_stats",
+    group="D",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+       ROUND(var_samp(l_quantity), 2) AS var_qty,
+       ROUND(stddev_pop(l_discount), 2) AS sdp_disc,
+       ROUND(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 2) AS cov_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    single-pass distributed moments (partial+final), never a collect.
+    Rounded to 2 on small-magnitude columns so cross-engine summation-order
+    FP drift stays below the rounding grain."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.stddev_pop("l_discount"), 2).alias("sdp_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 2).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 2).alias("cov_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_agg_pivot",
+    group="D",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type. The explicit value list keeps it one pass — omitting it would
+    cost an extra distinct-values job before the real aggregation."""
+    e = table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _PIVOT_TYPES],
+    )
+    return renamed.orderBy("user_id")
+
+
+# ------------------------------------------------- Group C (extended) -------
+
+
+@register(
+    "q_join_full_outer",
+    group="C",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, COALESCE(p.n_orders, 0) AS n_orders
+FROM customer c FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+ORDER BY c_custkey
+""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of the customer dimension against per-customer order
+    counts: customers with zero orders survive with n_orders=0, and any
+    orphaned order keys would survive with NULL customer columns."""
+    c = table(spark, sf_dir, "customer")
+    per_cust = (
+        table(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "full_outer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    group="C",
+    oracle="""
+SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price_r
+FROM part
+WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+ORDER BY p_partkey
+""",
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced above the global average.
+    Plans as a broadcast of the 1-row aggregate into the filter — the scan
+    side streams; no driver round-trip."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price_r
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@register(
+    "q_subquery_exists",
+    group="C",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority LIKE '1%'
+    AND o.o_totalprice > 50000.0
+)
+ORDER BY c_custkey
+""",
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with extra predicates — Catalyst rewrites it to a
+    left-semi join on the correlation key, with the inner predicates pushed
+    below the join (check: PushedFilters on the orders scan)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority LIKE '1%'
+            AND o.o_totalprice > 50000.0
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+# ------------------------------------------------- Group F (extended) -------
+
+
+@register(
+    "q_limit_offset",
+    group="F",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price_r
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50 OFFSET 100
+""",
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: total order (price desc, unique key asc),
+    skip 100, take 50. Spark plans a global limit of offset+limit pushed
+    toward the sort, then drops the offset rows — only 150 rows ever reach
+    the driver side of the plan."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price_r"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(100)
+        .limit(50)
+    )

@@ -163,3 +163,82 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q_win_ntile_dist",
+    group="E",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 4) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+ORDER BY c_mktsegment, quartile, c_custkey
+""",
+)
+def q_win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucketing + percent_rank +
+    cume_dist per market segment. The window order carries a unique
+    tie-break (c_custkey) so ntile assignment is deterministic; the rank
+    ratios are identical IEEE doubles on both engines, so round(4) is
+    hash-stable."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "quartile", "c_custkey")
+    )
+
+
+@register(
+    "q_win_range_frame",
+    group="E",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_no,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY day_no
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY day_no
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+FROM o
+ORDER BY o_custkey, day_no, o_orderkey
+""",
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): trailing-30-day spend per
+    customer. Unlike a rows frame, all orders on the same day are peers and
+    always aggregate together, so the result is deterministic without a
+    unique order key. Ordering is an epoch-day integer — identical
+    arithmetic on both engines (a raw timestamp RANGE would mix units)."""
+    o = table(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("day_no").cast("long"))
+        .rangeBetween(-30, W.currentRow)
+    )
+    return (
+        o.withColumn("day_no", day_no)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "day_no",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+            F.count("*").over(w).alias("n_30d"),
+        )
+        .orderBy("o_custkey", "day_no", "o_orderkey")
+    )
