@@ -1,0 +1,83 @@
+"""Sink surface: format roundtrips, partition pruning, bucketed joins, and
+the reference's formatted text contract (SURVEY.md §2.5)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from mapreduce_framework_api_spark.plans.inspect import count_exchanges, simple_plan
+from mapreduce_framework_api_spark.sources import table
+from mapreduce_framework_api_spark.sources.writers import (
+    write_any,
+    write_bucketed,
+    write_formatted_text,
+    write_partitioned,
+)
+
+
+def _orders(spark):
+    return table(spark, SF_DIR, "orders")
+
+
+def test_format_roundtrips(spark, tmp_path):
+    df = _orders(spark).select("o_orderkey", "o_custkey", "o_orderstatus")
+    n = df.count()
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        write_any(df, p, fmt=fmt, **({"header": True} if fmt == "csv" else {}))
+        back = (
+            spark.read.options(header=True, inferSchema=True).format(fmt).load(p)
+            if fmt == "csv"
+            else spark.read.format(fmt).load(p)
+        )
+        assert back.count() == n, fmt
+        assert set(back.columns) == set(df.columns), fmt
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    p = str(tmp_path / "by_status")
+    write_partitioned(_orders(spark), p, ["o_orderstatus"])
+    # layout: one dir per status value
+    dirs = {os.path.basename(d) for d in glob.glob(f"{p}/o_orderstatus=*")}
+    assert len(dirs) >= 2, dirs
+    # a filter on the partition column must show a PartitionFilter, not a data filter
+    back = spark.read.parquet(p).filter(F.col("o_orderstatus") == "F")
+    plan = simple_plan(back)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan
+    assert back.count() == _orders(spark).filter("o_orderstatus = 'F'").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with zero shuffles — the
+    write-time exchange is amortized across every subsequent join."""
+    # (warehouse dir is a static conf; tables land in ./spark-warehouse and
+    # are dropped — which deletes the files — in the finally block)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # forbid broadcast
+    try:
+        o = _orders(spark)
+        c = table(spark, SF_DIR, "customer")
+        write_bucketed(o, "t_orders_b", "o_custkey", n_buckets=8, sort_col="o_custkey")
+        write_bucketed(c, "t_customer_b", "c_custkey", n_buckets=8, sort_col="c_custkey")
+        ob, cb = spark.table("t_orders_b"), spark.table("t_customer_b")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        assert count_exchanges(joined) == 0, simple_plan(joined)
+        assert joined.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_formatted_text_contract(spark, tmp_path):
+    """write_formatted_text reproduces the reference's output bytes for a
+    known aggregation (format '%s, %d\\n', byte-wise key order)."""
+    df = spark.createDataFrame(
+        [("a", 271), ("A", 12), ("0", 3), ("z", 1)], ["token", "cnt"]
+    )
+    p = str(tmp_path / "out")
+    write_formatted_text(df, p, "token", "cnt", coalesce_to_one=True)
+    (part,) = glob.glob(f"{p}/part-*")
+    assert open(part).read() == "0, 3\nA, 12\na, 271\nz, 1\n"
