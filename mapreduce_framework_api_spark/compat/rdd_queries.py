@@ -37,10 +37,8 @@ def q_text_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     with mr_produce/mr_consume replaced by generator yield / shuffle read."""
     docs = table(spark, sf_dir, "documents")
     lines = docs.select("text").rdd.map(lambda r: r[0])
-    counted = (
-        lines.mapPartitionsWithIndex(wordcount_map)
-        .reduceByKey(wordcount_reduce, numPartitions=32)
-        .sortByKey()
+    counted = lines.mapPartitionsWithIndex(wordcount_map).reduceByKey(
+        wordcount_reduce, numPartitions=32
     )
     schema = T.StructType(
         [
@@ -48,4 +46,7 @@ def q_text_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cnt", T.LongType(), False),
         ]
     )
-    return spark.createDataFrame(counted.map(lambda kv: (kv[0], kv[1])), schema=schema)
+    # Global order on the (small, post-aggregation) result happens JVM-side:
+    # an RDD sortByKey here would add a Python-side range-sampling job + an
+    # extra pickled shuffle for a sort the DataFrame sink does anyway.
+    return spark.createDataFrame(counted, schema=schema).orderBy("token")

@@ -31,7 +31,7 @@ from mapreduce_framework_api_spark.functions.textfns import (
     tokens_nonempty,
 )
 from mapreduce_framework_api_spark.registry import register
-from mapreduce_framework_api_spark.sources import table
+from mapreduce_framework_api_spark.sources import parallelized, table
 
 # DuckDB-side equivalent of tokens_nonempty(text).
 _ORACLE_TOKS = "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> t <> '')"
@@ -57,7 +57,7 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(*) per token; byte-wise ascending order (Spark's default binary
     UTF-8 string ordering == the reference's strcmp BST order).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelized(table(spark, sf_dir, "documents"))
     return (
         docs.select(explode_tokens("text"))
         .groupBy("token")
@@ -89,7 +89,7 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams are built array-side with ``zip_with`` over two slices — no
     self-join, no extra shuffle beyond the final count agg.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelized(table(spark, sf_dir, "documents"))
     toks = tokens_nonempty("text")
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -134,7 +134,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side ``count()``), and df(term) is a second hash-agg reusing the
     (doc_id, token) grouping — both shuffles are on already-reduced data.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelized(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", explode_tokens("text"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
@@ -196,7 +196,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break order (en > de > es > fr), 'und' when nothing hits. One
     hash-agg shuffle on doc_id; lexicon matching is a codegen'd IN-list.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelized(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", explode_tokens("text"))
     aggs = [
         F.sum(F.when(F.col("token").isin(*words), 1).otherwise(0)).alias(f"h_{lang}")
@@ -234,7 +234,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: char/token counts, punctuation and
     uppercase ratios. Pure scalar pipeline — zero shuffles, fully codegen'd,
     trivially 100 TB-parallel."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelized(table(spark, sf_dir, "documents"))
     n_chars = F.length("text")
     n_punct = n_chars - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
     n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
@@ -264,7 +264,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split and a BPE-ish regex
     (letter runs | single digits | single symbols). Scalar-only; both
     counts stay JVM-side via regexp_extract_all/split."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelized(table(spark, sf_dir, "documents"))
     ws = F.size(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
     bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
     return docs.select(
@@ -296,7 +296,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-MD5 over 5-token shingles (a 1-permutation
     MinHash — deterministic and engine-portable). Short docs fall back to
     md5(text). Array-side shingling, no shuffle."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelized(table(spark, sf_dir, "documents"))
     toks = tokens_nonempty("text")
     d = docs.select("doc_id", "text", toks.alias("toks"))
     n = F.size("toks")

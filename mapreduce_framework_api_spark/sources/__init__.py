@@ -1,3 +1,3 @@
-from mapreduce_framework_api_spark.sources.readers import TABLES, table
+from mapreduce_framework_api_spark.sources.readers import TABLES, parallelized, table
 
-__all__ = ["table", "TABLES"]
+__all__ = ["table", "TABLES", "parallelized"]

@@ -85,3 +85,21 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
         raise NotImplementedError(
             "Delta Lake requires the delta-spark jars on the classpath"
         ) from exc
+
+
+def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` (default: cluster default
+    parallelism) partitions before CPU-heavy per-row work.
+
+    Small parquet fixtures arrive as 1-3 scan partitions
+    (files < spark.sql.files.maxPartitionBytes), which would serialize
+    expensive map-side kernels (shingling, signatures) onto one core. The
+    repartition is GATED: a scan that already has enough partitions — every
+    real 100 TB scan — passes through untouched, so this never adds a
+    shuffle at scale; locally it shuffles only the (tiny) raw input once in
+    exchange for full-width parallelism on the expensive stage."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
