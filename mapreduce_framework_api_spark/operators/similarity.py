@@ -171,3 +171,127 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
         .orderBy("vec_id", "rk")
     )
+
+
+# ---------------------------------------------------------------- IVF ------
+
+_IVF_K = 16  # inverted lists
+_IVF_NPROBE = 2  # clusters scored per query
+_IVF_ITERS = 5  # Lloyd refinement passes (deterministic)
+_IVF_TOP_K = 3
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Deterministic IVF coarse quantizer: k-means with init = the K
+    lowest-vec_id vectors and a fixed iteration count (no RNG, no early
+    stop — identical output every run).
+
+    Training collects the fixture table to the driver (same footprint as
+    ``broadcast_index``); at 100 TB you train on a bounded uniform SAMPLE
+    (k-means only needs ~1000×K points) and broadcast the K×d result, so
+    the driver cost is constant in corpus size. Returns (centroid_matrix
+    [K, d] float64, row-normalized)."""
+    import numpy as np
+
+    pdf = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = x[:_IVF_K].copy()
+    for _ in range(_IVF_ITERS):
+        c_n = c / np.linalg.norm(c, axis=1, keepdims=True)
+        assign = (x @ c_n.T).argmax(axis=1)
+        for j in range(_IVF_K):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+@register(
+    "q_sim_ivf_topk",
+    group="I",
+    oracle=None,  # approximate by construction: rows-only check
+)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 cosine neighbors via an IVF index (the third ANN
+    tier next to brute force and sign-LSH).
+
+    Structure: (1) deterministic coarse quantizer (broadcast K×d
+    centroids); (2) every vector is assigned to its nearest centroid's
+    inverted list; (3) every query probes its _IVF_NPROBE nearest lists —
+    an equi-join on cluster id, so the shuffle routes each query to ≤2 of
+    K partitions instead of all of them; (4) per-cluster scoring is one
+    Arrow-batched BLAS matmul per (query-batch × list); (5) global top-k
+    merges the probed lists with a window. Recall > sign-LSH at the same
+    candidate budget because lists follow the data distribution."""
+    import numpy as np
+    import pandas as pd
+
+    cent = spark.sparkContext.broadcast(ivf_centroids(spark, sf_dir))
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def assign(batches):
+        for pdf in batches:
+            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ cent.value.T
+            top = np.argsort(-sims, axis=1)[:, :_IVF_NPROBE]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": top[:, 0].astype("int32"),
+                    "probes": list(top.astype("int32")),
+                }
+            )
+
+    assigned = e.mapInPandas(
+        assign,
+        schema="vec_id long, embedding array<float>, cluster int, probes array<int>",
+    )
+    index_side = assigned.select("vec_id", "embedding", "cluster")
+    query_side = assigned.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode("probes").alias("cluster"),
+    )
+
+    def score_cluster(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
+        if qs.empty or idx.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cos_raw": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"})
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        m_ids = idx["vec_id"].to_numpy(dtype="int64")
+        s = (q @ m.T) / (
+            np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :]
+        )
+        keep = q_ids[:, None] != m_ids[None, :]
+        rows, cols = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_id": q_ids[rows], "neighbor_id": m_ids[cols], "cos_raw": s[rows, cols]}
+        )
+
+    # cogroup, NOT a join: each cluster id yields ONE (queries, members)
+    # frame pair for one matmul — a join on cluster would materialize the
+    # per-cluster cross product row-by-row, the exact blowup IVF avoids.
+    scored = (
+        query_side.groupBy("cluster")
+        .cogroup(index_side.groupBy("cluster"))
+        .applyInPandas(score_cluster, schema="vec_id long, neighbor_id long, cos_raw double")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _IVF_TOP_K)
+        .select("vec_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
+        .orderBy("vec_id", "rk")
+    )

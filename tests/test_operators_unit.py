@@ -43,3 +43,57 @@ def test_tokens_straddling_many_tiny_partitions(spark):
         F.length("t") > 0
     )
     assert toks.groupBy("t").count().collect()[0]["count"] == 3
+
+
+def test_multimodal_decode_plumbing(spark):
+    """The Arrow-batched decode path: schema, batching, deterministic fake
+    codec (real codecs are stubbed per environment constraints)."""
+    import pytest
+
+    from mapreduce_framework_api_spark.operators.multimodal import as_media, decode_media
+    from mapreduce_framework_api_spark.sources import table
+
+    media = as_media(table(spark, "/root/testdata/sf0.001", "documents").limit(50))
+    with pytest.raises(NotImplementedError):
+        decode_media(media).collect()
+    feats = decode_media(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    r = rows[0]
+    assert r["width"] >= 16 and r["height"] >= 16
+    assert len(r["feature"]) == 16 and all(isinstance(x, float) for x in r["feature"])
+    # deterministic: same input -> same features
+    again = decode_media(media, fake=True).collect()
+    assert [tuple(x) for x in rows] == [tuple(x) for x in again]
+
+
+def test_ivf_contract_and_recall_floor(spark):
+    """q_sim_ivf_topk on the fixture: well-formed top-k per query (rk 1..k,
+    descending cosine, no self-pairs), deterministic across runs, and
+    recall@3 vs exact brute force comfortably above the nprobe/K chance
+    floor (2/16 = 0.125)."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    sf = "/root/testdata/sf0.001"
+    ivf = qs["q_sim_ivf_topk"].fn(spark, sf).collect()
+    assert ivf, "IVF returned no rows"
+    per_q = {}
+    for r in ivf:
+        assert r["vec_id"] != r["neighbor_id"]
+        per_q.setdefault(r["vec_id"], []).append((r["rk"], r["cosine"]))
+    for ranks in per_q.values():
+        ks = [k for k, _ in sorted(ranks)]
+        assert ks == list(range(1, len(ks) + 1))
+        cosines = [c for _, c in sorted(ranks)]
+        assert cosines == sorted(cosines, reverse=True)
+    # determinism (fixed centroid init + iteration count, no RNG)
+    again = qs["q_sim_ivf_topk"].fn(spark, sf).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in qs["q_sim_cosine_topk"].fn(spark, sf).filter("rk <= 3").collect()
+    }
+    approx = {(r["vec_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(approx & exact) / len(exact)
+    assert recall > 0.2, recall

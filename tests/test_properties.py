@@ -1,0 +1,71 @@
+"""Property-based spot checks (SURVEY.md §5.2 tier 4, hypothesis).
+
+The JVM-side expressions the engine builds must agree with their Python
+reference semantics on arbitrary inputs, not just fixtures: the tokenizer
+contract (``[A-Za-z0-9]+`` runs — NOT ``\\w+``; underscore and unicode
+word-chars are delimiters) and conservation laws of the count aggregates.
+One Spark job per property run (all examples batched into one DataFrame),
+so the suite stays fast."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
+
+_REF_RE = re.compile(r"[A-Za-z0-9]+")
+
+# printable-ish text with heavy delimiter coverage, incl. unicode + _
+_texts = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ019 _-'.,!\t\né中ß")
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=40))
+def test_tokenizer_matches_reference_regex(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["toks"] for r in df.select(tokens_nonempty("text").alias("toks")).collect()]
+    assert got == [_REF_RE.findall(t) for t in texts]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=30))
+def test_wordcount_conserves_tokens(spark, texts):
+    """Σ per-token counts == total token occurrences (the reduce loses and
+    invents nothing) and every count is ≥ 1."""
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    counts = (
+        df.select(F.explode(tokens_nonempty("text")).alias("token"))
+        .groupBy("token")
+        .count()
+        .collect()
+    )
+    expected_total = sum(len(_REF_RE.findall(t)) for t in texts)
+    assert sum(r["count"] for r in counts) == expected_total
+    assert all(r["count"] >= 1 for r in counts)
+    assert {r["token"] for r in counts} == {
+        tok for t in texts for tok in _REF_RE.findall(t)
+    }
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)), min_size=1, max_size=50
+    )
+)
+def test_group_sums_partition_invariant(spark, rows):
+    """groupBy sums are independent of physical partitioning (the shuffle
+    merge is associative/commutative): 1 partition vs 7 give equal results."""
+    df1 = spark.createDataFrame(rows, ["k", "v"]).coalesce(1)
+    df7 = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
+    agg = lambda d: sorted(
+        (r["k"], r["s"], r["n"])
+        for r in d.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    )
+    assert agg(df1) == agg(df7)
