@@ -30,6 +30,16 @@ def get_spark(
     ``local[N]`` master line is test-harness specific.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Python workers are spawned by the JVM with a fresh interpreter: make
+    # this package importable there no matter the caller's cwd (a driver
+    # sys.path.insert does not propagate). On a real cluster the package
+    # ships via --py-files / a wheel instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

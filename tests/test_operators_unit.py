@@ -97,3 +97,38 @@ def test_ivf_contract_and_recall_floor(spark):
     approx = {(r["vec_id"], r["neighbor_id"]) for r in ivf}
     recall = len(approx & exact) / len(exact)
     assert recall > 0.2, recall
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is invisible in the result: hot-key join matches the plain
+    join exactly (90% of big rows share one key)."""
+    from mapreduce_framework_api_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i % 7 + 2, i) for i in range(5000)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(1, 9)], ["k2", "name"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = salted_join(big, small, "k", "k2", n_salts=8).select("k", "payload", "name")
+        want = big.join(small, big.k == small.k2).select("k", "payload", "name")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from mapreduce_framework_api_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hot" if i % 10 else f"k{i % 5}", i, float(i) / 10) for i in range(5000)],
+        ["k", "a", "b"],
+    )
+    got = salted_agg(df, "k", sums={"a": "sum_a", "b": "sum_b"}, n_salts=8)
+    want = df.groupBy("k").agg(
+        F.sum("a").alias("sum_a"), F.sum("b").alias("sum_b"), F.count("*").alias("n")
+    )
+    g = {r["k"]: (r["sum_a"], round(r["sum_b"], 6), r["n"]) for r in got.collect()}
+    w = {r["k"]: (r["sum_a"], round(r["sum_b"], 6), r["n"]) for r in want.collect()}
+    assert g == w
