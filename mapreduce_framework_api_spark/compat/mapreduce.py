@@ -36,6 +36,27 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 
+def combined_mapper(
+    map_fn: Callable[[int, Iterator[str]], Iterable[tuple[Any, Any]]],
+    reduce_fn: Callable[[Any, Any], Any],
+) -> Callable[[int, Iterator[str]], Iterator[tuple[Any, Any]]]:
+    """Framework-level map-side combine: fold each partition's emitted pairs
+    into a dict with ``reduce_fn`` BEFORE the shuffle, so shuffled records ≈
+    distinct keys per partition, not emitted pairs (~750k → ~vocab×partitions
+    for word count). The reference cannot do this — its single reducer is the
+    only merge point (``mapreduce.c:185``); per-partition pre-merge with the
+    same associative reduce_fn is semantics-preserving and is exactly Spark's
+    own partial-aggregation discipline."""
+
+    def mapper(idx: int, lines_it: Iterator[str]) -> Iterator[tuple[Any, Any]]:
+        acc: dict[Any, Any] = {}
+        for k, v in map_fn(idx, lines_it):
+            acc[k] = reduce_fn(acc[k], v) if k in acc else v
+        return iter(acc.items())
+
+    return mapper
+
+
 class MapReduceJob:
     """One map/shuffle/reduce job over a text input, RDD-backed."""
 
@@ -44,10 +65,12 @@ class MapReduceJob:
         map_fn: Callable[[int, Iterator[str]], Iterable[tuple[Any, Any]]],
         reduce_fn: Callable[[Any, Any], Any],
         partitions: int = 1,
+        combine: bool = True,
     ) -> None:
         self.map_fn = map_fn
         self.reduce_fn = reduce_fn
         self.partitions = max(1, int(partitions))
+        self.combine = combine
         self._rdd = None
         self._t0: float | None = None
 
@@ -56,10 +79,13 @@ class MapReduceJob:
         sc = spark.sparkContext
         lines = sc.textFile(inpath, minPartitions=self.partitions)
         self._t0 = time.perf_counter()
+        mapper = (
+            combined_mapper(self.map_fn, self.reduce_fn) if self.combine else self.map_fn
+        )
         self._rdd = (
-            lines.mapPartitionsWithIndex(self.map_fn)
+            lines.mapPartitionsWithIndex(mapper)
             .reduceByKey(self.reduce_fn, numPartitions=self.partitions)
-            .sortByKey()
+            .sortByKey()  # the reference's BST in-order contract (print_tree)
         )
         return self
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from mapreduce_framework_api_spark.compat.mapreduce import (
+    combined_mapper,
     wordcount_map,
     wordcount_reduce,
 )
@@ -37,9 +38,9 @@ def q_text_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     with mr_produce/mr_consume replaced by generator yield / shuffle read."""
     docs = table(spark, sf_dir, "documents")
     lines = docs.select("text").rdd.map(lambda r: r[0])
-    counted = lines.mapPartitionsWithIndex(wordcount_map).reduceByKey(
-        wordcount_reduce, numPartitions=32
-    )
+    counted = lines.mapPartitionsWithIndex(
+        combined_mapper(wordcount_map, wordcount_reduce)
+    ).reduceByKey(wordcount_reduce, numPartitions=32)
     schema = T.StructType(
         [
             T.StructField("token", T.StringType(), False),
