@@ -465,3 +465,105 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round("cos_raw", 2).alias("cosine")).orderBy(
         "vec_a", "vec_b"
     )
+
+
+# ------------------------------------------------- dup-cluster assembly ----
+
+_CLUSTER_MAX_ITERS = 8
+
+
+@register(
+    "q_dedup_clusters",
+    group="I",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM t
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT p.doc_a AS src, p.doc_b AS dst
+  FROM pairs p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+  WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common) >= 0.5
+), undirected AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(a, b) AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN undirected u ON r.b = u.src
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a
+ORDER BY doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster assembly: connected components over the exact
+    trigram-Jaccard dup pairs (threshold 0.5); cluster id = min doc_id in
+    the component.
+
+    Iterative min-label propagation with a FIXED iteration budget — each
+    round is one equi-join + one min-aggregate, both hash-partitioned on
+    doc_id, so a round is two exchanges regardless of data size (the
+    standard large-graph CC recipe; GraphFrames does the same loop).
+    Near-dup components are near-cliques with tiny diameters, so
+    _CLUSTER_MAX_ITERS=8 is far beyond convergence for any realistic dup
+    graph; the loop also early-exits when labels stop changing. The DuckDB
+    oracle computes the same components via a recursive-CTE transitive
+    closure — tractable at fixture scale, quadratic blowup at 100 TB,
+    which is exactly why the Spark side iterates instead."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Iterative plans MUST truncate lineage each round: without the
+    # localCheckpoint, iteration k's logical plan embeds k full copies of
+    # the pair-generation pipeline (tools/explain_all.py showed a
+    # 467-exchange plan before this). Checkpointing materializes each
+    # round's labels (tiny: one row per dup-involved doc) and restarts the
+    # lineage from that snapshot — the iterative-algorithm analogue of the
+    # reference having no lineage at all.
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(_CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")

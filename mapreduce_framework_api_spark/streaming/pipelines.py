@@ -192,3 +192,14 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact deduplication within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts the
+    key's dedup state once the watermark passes it — bounded state on an
+    unbounded stream (a plain ``dropDuplicates`` on a stream would grow
+    state forever). The batch twin is q_dedup_exact."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        keys or ["user_id", "event_type"]
+    )

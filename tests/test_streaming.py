@@ -64,3 +64,23 @@ def test_stateful_running_totals(spark):
     }
     latest = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in got.collect()}
     assert latest == totals
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from mapreduce_framework_api_spark.streaming.pipelines import dedup_stream
+
+    stream = dedup_stream(read_events_stream(spark, SF_DIR)).select(
+        "user_id", "event_type"
+    )
+    run_to_memory(stream, "t_dedup")
+    got = sorted(map(tuple, spark.table("t_dedup").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("user_id", "event_type")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
