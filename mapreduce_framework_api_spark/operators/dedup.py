@@ -348,7 +348,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a shingle ever meet — no cross join), then
     |∩| / (|A| + |B| − |∩|) from pre-aggregated set sizes. At 100 TB the
     same plan holds with a stop-shingle cap on pathological hot shingles."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelized(table(spark, sf_dir, "documents"))
     # Shingles are shuffled as 8-byte xxhash64 values, not strings: Jaccard
     # is computed from |∩| and set sizes, both invariant under an injective
     # hash, so the equi-join keys shrink ~4× with identical results (64-bit

@@ -1,0 +1,218 @@
+"""Corpus-management operators for a training-data pipeline.
+
+The reference's map/reduce surface (``mapreduce.h:48-56``) can express any
+of these as app-defined callbacks over kvpairs; here each one is a
+declarative DataFrame plan so Catalyst keeps the scan pruned and the
+shuffles keyed correctly. They complement the dedup/similarity/text
+families with the bookkeeping every large corpus build needs: reproducible
+sampling, split assignment, per-source quotas, canonical-copy election and
+size profiling.
+
+Scale notes (100 TB):
+- All sampling/splitting is HASH-based (md5 of a stable key), never RNG:
+  rerunning any subset of the data reproduces the same decision per row,
+  which is what makes incremental rebuilds and cross-engine checks possible.
+  The filter is evaluated row-local — no shuffle at all for q_pipe_sample.
+- Quota capping and keep-first dedup shuffle once on their group key; both
+  aggregate BEFORE any join, so the exchanged rows are group-sized, not
+  corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+
+def _md5_of(col) -> "F.Column":
+    """Lowercase hex md5 of a column's string form — identical bytes in
+    Spark (md5(binary)) and DuckDB (md5(varchar)), so hash-derived
+    decisions agree across engines."""
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
+@register(
+    "q_pipe_sample_hash",
+    group="I",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+ORDER BY doc_id
+""",
+)
+def q_pipe_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% corpus sample: keep rows whose md5(doc_id) hex
+    prefix falls below '20' (2/16 of the keyspace). Row-local filter — no
+    shuffle, no RNG, reproducible on any engine and any subset of the data
+    (the property that makes sampled pipelines rerunnable at 100 TB)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.substring(_md5_of("doc_id"), 1, 2) < "20")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_pipe_split_assign",
+    group="I",
+    oracle="""
+WITH a AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs
+FROM a GROUP BY lang, split
+ORDER BY lang, split
+""",
+)
+def q_pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment (75/12.5/12.5 by md5 first hex
+    digit) with per-language counts. The split decision is a pure function
+    of doc_id — adding data never reshuffles existing rows between splits,
+    unlike fraction-based sample() which changes membership per run."""
+    d = table(spark, sf_dir, "documents")
+    h1 = F.substring(_md5_of("doc_id"), 1, 1)
+    split = (
+        F.when(h1 < "c", F.lit("train")).when(h1 < "e", F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "q_pipe_quota_cap",
+    group="I",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars, rn
+FROM ranked WHERE rn <= 3
+ORDER BY lang, source, rn
+""",
+)
+def q_pipe_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) quota: keep the 3 largest documents per bucket
+    (ties by doc_id). One shuffle on the quota key; at 100 TB the same
+    window runs per-bucket with no global sort — the standard way to stop a
+    single crawl source from dominating a mixed corpus."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("lang", "source", "rn")
+    )
+
+
+@register(
+    "q_pipe_keep_first",
+    group="I",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+""",
+)
+def q_pipe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy election: group by content hash, keep the lowest
+    doc_id per group, report the multiplicity (the keep-first exact-dedup
+    decision for every document, duplicate or not). The shuffle key is the
+    32-char hash, not the document — at 100 TB the exchange carries hashes
+    + ids, never text."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "q_agg_percentile",
+    group="D",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 2) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.50), 2) AS q50,
+       ROUND(quantile_cont(l_quantity, 0.75), 2) AS q75,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per return flag. Spark's
+    `percentile` and DuckDB's `quantile_cont` share the continuous
+    definition, so values hash-match after rounding. The approximate
+    variant for 100 TB is `percentile_approx` (t-digest sketch, mergeable
+    map-side) — used in q_multimodal_stats; this is the exact tier."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 2).alias("q25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 2).alias("q50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 2).alias("q75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_pipe_length_hist",
+    group="I",
+    oracle="""
+WITH t AS (
+  SELECT len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT CAST(FLOOR(n_tokens / 10) * 10 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM t GROUP BY 1 ORDER BY bucket_lo
+""",
+)
+def q_pipe_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (bucket width 10): the size profile every
+    curriculum/packing decision starts from. Token counting is the same
+    JVM-side split used by the wordcount family; one tiny shuffle on the
+    bucket id."""
+    from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
+
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_nonempty("text"))
+    return (
+        d.select(n_tokens.alias("n_tokens"))
+        .groupBy((F.floor(F.col("n_tokens") / 10) * 10).alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )

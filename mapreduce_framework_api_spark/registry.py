@@ -66,6 +66,7 @@ def load_all_queries() -> dict[str, Query]:
             dedup,
             events,
             multimodal,
+            pipeline,
             relational,
             scalar_fns,
             similarity,
