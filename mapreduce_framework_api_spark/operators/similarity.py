@@ -250,10 +250,15 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # Materialize the assignment once (eager localCheckpoint): it feeds BOTH
+    # cogroup sides below, and the two input stages would otherwise each
+    # re-run the Python assign pass over the full table. This is also the
+    # real-world shape — IVF list assignment is the persisted index-build
+    # step, scored queries stream against it.
     assigned = e.mapInPandas(
         assign,
         schema="vec_id long, embedding array<float>, cluster int, probes array<int>",
-    )
+    ).localCheckpoint()
     index_side = assigned.select("vec_id", "embedding", "cluster")
     query_side = assigned.select(
         F.col("vec_id").alias("q_id"),

@@ -97,3 +97,16 @@ def test_no_cartesian_products_anywhere(spark, queries):
         if "CartesianProduct" in join_strategies(q.fn(spark, SF_DIR))
     ]
     assert offenders == [], offenders
+
+
+def test_no_inferred_filter_below_explode(spark, queries):
+    """InferFiltersFromGenerate is excluded in the session config: it
+    duplicates the generator expression (our most expensive expressions:
+    tokenize/shingle/pair expansion) into a pre-Generate filter. Lock the
+    exclusion by checking the trigram pipeline's plan has no
+    size(...) > 0 filter over the shingle construction."""
+    df = queries["q_dedup_ngram_jaccard"].fn(spark, SF_DIR)
+    plan = simple_plan(df)
+    import re
+
+    assert not re.search(r"Filter \(*size\(array_distinct", plan), plan[:2000]
