@@ -547,23 +547,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # The convergence flag rides in the same projection the checkpoint
+        # materializes, so detecting a fixed point is a filter over the
+        # already-cached round output — not a second labels join per round.
+        new = F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label")))
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new.alias("label"),
+                (new < F.col("label")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("doc_id", "label")
+        if stepped.filter("changed").limit(1).count() == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
