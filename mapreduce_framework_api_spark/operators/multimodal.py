@@ -113,6 +113,100 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize every payload to (width, height) via Arrow-batched
+    mapInPandas — 1 row in, 1 row out, payload replaced.
+
+    Real resizing needs an image codec; ``fake=True`` substitutes a
+    deterministic byte-stride downsample (every k-th byte so the output
+    length is proportional to the target area) — same schema, batching and
+    partition inheritance as the real kernel would have. At 100 TB this is
+    a pure map stage: no shuffle, parallelism = scan splits."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True for the deterministic stub resizer"
+        )
+    target = max(1, width * height // 64)
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            def shrink(b):
+                if b is None:
+                    return None
+                step = max(1, len(b) // target)
+                return bytes(b[::step][:target])
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(shrink),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4,
+                 fake: bool = False) -> DataFrame:
+    """Sample every ``every_n``-th frame of a video payload — a 1→many
+    generator implemented in mapInPandas (output batches need not align
+    with input rows, so frame explosion is free of any JVM-side explode).
+
+    ``fake=True`` treats the payload as a flipbook of fixed
+    ``frame_bytes``-sized frames; a real build swaps the slicing loop for
+    an ffmpeg keyframe demuxer with the identical dataframe contract.
+    Frames inherit the scan's partitioning; downstream per-frame feature
+    extraction stays co-partitioned with no shuffle."""
+    if not fake:
+        raise NotImplementedError(
+            "video demuxers are not available in this environment; "
+            "pass fake=True for the deterministic flipbook sampler"
+        )
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                n_frames = max(1, len(b) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(b[i * frame_bytes:(i + 1) * frame_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
 @register(
     "q_multimodal_stats",
     group="I",

@@ -133,6 +133,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc-count N joins in via a broadcast of a 1-row aggregate (no
     driver-side ``count()``), and df(term) is a second hash-agg reusing the
     (doc_id, token) grouping — both shuffles are on already-reduced data.
+    The tf⋈df join strategy is left to the planner: at fixture scale the
+    term dictionary broadcasts (under the threshold); at web scale the
+    vocabulary outgrows a broadcast (Heaps' law) and the planner's
+    shuffle join on token — both sides already partitioned by token from
+    their aggregates — is the right call, so no hint is forced.
     """
     docs = parallelized(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", explode_tokens("text"))
@@ -140,7 +145,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

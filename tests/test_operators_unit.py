@@ -132,3 +132,41 @@ def test_salted_agg_equals_plain_agg(spark):
     g = {r["k"]: (r["sum_a"], round(r["sum_b"], 6), r["n"]) for r in got.collect()}
     w = {r["k"]: (r["sum_a"], round(r["sum_b"], 6), r["n"]) for r in want.collect()}
     assert g == w
+
+
+def test_multimodal_resize_plumbing(spark):
+    """Fake resize: 1 row in → 1 row out, payload shrunk deterministically,
+    dims stamped; NotImplementedError without fake=True."""
+    import pytest
+
+    from mapreduce_framework_api_spark.operators.multimodal import as_media, resize_media
+    from mapreduce_framework_api_spark.sources import table
+
+    media = as_media(table(spark, "/root/testdata/sf0.001", "documents").limit(20))
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 32, 32).collect()
+    out = resize_media(media, 32, 32, fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    assert all(r["payload"] is not None and len(r["payload"]) <= 32 * 32 // 64 for r in rows)
+    # determinism: same input → same bytes
+    assert rows == resize_media(media, 32, 32, fake=True).collect()
+
+
+def test_multimodal_frame_sample_plumbing(spark):
+    """Fake frame sampling: 1 row in → ceil(n_frames / every_n) rows out,
+    frame indices are the sampled arithmetic sequence."""
+    from mapreduce_framework_api_spark.operators.multimodal import as_media, frame_sample
+    from mapreduce_framework_api_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    media = as_media(docs)
+    out = frame_sample(media, frame_bytes=64, every_n=4, fake=True).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    sizes = {r["doc_id"]: r["meta"]["n_bytes"] for r in media.collect()}
+    for doc_id, idxs in by_doc.items():
+        n_frames = max(1, sizes[doc_id] // 64)
+        assert sorted(idxs) == list(range(0, n_frames, 4))
