@@ -16,7 +16,7 @@ declarative DataFrame plan so Catalyst picks the physical strategy:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_framework_api_spark.functions.money import (
@@ -296,6 +296,60 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join as a reusable operator (Spark has no native
+    one): for each left row, attach ``payload_cols`` from the latest right
+    row with the same key whose time is at-or-before the left row's time.
+
+    Union-then-window plan: tag both inputs, sort per key by (time,
+    right-before-left at ties), and carry ``last(payload, ignorenulls)``
+    down the merged timeline — each input row is touched exactly once and
+    the single shuffle is over |left| + |right| rows. The naive equi-join +
+    per-row top-1 materializes every (left, earlier-right) pair first,
+    which is unboundedly worse for long key histories at 100 TB. Ties on
+    equal times resolve to the LAST right row in (time, *payload_cols)
+    order. Left rows with no prior right row are dropped (inner as-of)."""
+    pay_struct = F.struct(*[F.col(c) for c in payload_cols]).alias("__pay")
+    pay_type = right.select(pay_struct).schema[0].dataType
+    ltagged = left.select(
+        F.col(left_on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__pri"),
+        F.lit(None).cast(pay_type).alias("__pay"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    rtagged = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__pri"),
+        pay_struct,
+        F.lit(None).cast(ltagged.schema["__row"].dataType).alias("__row"),
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.asc("__t"), F.desc("__pri"), F.asc("__pay"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    timeline = ltagged.unionByName(rtagged).withColumn(
+        "__asof", F.last("__pay", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"__row.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__asof.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols
+    ]
+    return timeline.filter((F.col("__pri") == 0) & F.col("__asof").isNotNull()).select(
+        *out_cols
+    )
+
+
 @register(
     "q_join_asof",
     group="C",
@@ -312,49 +366,25 @@ ORDER BY event_id
 """,
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (Spark lacks a native one): for each event, the latest
-    order by the same key at-or-before the event time.
-
-    Union-then-window plan, NOT equi-join + per-event top-1: tagging both
-    relations, sorting per key by (time, order-before-event at ties,
-    order key) and carrying ``last(order_key, ignorenulls)`` down the
-    timeline touches each input row exactly once — one shuffle over
-    |events| + |orders| rows. The join formulation materializes every
-    (event, earlier-order) pair first (~10M intermediate rows at sf0.1 vs
-    250k here, and unboundedly worse for long key histories at 100 TB).
-    Tie semantics: an order dated exactly at the event time matches (<=),
-    and equal-dated orders resolve to the highest o_orderkey."""
-    e = table(spark, sf_dir, "events")
+    """As-of join: for each event, the latest order by the same key
+    at-or-before the event time — via the reusable ``asof_join`` operator
+    (see its docstring for the union-then-window scale argument). Tie
+    semantics: an order dated exactly at the event time matches (<=), and
+    equal-dated orders resolve to the highest o_orderkey."""
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-
-    ev = e.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(0).alias("pri"),
-        F.lit(None).cast("long").alias("okey"),
-        "event_id",
+    joined = asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey"],
     )
-    orr = o.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(1).alias("pri"),
-        F.col("o_orderkey").alias("okey"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    w = (
-        W.partitionBy("k")
-        .orderBy(F.asc("t"), F.desc("pri"), F.asc("okey"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    timeline = ev.unionByName(orr).withColumn(
-        "asof_orderkey", F.last("okey", ignorenulls=True).over(w)
-    )
-    return (
-        timeline.filter((F.col("pri") == 0) & F.col("asof_orderkey").isNotNull())
-        .select("event_id", F.col("k").alias("user_id"), "asof_orderkey")
-        .orderBy("event_id")
-    )
+    return joined.select(
+        "event_id", "user_id", F.col("asof_o_orderkey").alias("asof_orderkey")
+    ).orderBy("event_id")
 
 
 # ---------------------------------------------------------------- Group D --

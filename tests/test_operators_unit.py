@@ -170,3 +170,25 @@ def test_multimodal_frame_sample_plumbing(spark):
     for doc_id, idxs in by_doc.items():
         n_frames = max(1, sizes[doc_id] // 64)
         assert sorted(idxs) == list(range(0, n_frames, 4))
+
+
+def test_asof_join_generic_semantics(spark):
+    """The reusable asof_join: backward match, <= tie inclusion, highest
+    payload on equal times, inner semantics (no prior right row -> drop),
+    multiple payload columns carried."""
+    from mapreduce_framework_api_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3")], ["k", "t", "eid"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 10, 101, "b"), (1, 15, 102, "c"), (3, 1, 103, "d")],
+        ["k", "t", "okey", "tag"],
+    )
+    out = asof_join(
+        left, right, "k", "k", "t", "t", payload_cols=["okey", "tag"]
+    ).orderBy("eid").collect()
+    got = [(r["eid"], r["asof_okey"], r["asof_tag"]) for r in out]
+    # e1: ties at t=10 -> highest okey wins; e2: latest at-or-before 20 is t=15;
+    # e3: key 2 has no right rows -> dropped (inner as-of)
+    assert got == [("e1", 101, "b"), ("e2", 102, "c")]
