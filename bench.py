@@ -30,8 +30,13 @@ def main() -> None:
     registry = load_all_queries()
     spark = get_spark("bench")
 
-    # untimed warmup: JVM/codegen/parquet-footer caches
+    # untimed warmup: JVM/codegen/parquet-footer caches, plus one tiny
+    # Arrow kernel so the first Python-UDF query isn't billed for daemon
+    # + worker startup (warm-session discipline per BASELINE.md)
     registry["q_text_wordcount"].fn(spark, sf_dir).count()
+    spark.range(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     per_query: dict[str, float] = {}
     for name, q in sorted(registry.items()):
