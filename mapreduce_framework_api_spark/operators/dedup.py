@@ -535,10 +535,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
+    # Seed with round 1 directly: label(0) = min(self, direct neighbors).
+    # Identity seeding would spend a full checkpointed round computing
+    # exactly this; folding it into initialization removes ~2 jobs from
+    # every invocation (every node appears as doc_a because edges carry
+    # both directions).
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("nbr"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("nbr")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(_CLUSTER_MAX_ITERS):
