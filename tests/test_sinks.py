@@ -10,6 +10,7 @@ from conftest import SF_DIR
 
 from mapreduce_framework_api_spark.plans.inspect import count_exchanges, simple_plan
 from mapreduce_framework_api_spark.sources import table
+from mapreduce_framework_api_spark.sources.readers import read_any
 from mapreduce_framework_api_spark.sources.writers import (
     write_any,
     write_bucketed,
@@ -28,11 +29,8 @@ def test_format_roundtrips(spark, tmp_path):
     for fmt in ("parquet", "orc", "json", "csv"):
         p = str(tmp_path / fmt)
         write_any(df, p, fmt=fmt, **({"header": True} if fmt == "csv" else {}))
-        back = (
-            spark.read.options(header=True, inferSchema=True).format(fmt).load(p)
-            if fmt == "csv"
-            else spark.read.format(fmt).load(p)
-        )
+        opts = {"header": True, "inferSchema": True} if fmt == "csv" else {}
+        back = read_any(spark, p, fmt=fmt, **opts)
         assert back.count() == n, fmt
         assert set(back.columns) == set(df.columns), fmt
 
