@@ -140,10 +140,10 @@ def minhash_signature(col) -> "F.Column":
     """Column: array<long> of 16 minhash values for the text column.
 
     Single-pass fold: one F.aggregate over the shingle-hash array carrying
-    all 16 running minima, so the md5 of each shingle is evaluated exactly
+    all 16 running minima, so the hash of each shingle is evaluated exactly
     once. (The naive form — 16 separate array_min(transform(hashes, ...)) —
     gets its shared hash subexpression re-inlined by CollapseProject and
-    costs 16× the md5 work; measured 46s vs 2s at 500 docs.)"""
+    costs 16× the hash work; measured 46s vs 2s at 500 docs, then-md5.)"""
     hashes = F.transform(_shingles(col), _token_hash31)
     a_arr = F.array(*[F.lit(a).cast("long") for a in _MINHASH_A])
     b_arr = F.array(*[F.lit(b).cast("long") for b in _MINHASH_B])
