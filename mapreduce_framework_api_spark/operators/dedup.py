@@ -270,7 +270,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signature from xxhash64 token hashes
     (bit k of the signature = sign of Σ±1 over tokens), candidates via
     4×8-bit block banding (pigeonhole for hamming ≤ 3), exact
-    bit_count(xor) ≤ 3 filter."""
+    bit_count(xor) ≤ 3 filter.
+
+    Scale note: 8-bit blocks give only 256 buckets per band — ample at
+    fixture scale, a hot-bucket hazard beyond ~10^5 docs. The corpus-scale
+    variant widens to a 64-bit signature with 4×16-bit blocks (same
+    pigeonhole guarantee, 65536 buckets/band) and caps residual hot
+    buckets; the banding/verify plan shape is unchanged."""
     docs = parallelized(table(spark, sf_dir, "documents"))
     sim = docs.select("doc_id", simhash_signature("text").alias("simhash"))
     blocks = sim.select(
