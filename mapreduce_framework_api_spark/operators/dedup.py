@@ -8,8 +8,8 @@ Five tiers, each designed for 100 TB from the start:
   permutations → 8 bands × 2 rows → candidates share a band bucket. The
   candidate join is an *inverted-index equi-join on (band, bucket)* — never
   an all-pairs cross join — so cost scales with bucket collision counts.
-- SimHash (``q_dedup_simhash``): 32-bit weighted-bit signature, banded into
-  4 × 8-bit blocks for candidate generation (hamming ≤ 3 ⇒ at least one
+- SimHash (``q_dedup_simhash``): 64-bit weighted-bit signature, banded into
+  4 × 16-bit blocks for candidate generation (hamming ≤ 3 ⇒ at least one
   exact block by pigeonhole), then exact hamming filter via bit_count(xor).
 - n-gram Jaccard (``q_dedup_ngram_jaccard``): exact trigram-set Jaccard via
   a shingle-level equi-join (inverted index), fully SQL-expressible — this
@@ -221,41 +221,51 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- simhash -----
 
-_SIMHASH_BITS = 32
-_SIMHASH_BLOCKS = 4  # 8 bits each; hamming<=3 ==> >=1 identical block
+_SIMHASH_BITS = 64
+_SIMHASH_BLOCKS = 4  # 16 bits each; hamming<=3 ==> >=1 identical block
+_SIMHASH_BLOCK_BITS = _SIMHASH_BITS // _SIMHASH_BLOCKS
+
+
 def _pow2():
-    """array<long> [1, 2, 4, ... 2^31] — built lazily (a module-level
-    Column literal would require an active SparkContext at import time)."""
-    return F.array(*[F.lit(1 << k).cast("long") for k in range(_SIMHASH_BITS)])
+    """array<long> of the 64 signature bit values — built lazily (a
+    module-level Column literal would require an active SparkContext at
+    import time). Bit 63 is the min-long literal: the same two's-complement
+    bit pattern as 2^63, and distinct-power addition below is carry-free,
+    so summing these terms assembles the signature exactly."""
+    return F.array(
+        *[F.lit(1 << k).cast("long") for k in range(_SIMHASH_BITS - 1)],
+        F.lit(-(1 << (_SIMHASH_BITS - 1))).cast("long"),
+    )
 
 
 def simhash_signature(col) -> "F.Column":
-    """32-bit SimHash of a text column, computed entirely array-side.
+    """64-bit SimHash of a text column, computed entirely array-side.
 
-    Single-pass fold over the token-hash array carrying all 32 running
-    bit-sums (bit k of the signature = sign of Σ±1 over tokens), then one
-    zip_with to assemble the integer. No explode, no shuffle: measured 8×
-    faster than the explode + groupBy(doc_id) + 32-conditional-sums plan it
-    replaced (0.4s vs 3.0s for the signatures at sf0.1) with bit-identical
-    output. Bit test is floor(h / 2^k) mod 2 — exact for the 31-bit
-    nonneg hashes, and expressible inside the fold lambda (shiftright
-    needs a Python-int shift, unavailable on a lambda-bound Column)."""
-    pow2 = _pow2()
-    hashes = F.transform(tokens_nonempty(col), _token_hash31)
+    Single-pass fold over raw xxhash64 token hashes carrying all 64
+    running bit-sums (bit k of the signature = sign of Σ±1 over tokens),
+    then one zip_with to assemble the integer. The per-bit loop is
+    unrolled in Python (literal shift amounts), so the fold step is one
+    flat 64-term array expression — shiftright reads the signed
+    two's-complement bit pattern directly, no pow2 division/element_at
+    indirection. No explode, no shuffle; the 64-bit width costs ~0.1s
+    over the previous 32-bit fold at sf0.1 (0.39s vs 0.29s warm) and,
+    with 16-bit banding blocks, keeps candidate buckets 256× finer —
+    the corpus-scale banding an 8-bit-block scheme lacks."""
+    hashes = F.transform(tokens_nonempty(col), lambda t: F.xxhash64(t))
     init = F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS)
     sums = F.aggregate(
         hashes,
         init,
-        lambda acc, x: F.transform(
-            F.sequence(F.lit(1), F.lit(_SIMHASH_BITS)),
-            lambda i: F.element_at(acc, i)
-            + F.when(F.pmod((x / F.element_at(pow2, i)).cast("long"), 2) == 1, 1).otherwise(
-                -1
-            ),
+        lambda acc, x: F.array(
+            *[
+                F.element_at(acc, k + 1)
+                + F.when(F.shiftright(x, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for k in range(_SIMHASH_BITS)
+            ]
         ),
     )
     return F.aggregate(
-        F.zip_with(sums, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.zip_with(sums, _pow2(), lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
@@ -267,16 +277,16 @@ def simhash_signature(col) -> "F.Column":
     oracle=None,  # rows-only: bit-level signature pipeline
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit signature from xxhash64 token hashes
+    """SimHash near-dup pairs: 64-bit signature from xxhash64 token hashes
     (bit k of the signature = sign of Σ±1 over tokens), candidates via
-    4×8-bit block banding (pigeonhole for hamming ≤ 3), exact
-    bit_count(xor) ≤ 3 filter.
+    4×16-bit block banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+    block), exact bit_count(xor) ≤ 3 filter.
 
-    Scale note: 8-bit blocks give only 256 buckets per band — ample at
-    fixture scale, a hot-bucket hazard beyond ~10^5 docs. The corpus-scale
-    variant widens to a 64-bit signature with 4×16-bit blocks (same
-    pigeonhole guarantee, 65536 buckets/band) and caps residual hot
-    buckets; the banding/verify plan shape is unchanged."""
+    Scale note: 16-bit blocks give 65536 buckets per band — an 8-bit
+    scheme caps at 256 and turns into m² hot-bucket blowups beyond ~10^5
+    docs. Residual hot blocks (e.g. a zero block from short docs) get
+    capped/salted at ingest at corpus scale; the banding/verify plan shape
+    is unchanged."""
     docs = parallelized(table(spark, sf_dir, "documents"))
     sim = docs.select("doc_id", simhash_signature("text").alias("simhash"))
     blocks = sim.select(
@@ -286,7 +296,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("block_id"),
-                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF)).alias("block"),
+                        F.shiftright(F.col("simhash"), _SIMHASH_BLOCK_BITS * i)
+                        .bitwiseAND(F.lit((1 << _SIMHASH_BLOCK_BITS) - 1))
+                        .alias("block"),
                     )
                     for i in range(_SIMHASH_BLOCKS)
                 ]
