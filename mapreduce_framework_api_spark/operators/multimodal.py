@@ -207,39 +207,51 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4,
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
-@register(
-    "q_multimodal_stats",
-    group="I",
-    oracle="""
+# Per-(lang, source) corpus profile, emitted in engine-independent bytes.
+# Round 1 hashed the interpolated percentile (Spark `percentile` vs DuckDB
+# `quantile_cont`) and a ROUND(avg,2): both can flip at a .xx5 tie because
+# the engines' interpolation/summation expressions differ in low-order
+# bits. Fix: (1) avg is derived from the EXACT integer sum and count, so
+# the one double division is bit-identical everywhere, then emitted as an
+# x100-scaled BIGINT; (2) quantiles switch to the discrete definition
+# (percentile_disc: the element at rank CEIL(p*n)) computed by the same
+# rank expression on both engines — the output is an exact table element,
+# no interpolation, no FP ambiguity. CEIL(n*p) is safe in double: n*p is
+# > 1/10 away from any integer it could cross, far beyond one ulp.
+_MM_STATS_SQL = """
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+)
 SELECT lang, source,
        COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars,
-       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
-       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 2) AS p50_chars,
-       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 2) AS p90_chars
-FROM documents
+       CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS avg_chars_x100,
+       MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN n_chars END) AS p50_chars,
+       MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN n_chars END) AS p90_chars
+FROM ranked
 GROUP BY lang, source
 ORDER BY lang, source
-""",
+"""
+
+
+@register(
+    "q_multimodal_stats",
+    group="I",
+    oracle=_MM_STATS_SQL,
 )
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(lang, source) corpus profile with exact interpolated quantiles
-    (Spark ``percentile`` == DuckDB ``quantile_cont``, both linear
-    interpolation — SURVEY.md §2.4 chose the exact variant over
-    percentile_approx so the oracle hashes match)."""
+    """Per-(lang, source) corpus profile: count, total chars, exact-sum
+    average (x100-scaled integer), and DISCRETE p50/p90 (rank CEIL(p*n) —
+    an actual element, so the hashed bytes are engine-independent; see
+    _MM_STATS_SQL). The same SQL text runs on Spark and the oracle. The
+    window rank is one shuffle+sort per (lang, source), the same cost
+    shape as a sort-based exact percentile aggregate."""
     d = table(spark, sf_dir, "documents")
-    nc = F.col("n_chars").cast("double")
-    return (
-        d.groupBy("lang", "source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg(nc), 2).alias("avg_chars"),
-            F.round(F.percentile(nc, F.lit(0.5)), 2).alias("p50_chars"),
-            F.round(F.percentile(nc, F.lit(0.9)), 2).alias("p90_chars"),
-        )
-        .orderBy("lang", "source")
-    )
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_MM_STATS_SQL)
 
 
 @register(

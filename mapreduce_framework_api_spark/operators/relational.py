@@ -631,38 +631,59 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Statistical moments, computed so the emitted bytes are engine- and
+# plan-independent. Native stddev/corr fold doubles in partial-aggregate
+# order, so the low bits of the result depend on parallelism; a ROUND(x,2)
+# on top can then flip at a .xx5 tie between runs/engines (the round-1
+# driver hash failure). Instead: (1) per-row values are recovered to exact
+# DECIMAL(18,2) (the generator writes 2-decimal values), (2) sums of
+# decimals are EXACT and commutative, so every engine/plan yields identical
+# sums, (3) the closed-form moment algebra runs in DOUBLE with the same
+# expression text on both engines (IEEE ops are correctly rounded, so
+# identical inputs + identical expression = bit-identical output), and
+# (4) results are emitted as *_x100 scaled BIGINTs — integer bytes hash
+# identically under any serialization.
+_AGG_STATS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(FLOOR(SQRT((sqq - sq * sq / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS sd_qty_x100,
+       CAST(FLOOR(((sqq - sq * sq / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS var_qty_x100,
+       CAST(FLOOR(SQRT((sdd - sd * sd / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS sdp_disc_x10000,
+       CAST(FLOOR((sqp - sq * sp / CAST(n AS DOUBLE))
+                  / SQRT((sqq - sq * sq / CAST(n AS DOUBLE)) * (spp - sp * sp / CAST(n AS DOUBLE)))
+                  * 10000.0 + 0.5) AS BIGINT) AS corr_qty_price_x10000,
+       CAST(FLOOR(((sqd - sq * sd / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS cov_qty_disc_x10000
+FROM sums
+ORDER BY l_returnflag
+"""
+
+
 @register(
     "q_agg_stats",
     group="D",
-    oracle="""
-SELECT l_returnflag,
-       ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
-       ROUND(var_samp(l_quantity), 2) AS var_qty,
-       ROUND(stddev_pop(l_discount), 2) AS sdp_disc,
-       ROUND(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
-       ROUND(covar_samp(l_quantity, l_discount), 2) AS cov_qty_disc
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-""",
+    oracle=_AGG_STATS_SQL,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/correlation/covariance) —
-    single-pass distributed moments (partial+final), never a collect.
-    Rounded to 2 on small-magnitude columns so cross-engine summation-order
-    FP drift stays below the rounding grain."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-            F.round(F.stddev_pop("l_discount"), 2).alias("sdp_disc"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 2).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_discount"), 2).alias("cov_qty_disc"),
-        )
-        .orderBy("l_returnflag")
-    )
+    single-pass distributed moments (partial+final over exact decimal sums),
+    never a collect. Emits scaled integers so the hashed bytes are immune
+    to cross-engine/cross-plan FP summation-order drift (see
+    _AGG_STATS_SQL). The exact same SQL text runs on Spark and the oracle."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_AGG_STATS_SQL)
 
 
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
