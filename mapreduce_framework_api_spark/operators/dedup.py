@@ -29,6 +29,8 @@ plan composition.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,13 +38,50 @@ from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
 from mapreduce_framework_api_spark.registry import register
 from mapreduce_framework_api_spark.sources import parallelized, table
 
+# Hot-bucket width cap: a degenerate bucket (boilerplate band value, stop
+# shingle, zero block) of width m would otherwise cost m² candidate pairs —
+# the classic LSH blowup. Every banding pipeline slices its sorted bucket
+# membership to this width BEFORE pair expansion, so one viral bucket costs
+# at most cap² pairs. 128 is ~5× the widest bucket observed at sf0.1
+# (max 25), so fixture results are exact; a production corpus tunes it via
+# the env knob and watches bucket_overflow_report.
+_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_BUCKET_CAP", "128"))
+
+
+def capped_bucket(recs, cap: int | None = None):
+    """Slice a SORTED bucket-membership array to the hot-bucket width cap.
+
+    Deterministic: membership is sorted, the first ``cap`` members are
+    kept. Approximation contract: pairs entirely inside the dropped tail
+    of an over-cap bucket can be missed by THAT band — with multiple bands
+    (minhash 8, simhash/LSH 4) a true near-dup pair still surfaces from
+    any band where it lands in a calmer bucket. Use
+    ``bucket_overflow_report`` to see what the cap is dropping."""
+    return F.slice(recs, 1, cap or _BUCKET_CAP)
+
+
+def bucket_overflow_report(buckets: DataFrame, recs_col: str = "recs", cap: int | None = None):
+    """Diagnostic aggregate over a bucket DataFrame: how hot are the
+    buckets and how many candidate pairs does the cap drop? Run alongside
+    a dedup job at new data scales to validate the cap setting."""
+    cap = cap or _BUCKET_CAP
+    w = F.size(recs_col)
+    dropped = (w * (w - 1) - F.lit(cap) * (cap - 1)) / 2
+    return buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.max(w).alias("max_width"),
+        F.sum(F.when(w > cap, 1).otherwise(0)).alias("hot_buckets"),
+        F.sum(F.when(w > cap, dropped).otherwise(F.lit(0))).cast("long").alias("pairs_dropped"),
+    )
+
+
 def _pairs_within(arr):
     """All ordered pairs (a, b), a < b, from a SORTED array column —
     generated array-side. Turning each bucket into its own pair list
     replaces a self-equi-join (second shuffle of the full data + skew
     exposure) with a single groupBy: the standard LSH candidate-generation
-    layout at scale. Buckets above a width cap should be dropped/salted at
-    100 TB (a hot bucket of width m costs m² pairs)."""
+    layout at scale. Callers pass the array through ``capped_bucket`` so a
+    hot bucket of width m costs at most cap² pairs, never m²."""
     n = F.size(arr)
     return F.flatten(
         F.transform(
@@ -172,8 +211,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle(3) → 16-perm minhash → 8 bands × 2 rows → bucket-join.
     Candidates = pairs agreeing on ≥1 full band, then filtered by estimated
     Jaccard (matching minhashes / 16) ≥ 0.5. The join is on (band_id,
-    bucket) so work scales with real collisions; at 100 TB you additionally
-    salt giant buckets and cap bucket width (documented, not needed at SF)."""
+    bucket) so work scales with real collisions, and bucket width is capped
+    (capped_bucket) so one viral bucket never goes quadratic."""
     docs = parallelized(table(spark, sf_dir, "documents"))
     sig = docs.select("doc_id", minhash_signature("text").alias("sig"))
     bands = sig.select(
@@ -199,7 +238,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
         .filter(F.size("recs") > 1)
     )
-    pairs = buckets.select(F.explode(_pairs_within(F.col("recs"))).alias("p")).select(
+    pairs = buckets.select(
+        F.explode(_pairs_within(capped_bucket(F.col("recs")))).alias("p")
+    ).select(
         F.col("p.a.doc_id").alias("doc_a"),
         F.col("p.b.doc_id").alias("doc_b"),
         F.col("p.a.sig").alias("sig_a"),
@@ -284,9 +325,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: 16-bit blocks give 65536 buckets per band — an 8-bit
     scheme caps at 256 and turns into m² hot-bucket blowups beyond ~10^5
-    docs. Residual hot blocks (e.g. a zero block from short docs) get
-    capped/salted at ingest at corpus scale; the banding/verify plan shape
-    is unchanged."""
+    docs. Residual hot blocks (e.g. a zero block from short docs) are
+    width-capped by capped_bucket before pair expansion; the banding/verify
+    plan shape is unchanged."""
     docs = parallelized(table(spark, sf_dir, "documents"))
     sim = docs.select("doc_id", simhash_signature("text").alias("simhash"))
     blocks = sim.select(
@@ -310,7 +351,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
         .filter(F.size("recs") > 1)
     )
-    cand = buckets.select(F.explode(_pairs_within(F.col("recs"))).alias("p")).select(
+    cand = buckets.select(
+        F.explode(_pairs_within(capped_bucket(F.col("recs")))).alias("p")
+    ).select(
         F.col("p.a.doc_id").alias("doc_a"),
         F.col("p.b.doc_id").alias("doc_b"),
         F.col("p.a.simhash").alias("sim_a"),
