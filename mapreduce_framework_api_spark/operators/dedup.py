@@ -372,12 +372,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.5
 
+# Stop-shingle document-frequency cap: a shingle appearing in > this many
+# documents (boilerplate header, empty-doc filler) is excluded from the
+# intersection count BEFORE pair expansion — the one banding path where a
+# viral key otherwise still costs width² pairs. Unlike capped_bucket (which
+# silently slices membership), this is a *semantic* cap mirrored verbatim in
+# the DuckDB oracles, so the differential check stays exact: both engines
+# compute "capped Jaccard" = |∩ over shingles with df ≤ cap| / |A ∪ B|, a
+# lower bound of true Jaccard that equals it whenever no shared shingle is
+# viral. 128 is ~5× the widest shingle bucket observed at sf0.1, so fixture
+# results are unchanged; a production corpus tunes the env knob.
+_SHINGLE_DF_CAP = int(os.environ.get("SPARK_GRAFT_SHINGLE_DF_CAP", "128"))
 
-@register(
-    "q_dedup_ngram_jaccard",
-    group="I",
-    oracle=f"""
-WITH t AS (
+# The pairs CTE shared by the jaccard and clusters oracles (kept in one
+# f-string so the stop-shingle condition can never drift between them).
+_JACCARD_ORACLE_CTES = f"""t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks
   FROM documents
@@ -390,25 +399,34 @@ WITH t AS (
   FROM t
 ), sz AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), calm AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       JOIN calm c ON a.shingle = c.shingle
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT p.doc_a, p.doc_b,
-       ROUND(CAST(p.common AS DOUBLE) / (x.n + y.n - p.common), 2) AS jaccard
-FROM pairs p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
-WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common) >= {_JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
-""",
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram-set Jaccard near-dup pairs (threshold 0.5).
+)"""
+
+_JACCARD_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-Jaccard dup pairs (doc_a, doc_b, jaccard ≥ threshold) —
+    the shared intermediate behind q_dedup_ngram_jaccard AND
+    q_dedup_clusters. Computed once per (application, sf_dir), eagerly
+    materialized (localCheckpoint — tiny: a few rows per dup pair), and
+    cached, so cluster assembly never re-runs the dominant shingle +
+    inverted-index pipeline the pair query just ran. This is the persisted
+    dup-pair table a production pipeline would write between stages.
 
     Pairs come from an inverted-index equi-join on shingle (only documents
-    sharing a shingle ever meet — no cross join), then
-    |∩| / (|A| + |B| − |∩|) from pre-aggregated set sizes. At 100 TB the
-    same plan holds with a stop-shingle cap on pathological hot shingles."""
+    sharing a calm shingle ever meet — no cross join), then
+    |∩| / (|A| + |B| − |∩|) from pre-aggregated set sizes."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _JACCARD_PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = parallelized(table(spark, sf_dir, "documents"))
     # Shingles are shuffled as 8-byte xxhash64 values, not strings: Jaccard
     # is computed from |∩| and set sizes, both invariant under an injective
@@ -434,7 +452,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+        # Width 1 buckets pair nothing; width > cap buckets are stop
+        # shingles — dropped as a unit (semantic cap, mirrored in the
+        # oracle CTE above), so pair expansion is bounded by cap² per
+        # shingle no matter how viral the corpus boilerplate is.
+        .filter((F.size("ds") > 1) & (F.size("ds") <= _SHINGLE_DF_CAP))
     )
     pairs = (
         buckets.select(F.explode(_pairs_within(F.col("ds"))).alias("p"))
@@ -447,11 +469,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("common"))
     )
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
+    out = (
         pairs.filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 2).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .localCheckpoint()
     )
+    _JACCARD_PAIR_CACHE[key] = out
+    return out
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    group="I",
+    oracle=f"""
+WITH {_JACCARD_ORACLE_CTES}
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(p.common AS DOUBLE) / (x.n + y.n - p.common), 2) AS jaccard
+FROM pairs p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-set Jaccard near-dup pairs (threshold 0.5), with the
+    oracle-mirrored stop-shingle df cap (see jaccard_dup_pairs /
+    _SHINGLE_DF_CAP). Shares its pair pipeline with q_dedup_clusters via
+    the per-session cache."""
+    return jaccard_dup_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------- embedding cosine --------
@@ -490,39 +534,47 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Floats are cast to double BEFORE any arithmetic (FIXTURES.md gotcha #5).
     This is the exact tier — all pairs are scored, but through the same
-    vectorized broadcast-index matmul kernel as q_sim_cosine_topk (queries
-    distributed, index broadcast, one BLAS product per Arrow batch; 25s →
-    ~1s at sf0.1 vs the per-pair JVM fold). The sub-quadratic candidate
-    path for web-scale corpora is the LSH variant in
-    operators/similarity.py (same output contract)."""
-    from mapreduce_framework_api_spark.operators.similarity import broadcast_index
+    BLOCKED broadcast-index matmul engine as q_sim_cosine_topk
+    (scan_index_blocked: queries stream through an Arrow-batched BLAS
+    kernel against each bounded index block in turn, the broadcast is
+    destroyed between blocks, so peak memory is one block per process
+    regardless of corpus size). Each (a < b) pair is emitted by exactly
+    one block — the one holding b — so the per-block unions are exact and
+    need no dedup. The sub-quadratic candidate path for web-scale corpora
+    is the LSH variant in operators/similarity.py (same output contract)."""
+    # Function-level import: operators/similarity.py imports helpers from
+    # this module at module level, so the reverse edge must resolve lazily.
+    from mapreduce_framework_api_spark.operators.similarity import scan_index_blocked
 
-    bc = broadcast_index(spark, sf_dir)
     threshold = _COSINE_DUP_THRESHOLD
 
-    def score(batches):
-        import numpy as np
-        import pandas as pd
+    def make_kernel(bc):
+        def score(batches):
+            import numpy as np
+            import pandas as pd
 
-        ids, m, norms = bc.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype="int64")
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q_norms = np.sqrt((q * q).sum(axis=1))
-            s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
-            # keep only (a < b) pairs above threshold
-            keep = (s >= threshold) & (q_ids[:, None] < ids[None, :])
-            rows, cols = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": q_ids[rows],
-                    "vec_b": ids[cols],
-                    "cos_raw": s[rows, cols],
-                }
-            )
+            ids, m, norms = bc.value
+            for pdf in batches:
+                q_ids = pdf["vec_id"].to_numpy(dtype="int64")
+                q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                q_norms = np.sqrt((q * q).sum(axis=1))
+                s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
+                # keep only (a < b) pairs above threshold
+                keep = (s >= threshold) & (q_ids[:, None] < ids[None, :])
+                rows, cols = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": q_ids[rows],
+                        "vec_b": ids[cols],
+                        "cos_raw": s[rows, cols],
+                    }
+                )
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pairs = e.mapInPandas(score, schema="vec_a long, vec_b long, cos_raw double")
+        return score
+
+    pairs = scan_index_blocked(
+        spark, sf_dir, make_kernel, schema="vec_a long, vec_b long, cos_raw double"
+    )
     return pairs.select("vec_a", "vec_b", F.round("cos_raw", 2).alias("cosine")).orderBy(
         "vec_a", "vec_b"
     )
@@ -537,24 +589,7 @@ _CLUSTER_MAX_ITERS = 8
     "q_dedup_clusters",
     group="I",
     oracle=f"""
-WITH RECURSIVE t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks
-  FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(CASE WHEN len(toks) >= 3
-                THEN list_transform(range(1, len(toks) - 1),
-                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                ELSE [array_to_string(toks, ' ')] END) AS shingle
-  FROM t
-), sz AS (
-  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-), edges AS (
+WITH RECURSIVE {_JACCARD_ORACLE_CTES}, edges AS (
   SELECT p.doc_a AS src, p.doc_b AS dst
   FROM pairs p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
   WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common) >= 0.5
@@ -584,8 +619,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; the loop also early-exits when labels stop changing. The DuckDB
     oracle computes the same components via a recursive-CTE transitive
     closure — tractable at fixture scale, quadratic blowup at 100 TB,
-    which is exactly why the Spark side iterates instead."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    which is exactly why the Spark side iterates instead.
+
+    The input edges come from jaccard_dup_pairs — the SAME materialized
+    pair table q_dedup_ngram_jaccard serves, so running both queries in
+    one session pays the (dominant) shingle/inverted-index cost once
+    (round-1/2 finding: the clusters query used to re-derive the full
+    pipeline and was the slowest query in every bench)."""
+    pairs = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # Iterative plans MUST truncate lineage each round: without the
     # localCheckpoint, iteration k's logical plan embeds k full copies of
     # the pair-generation pipeline (tools/explain_all.py showed a

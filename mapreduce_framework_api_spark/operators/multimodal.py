@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -227,7 +227,7 @@ WITH ranked AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS avg_chars_x100,
        MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN n_chars END) AS p50_chars,
        MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN n_chars END) AS p90_chars
@@ -246,12 +246,42 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus profile: count, total chars, exact-sum
     average (x100-scaled integer), and DISCRETE p50/p90 (rank CEIL(p*n) —
     an actual element, so the hashed bytes are engine-independent; see
-    _MM_STATS_SQL). The same SQL text runs on Spark and the oracle. The
-    window rank is one shuffle+sort per (lang, source), the same cost
-    shape as a sort-based exact percentile aggregate."""
+    _MM_STATS_SQL). The Spark side is an independent DataFrame plan with
+    the same algebra — NOT spark.sql of the oracle text, so the oracle
+    stays a real cross-check of this implementation. Every aggregate is
+    cast so both engines emit the same value types (a bare integer SUM is
+    BIGINT on Spark but HUGEINT→decimal128 on DuckDB: equal values,
+    different hashed bytes). The window rank is one shuffle+sort per
+    (lang, source), the same cost shape as a sort-based exact percentile
+    aggregate."""
     d = table(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("documents")
-    return spark.sql(_MM_STATS_SQL)
+    wp = W.partitionBy("lang", "source")
+    ranked = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.row_number().over(wp.orderBy("n_chars")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    n_dbl = F.col("n").cast("double")
+    total = F.sum("n_chars")
+    return (
+        ranked.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            total.cast("bigint").alias("total_chars"),
+            F.floor(total.cast("double") / F.count("*").cast("double") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("avg_chars_x100"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(n_dbl * 0.5).cast("bigint"), F.col("n_chars"))
+            ).alias("p50_chars"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(n_dbl * 0.9).cast("bigint"), F.col("n_chars"))
+            ).alias("p90_chars"),
+        )
+        .orderBy("lang", "source")
+    )
 
 
 @register(

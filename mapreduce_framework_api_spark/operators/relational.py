@@ -681,9 +681,49 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass distributed moments (partial+final over exact decimal sums),
     never a collect. Emits scaled integers so the hashed bytes are immune
     to cross-engine/cross-plan FP summation-order drift (see
-    _AGG_STATS_SQL). The exact same SQL text runs on Spark and the oracle."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_AGG_STATS_SQL)
+    _AGG_STATS_SQL). The Spark side is an independent DataFrame plan with
+    the same moment algebra (same operation order, so IEEE-correctly-rounded
+    doubles stay bit-identical) — not spark.sql of the oracle text, keeping
+    the oracle a genuine cross-check."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    dsc = F.col("l_discount").cast("decimal(18,2)")
+    prc = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qty).cast("double").alias("sq"),
+        F.sum(qty * qty).cast("double").alias("sqq"),
+        F.sum(dsc).cast("double").alias("sd"),
+        F.sum(dsc * dsc).cast("double").alias("sdd"),
+        F.sum(prc).cast("double").alias("sp"),
+        F.sum(prc * prc).cast("double").alias("spp"),
+        F.sum(qty * prc).cast("double").alias("sqp"),
+        F.sum(qty * dsc).cast("double").alias("sqd"),
+    )
+    n = F.col("n").cast("double")
+    n1 = (F.col("n") - 1).cast("double")
+    sq, sqq = F.col("sq"), F.col("sqq")
+    sd, sdd = F.col("sd"), F.col("sdd")
+    sp, spp = F.col("sp"), F.col("spp")
+    sqp, sqd = F.col("sqp"), F.col("sqd")
+    var_q = (sqq - sq * sq / n) / n1
+    return sums.select(
+        "l_returnflag",
+        F.floor(F.sqrt(var_q) * 100.0 + 0.5).cast("bigint").alias("sd_qty_x100"),
+        F.floor(var_q * 100.0 + 0.5).cast("bigint").alias("var_qty_x100"),
+        F.floor(F.sqrt((sdd - sd * sd / n) / n) * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("sdp_disc_x10000"),
+        F.floor(
+            (sqp - sq * sp / n) / F.sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)) * 10000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("corr_qty_price_x10000"),
+        F.floor((sqd - sq * sd / n) / n1 * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("cov_qty_disc_x10000"),
+    ).orderBy("l_returnflag")
 
 
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")

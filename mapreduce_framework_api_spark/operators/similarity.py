@@ -76,7 +76,19 @@ def scan_index_blocked(
     Union of the per-block candidate frames is returned. Peak memory is one
     block on the driver and one block per executor, independent of corpus
     size — the outer loop the round-1 single-broadcast version lacked.
-    float32 → float64 before any arithmetic (FIXTURES.md gotcha #5)."""
+    float32 → float64 before any arithmetic (FIXTURES.md gotcha #5).
+
+    Blocks are assigned by pmod(xxhash64(vec_id), nblocks), NOT by raw
+    vec_id mod: clustered or strided id distributions (e.g. all-even ids,
+    snowflake ids sharing low bits) would pile arbitrarily many rows into
+    one raw-mod block and defeat the memory bound, while a 64-bit hash is
+    uniform regardless of id shape (block width concentrates tightly
+    around n/nblocks; overshooting a 1024-row target by even 2× is
+    vanishingly unlikely and still bounded). An exact per-block row bound
+    would need a global rank over vec_id — a single-partition window sort,
+    the one thing a 100 TB index build cannot afford. An empty table (or a
+    table smaller than one block with all-empty remainder blocks) returns
+    an empty frame with the declared schema."""
     import numpy as np
 
     block_rows = block_rows or _INDEX_BLOCK_ROWS
@@ -85,7 +97,7 @@ def scan_index_blocked(
     nblocks = max(1, math.ceil(n / block_rows))
     parts: list[DataFrame] = []
     for b in range(nblocks):
-        pdf = e.filter(F.pmod(F.col("vec_id"), F.lit(nblocks)) == b).toPandas()
+        pdf = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)) == b).toPandas()
         if pdf.empty:
             continue
         ids = pdf["vec_id"].to_numpy(dtype="int64")
@@ -99,6 +111,8 @@ def scan_index_blocked(
             part = part.localCheckpoint()
             bc.destroy()
         parts.append(part)
+    if not parts:
+        return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

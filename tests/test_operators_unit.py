@@ -192,3 +192,70 @@ def test_asof_join_generic_semantics(spark):
     # e1: ties at t=10 -> highest okey wins; e2: latest at-or-before 20 is t=15;
     # e3: key 2 has no right rows -> dropped (inner as-of)
     assert got == [("e1", 101, "b"), ("e2", 102, "c")]
+
+
+def test_capped_bucket_bounds_viral_bucket_pairs(spark):
+    """Adversarial hot bucket: one band value shared by 300 docs. With a
+    cap of 16, pair expansion must emit exactly cap*(cap-1)/2 pairs — never
+    width² — and the kept members must be the deterministic sorted prefix."""
+    from mapreduce_framework_api_spark.operators.dedup import _pairs_within, capped_bucket
+
+    width, cap = 300, 16
+    df = spark.createDataFrame([(list(range(width)),)], ["recs"])
+    pairs = df.select(
+        F.explode(_pairs_within(capped_bucket(F.sort_array("recs"), cap=cap))).alias("p")
+    ).select("p.a", "p.b")
+    rows = pairs.collect()
+    assert len(rows) == cap * (cap - 1) // 2
+    assert max(max(r["a"], r["b"]) for r in rows) == cap - 1  # sorted prefix kept
+
+
+def test_bucket_overflow_report_counts_dropped_pairs(spark):
+    """The cap diagnostic: one viral bucket (width 300) + one calm bucket
+    (width 3) at cap 16 → 1 hot bucket, max width 300, and the dropped-pair
+    count is (300·299 − 16·15)/2."""
+    from mapreduce_framework_api_spark.operators.dedup import bucket_overflow_report
+
+    width, cap = 300, 16
+    df = spark.createDataFrame(
+        [(list(range(width)),), ([1, 2, 3],)], ["recs"]
+    )
+    row = bucket_overflow_report(df, cap=cap).collect()[0]
+    assert row["n_buckets"] == 2
+    assert row["max_width"] == width
+    assert row["hot_buckets"] == 1
+    assert row["pairs_dropped"] == (width * (width - 1) - cap * (cap - 1)) // 2
+
+
+def test_stop_shingle_cap_bounds_viral_shingle(spark, tmp_path):
+    """Adversarial stop shingle: 200 docs share one boilerplate trigram but
+    are otherwise disjoint. With the df cap (default 128) below the doc
+    count, the hot shingle is dropped as a unit on BOTH engines (semantic
+    cap, mirrored in the oracle CTE), so the pair pipeline emits zero pairs
+    instead of ~n²/2 — and a DuckDB run of the registered oracle agrees."""
+    import duckdb
+
+    import mapreduce_framework_api_spark.operators.dedup as dd
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    n = 200
+    assert n > dd._SHINGLE_DF_CAP
+    # every doc: shared boilerplate trigram + a unique tail
+    docs = [(i, f"common header trigram unique{i} tail{i} end{i}") for i in range(n)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    doc_pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(doc_pq)
+
+    dd._JACCARD_PAIR_CACHE.clear()
+    try:
+        out = dd.jaccard_dup_pairs(spark, str(tmp_path)).collect()
+        assert out == []  # hot shingle dropped; no other overlap exists
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{doc_pq}/*.parquet')"
+        )
+        oracle_sql = load_all_queries()["q_dedup_ngram_jaccard"].oracle
+        assert con.execute(oracle_sql).fetchall() == []
+    finally:
+        dd._JACCARD_PAIR_CACHE.clear()

@@ -30,13 +30,22 @@ def _norm_cell(v):
 
     if v is None:
         return None
+    if isinstance(v, bool):
+        # before int: bool is an int subclass, and True == 1 would let a
+        # boolean-vs-integer engine drift slip through tuple comparison
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         # kill -0.0 and collapse representation
         return repr(v + 0.0)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        # Tagged, NOT collapsed to float: the driver's hash is type-aware,
+        # so Spark BIGINT vs DuckDB HUGEINT/decimal128 (e.g. a bare integer
+        # SUM) hash-fails there even when values are equal — exactly the
+        # q_multimodal_stats failure the old float-collapse hid for two
+        # rounds. An oracle must CAST so both engines emit the same type.
+        return ("decimal", repr(v.normalize()))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
