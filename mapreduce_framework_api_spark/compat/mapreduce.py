@@ -123,6 +123,18 @@ def mr_create(
     return MapReduceJob(map_fn, reduce_fn, partitions)
 
 
+def mr_destroy(mr: MapReduceJob) -> None:
+    """API-parity destructor (``mr_destroy``, ``mapreduce.h:139``): release
+    everything mr_create acquired. The job's only held resource is its RDD
+    handle (lineage + any materialized shuffle files are dropped once
+    unreferenced); executor pools belong to the SparkSession, whose
+    lifecycle stays with the caller (``spark.stop()``) — mirroring the
+    reference, where worker threads die at mr_finish and mr_destroy frees
+    only the instance's own buffers (``mapreduce.c:119-140``)."""
+    mr._rdd = None
+    mr._t0 = None
+
+
 # -- the reference's canonical application, as library code ---------------
 
 _TOKEN_RE = None

@@ -67,3 +67,48 @@ def test_start_required_before_finish():
     job = mr_create(lambda i, ls: [], lambda a, b: a)
     with pytest.raises(RuntimeError):
         job.result()
+
+
+def test_mr_destroy_releases_job(spark, tmp_path):
+    """mr_destroy parity (mapreduce.h:139): after destroy, the instance
+    holds no resources and cannot be reused — like the freed C struct."""
+    import pytest
+
+    from mapreduce_framework_api_spark.compat.mapreduce import (
+        mr_create,
+        mr_destroy,
+        wordcount_map,
+        wordcount_reduce,
+    )
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b a\n")
+    job = mr_create(wordcount_map, wordcount_reduce, partitions=2)
+    job.start(spark, str(inp))
+    assert job.result() == [("a", 2), ("b", 1)]
+    mr_destroy(job)
+    assert job._rdd is None
+    with pytest.raises(RuntimeError):
+        job.result()
+
+
+def test_cli_usage_matches_reference_bytes(capsys):
+    """The CLI's usage line must be byte-identical to the reference
+    binary's .rodata string (bin/mr-wordc.o). No Spark needed: the usage
+    path exits before any session is built."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "wordcount_cli",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "wordcount_cli.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    assert cli.USAGE == "Usage: %s <input> <output> [# of mapper threads] [buffer size]"
+    rc = cli.main(["mr-wordc"])
+    assert rc == 1
+    assert (
+        capsys.readouterr().err.strip()
+        == "Usage: mr-wordc <input> <output> [# of mapper threads] [buffer size]"
+    )

@@ -11,6 +11,13 @@ shuffle is spill-safe — there is nothing to size). Output is the exact
 golden format: lines ``"%s, %d\\n"``, ascending byte-wise token order, empty
 input → empty output; elapsed wall-clock is printed like the reference's
 ``Time = %f`` (``mapreduce.c:224``, microseconds).
+
+Stderr contract mirrors the reference binary's ``.rodata`` strings byte for
+byte (``Usage: ...``, ``ERROR: mr_create() cannot create mr instance.``,
+``ERROR: mr_start() failed; (ret=%d).``, ``ERROR: mr_finish() failed;
+(ret=%d).``), with each failure reported at the same stage boundary: a
+missing input file surfaces from mr_start (the reference opens the input
+fd there), sink/write failures from mr_finish.
 """
 
 from __future__ import annotations
@@ -20,31 +27,49 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mapreduce_framework_api_spark.compat.mapreduce import mr_create, wordcount_map, wordcount_reduce
-from mapreduce_framework_api_spark.session import get_spark
+from mapreduce_framework_api_spark.compat.mapreduce import (
+    mr_create,
+    mr_destroy,
+    wordcount_map,
+    wordcount_reduce,
+)
+
+USAGE = "Usage: %s <input> <output> [# of mapper threads] [buffer size]"
 
 
 def main(argv: list[str]) -> int:
     if len(argv) < 3:
-        print(
-            f"usage: {argv[0]} <input> <output> [# mapper threads] [buffer size]",
-            file=sys.stderr,
-        )
+        print(USAGE % argv[0], file=sys.stderr)
         return 1
     inpath, outpath = argv[1], argv[2]
     threads = int(argv[3]) if len(argv) > 3 else 1
     buffer_size = int(argv[4]) if len(argv) > 4 else 1000
 
-    if not os.path.exists(inpath):
-        print(f"error: cannot open input file {inpath}", file=sys.stderr)
-        return 1
+    from mapreduce_framework_api_spark.session import get_spark
 
     spark = get_spark("mr-wordc", cpus=max(threads, 1))
     try:
-        job = mr_create(wordcount_map, wordcount_reduce, partitions=threads, buffer_size=buffer_size)
-        job.start(spark, inpath)
-        elapsed = job.finish(outpath)
+        try:
+            job = mr_create(
+                wordcount_map, wordcount_reduce, partitions=threads, buffer_size=buffer_size
+            )
+        except Exception:
+            print("ERROR: mr_create() cannot create mr instance.", file=sys.stderr)
+            return 1
+        try:
+            if not os.path.exists(inpath):
+                raise FileNotFoundError(inpath)
+            job.start(spark, inpath)
+        except Exception:
+            print("ERROR: mr_start() failed; (ret=%d)." % -1, file=sys.stderr)
+            return 1
+        try:
+            elapsed = job.finish(outpath)
+        except Exception:
+            print("ERROR: mr_finish() failed; (ret=%d)." % -1, file=sys.stderr)
+            return 1
         print(f"Time = {elapsed * 1e6:.6f}")  # microseconds, like mapreduce.c:224
+        mr_destroy(job)
     finally:
         spark.stop()
     return 0
