@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
@@ -584,25 +584,34 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_MAX_ITERS = 8
 
-
-@register(
-    "q_dedup_clusters",
-    group="I",
-    oracle=f"""
-WITH RECURSIVE {_JACCARD_ORACLE_CTES}, edges AS (
+# Dup-cluster labels in oracle SQL: the shared jaccard CTEs + a
+# transitive-closure recursive CTE, ending in
+# labels(doc_id, cluster_id = min doc_id of the component). Shared by the
+# clusters / canonical-election / dedup-report oracles so the edge
+# definition can never drift between them. Tractable at fixture scale only
+# — the quadratic closure is exactly why the Spark side iterates instead.
+_LABELS_ORACLE_CTES = f"""{_JACCARD_ORACLE_CTES}, edges AS (
   SELECT p.doc_a AS src, p.doc_b AS dst
   FROM pairs p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
-  WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common) >= 0.5
+  WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common) >= {_JACCARD_THRESHOLD}
 ), undirected AS (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
 ), reach(a, b) AS (
   SELECT src, dst FROM undirected
   UNION
   SELECT r.a, u.dst FROM reach r JOIN undirected u ON r.b = u.src
-)
-SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-FROM reach GROUP BY a
-ORDER BY doc_id
+), labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+)"""
+
+
+@register(
+    "q_dedup_clusters",
+    group="I",
+    oracle=f"""
+WITH RECURSIVE {_LABELS_ORACLE_CTES}
+SELECT doc_id, cluster_id FROM labels ORDER BY doc_id
 """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +635,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one session pays the (dominant) shingle/inverted-index cost once
     (round-1/2 finding: the clusters query used to re-derive the full
     pipeline and was the slowest query in every bench)."""
+    return cluster_labels(spark, sf_dir).orderBy("doc_id")
+
+
+_CLUSTER_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every dup-involved document — the label
+    propagation behind q_dedup_clusters, cached per (application, sf_dir)
+    like jaccard_dup_pairs so downstream consumers (canonical election,
+    dedup reporting) never re-run the iterative loop. The final-round
+    labels are already localCheckpoint-materialized by the loop."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _CLUSTER_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     pairs = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # Iterative plans MUST truncate lineage each round: without the
     # localCheckpoint, iteration k's logical plan embeds k full copies of
@@ -670,4 +695,95 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if stepped.filter("changed").limit(1).count() == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    _CLUSTER_LABEL_CACHE[key] = out
+    return out
+
+
+# ------------------------------------------------- canonical election ------
+
+
+@register(
+    "q_dedup_canonical",
+    group="I",
+    oracle=f"""
+WITH RECURSIVE {_LABELS_ORACLE_CTES}, ranked AS (
+  SELECT l.doc_id, l.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM ranked
+ORDER BY cluster_id, doc_id
+""",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election per dup cluster — the step a training
+    pipeline runs right after cluster assembly: keep exactly one document
+    per near-dup component (the longest text; ties to the lowest doc_id)
+    and drop the rest. Emits every dup-involved doc with its cluster and a
+    0/1 keep flag, so the downstream keep-list is `is_canonical = 1` and
+    the kill-list is the complement.
+
+    Scale shape: cluster labels are a cached materialized intermediate
+    (cluster_labels — tiny relative to the corpus: one row per
+    dup-involved doc), broadcast into the documents join; the election
+    window runs over label-sized data partitioned by cluster_id, never
+    over the corpus."""
+    labels = cluster_labels(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.join(F.broadcast(labels), "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(F.col("rk") == 1, 1).otherwise(0).cast("int").alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+@register(
+    "q_dedup_report",
+    group="I",
+    oracle=f"""
+WITH RECURSIVE {_LABELS_ORACLE_CTES}
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       COUNT(l.cluster_id) AS n_dup_docs,
+       COUNT(DISTINCT l.cluster_id) AS n_clusters,
+       CAST(FLOOR(CAST(COUNT(l.cluster_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  * 10000.0 + 0.5) AS BIGINT) AS dup_rate_x10000
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup health report: corpus size, dup-involved docs,
+    distinct dup clusters, and the dup rate as an x10000-scaled integer
+    (engine-independent bytes — the one double division is identical on
+    both engines). This is the monitoring table a 100 TB dedup job emits
+    per partition/source to catch a crawler or source gone degenerate.
+
+    Scale shape: the corpus-sized side is one scan + one hash aggregate on
+    source (low cardinality); the label side is the cached tiny
+    intermediate, broadcast into a left join — no corpus-sized shuffle."""
+    labels = cluster_labels(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    rate = F.count("cluster_id").cast("double") / F.count("*").cast("double")
+    return (
+        d.join(F.broadcast(labels), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("cluster_id").alias("n_dup_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.floor(rate * 10000.0 + 0.5).cast("bigint").alias("dup_rate_x10000"),
+        )
+        .orderBy("source")
+    )

@@ -216,3 +216,47 @@ def q_pipe_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+# PII scrub patterns: one regex dialect subset that Java (Spark) and RE2
+# (DuckDB) interpret identically — character classes, bounded/unbounded
+# greedy quantifiers, no alternation, no backreferences, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+@register(
+    "q_pipe_pii_scrub",
+    group="I",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and replace email / phone-shaped spans
+    per document (emails first, then phones over the already-scrubbed
+    text — the order is part of the contract and mirrored in the oracle).
+    Emits match counts plus the md5 of the scrubbed text, so the
+    differential check proves both engines' regex engines made IDENTICAL
+    replacements byte-for-byte — not just equal counts.
+
+    Scale shape: pure row-local JVM regex inside whole-stage codegen — no
+    shuffle, no UDF; the scan reads only (doc_id, text). The real corpus
+    would persist the scrubbed text itself; the fixture check carries its
+    md5 to keep result rows narrow."""
+    d = table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

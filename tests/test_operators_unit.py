@@ -259,3 +259,72 @@ def test_stop_shingle_cap_bounds_viral_shingle(spark, tmp_path):
         assert con.execute(oracle_sql).fetchall() == []
     finally:
         dd._JACCARD_PAIR_CACHE.clear()
+
+
+def test_pii_scrub_redacts_and_matches_oracle(spark, tmp_path):
+    """The sf fixtures carry no PII-shaped spans, so the fixture-level
+    differential check only proves the no-op path. Here synthetic docs with
+    real emails/phones prove (a) counts, (b) that Spark's Java regex and
+    DuckDB's RE2 make byte-identical replacements (scrubbed_md5 equality
+    through the registered oracle)."""
+    import duckdb
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    docs = [
+        (0, "contact alice.smith+spam@example.co.uk or call +1 (415) 555-0100 now"),
+        (1, "no pii here, just words"),
+        (2, "two mails: a@b.io c.d@e-f.org and digits 123"),
+        (3, "phone only 0049 30 1234567 end"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    doc_pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(doc_pq)
+
+    q = load_all_queries()["q_pipe_pii_scrub"]
+    srows = {r["doc_id"]: r for r in q.fn(spark, str(tmp_path)).collect()}
+    assert srows[0]["n_emails"] == 1 and srows[0]["n_phones"] == 1
+    assert srows[1]["n_emails"] == 0 and srows[1]["n_phones"] == 0
+    assert srows[2]["n_emails"] == 2
+    assert srows[3]["n_phones"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{doc_pq}/*.parquet')"
+    )
+    for did, n_em, n_ph, md in con.execute(q.oracle).fetchall():
+        s = srows[did]
+        assert (s["n_emails"], s["n_phones"], s["scrubbed_md5"]) == (n_em, n_ph, md)
+
+
+def test_canonical_election_longest_then_lowest_id(spark, tmp_path):
+    """Canonical election on a synthetic dup cluster: three near-identical
+    docs (pairwise Jaccard ≥ 0.5) where the longest text wins; ties by
+    lowest doc_id. Singleton (non-dup) docs must not appear at all."""
+    import mapreduce_framework_api_spark.operators.dedup as dd
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (10, body + " extra tail words here", len(body) + 22),
+        (11, body, len(body)),
+        (12, body + " extra tail words here", len(body) + 22),  # tie with 10
+        (99, "completely different text with no shared shingles at all", 57),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "n_chars"])
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dd._JACCARD_PAIR_CACHE.clear()
+    dd._CLUSTER_LABEL_CACHE.clear()
+    try:
+        q = load_all_queries()["q_dedup_canonical"]
+        rows = {r["doc_id"]: r for r in q.fn(spark, str(tmp_path)).collect()}
+        assert set(rows) == {10, 11, 12}  # 99 is not dup-involved
+        assert all(r["cluster_id"] == 10 for r in rows.values())
+        # 10 and 12 tie on n_chars; lower doc_id wins
+        assert rows[10]["is_canonical"] == 1
+        assert rows[11]["is_canonical"] == 0
+        assert rows[12]["is_canonical"] == 0
+    finally:
+        dd._JACCARD_PAIR_CACHE.clear()
+        dd._CLUSTER_LABEL_CACHE.clear()
