@@ -69,3 +69,51 @@ def test_group_sums_partition_invariant(spark, rows):
         for r in d.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
     )
     assert agg(df1) == agg(df7)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("ab1@.+-() _x093")), max_size=40),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pii_scrub_matches_python_reference(spark, texts):
+    """Spark's Java regex must agree with Python re on the PII dialect
+    subset (classes + greedy quantifiers, no alternation/lookaround) for
+    counts AND replacement bytes; scrubbing must be idempotent (the
+    placeholder tokens can never re-match either pattern)."""
+    from mapreduce_framework_api_spark.operators.pipeline import _PII_EMAIL, _PII_PHONE
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = df.select(
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("ne"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("np"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ).alias("s"),
+    ).collect()
+    for t, r in zip(texts, got):
+        assert r["ne"] == len(re.findall(_PII_EMAIL, t))
+        assert r["np"] == len(re.findall(_PII_PHONE, t))
+        s_ref = re.sub(_PII_PHONE, "<PHONE>", re.sub(_PII_EMAIL, "<EMAIL>", t))
+        assert r["s"] == s_ref
+        assert re.sub(_PII_PHONE, "<PHONE>", re.sub(_PII_EMAIL, "<EMAIL>", s_ref)) == s_ref
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(0, 10**6), max_size=40), st.integers(1, 20))
+def test_capped_bucket_pair_count_law(spark, members, cap):
+    """For ANY sorted distinct bucket membership and ANY cap, pair
+    expansion emits exactly C(min(n, cap), 2) pairs — the bound the LSH
+    hot-bucket guard promises."""
+    from mapreduce_framework_api_spark.operators.dedup import _pairs_within, capped_bucket
+
+    arr = sorted(set(members))
+    df = spark.createDataFrame([(arr,)], "recs: array<bigint>")
+    n = df.select(
+        F.size(_pairs_within(capped_bucket(F.col("recs"), cap=cap))).alias("n")
+    ).collect()[0]["n"]
+    k = min(len(arr), cap)
+    assert n == k * (k - 1) // 2
