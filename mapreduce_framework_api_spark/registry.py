@@ -88,6 +88,7 @@ def load_all_queries() -> dict[str, Query]:
             relational,
             text,
             windows,
+            stream_join,
         )
         from mapreduce_framework_api_spark.compat import rdd_queries  # noqa: F401
 

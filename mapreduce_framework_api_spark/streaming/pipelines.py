@@ -203,3 +203,48 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
         keys or ["user_id", "event_type"]
     )
+
+
+ATTRIB_HORIZON = "1 hour"
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matches the same user's
+    clicks in the preceding ``ATTRIB_HORIZON`` — the attribution pattern.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store holds only ~horizon+watermark of each
+    stream per key and evicts behind the watermark — the required shape
+    for an unbounded stream-stream join (an unbounded-condition join
+    would buffer both streams forever). The batch twin is
+    ``q_stream_attrib`` (operators/stream_join.py); tests assert the
+    drained stream equals it row-for-row.
+    """
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", WATERMARK)
+    )
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        ).withWatermark("purchase_ts", WATERMARK)
+    )
+    cond = (
+        (c["c_user"] == p["p_user"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {ATTRIB_HORIZON}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.round("value", 2).alias("value_r"),
+    )

@@ -84,3 +84,20 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_attribution_join_equals_batch(spark):
+    """Stream-stream interval join (purchase ← same-user clicks within 1 h)
+    drained with availableNow must equal the batch twin q_stream_attrib.
+    Inner interval joins emit in append mode once both sides are present;
+    nothing in the in-order fixture falls behind the 24 h watermark."""
+    from mapreduce_framework_api_spark.streaming.pipelines import attribution_join
+
+    ev = read_events_stream(spark, SF_DIR)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    run_to_memory(attribution_join(clicks, purchases), "t_attrib", output_mode="append")
+    got = _rows(spark.table("t_attrib"), "purchase_id", "click_id")
+    batch = load_all_queries()["q_stream_attrib"].fn(spark, SF_DIR)
+    assert got == _rows(batch, "purchase_id", "click_id")
+    assert len(got) > 0
