@@ -1,0 +1,175 @@
+"""Probabilistic sketches as compositions of built-in DataFrame ops.
+
+At 100 TB, exact distinct counts and per-key frequencies are often the
+most expensive aggregations in a pipeline (full shuffle of every key).
+Sketches replace them with fixed-size state: HyperLogLog registers
+(distinct estimation) and a Count-Min matrix (frequency estimation) are
+a few KB per group no matter how many rows stream through, reduce
+map-side, and merge associatively — the same reason Spark ships
+approx_count_distinct. These implementations are DETERMINISTIC (md5 base
+hash, identical bytes in Spark and DuckDB) so, unlike the built-in HLL++,
+every register value and estimate is differentially checkable: the
+oracle recomputes the same sketch and the driver hash-compares.
+
+All arithmetic that feeds an emitted value is either exact BIGINT
+(register sums via power-of-two shifts, counter cells) or a fixed-order
+double expression shared by both engines — no order-dependent FP sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+# --- HyperLogLog (p=6: m=64 registers/group) -------------------------------
+_HLL_M = 64
+_HLL_ALPHA_M2 = 2904.064  # alpha_64 (0.709) * m^2, premultiplied literal
+_POW52 = float(1 << 52)
+
+
+@register(
+    "q_sketch_hll",
+    group="I",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM d),
+r AS (SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % {_HLL_M} AS bucket,
+             CAST(('0x' || substr(hx, 3, 13)) AS BIGINT) AS w
+      FROM h),
+b AS (SELECT event_type, bucket,
+             MAX(LEAST(CASE WHEN w > 0 THEN 53 - length(bin(w)) ELSE 53 END, 52)) AS m_rho,
+             COUNT(*) AS c
+      FROM r GROUP BY event_type, bucket),
+s AS (SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n_exact,
+             CAST(SUM(1::BIGINT << (52 - m_rho)) AS DOUBLE) AS reg_sum,
+             COUNT(*) AS nb
+      FROM b GROUP BY event_type)
+SELECT event_type, n_exact,
+       CAST(FLOOR(CAST({_HLL_ALPHA_M2} AS DOUBLE)
+                  / (reg_sum / {_POW52!r} + CAST({_HLL_M} - nb AS DOUBLE))
+                  * 100.0 + 0.5) AS BIGINT) AS hll_est_x100
+FROM s
+ORDER BY event_type
+""",
+)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event_type,
+    beside the exact count (so the error is visible in the result).
+
+    Register build is two map-side-combinable hash aggs: per (group,
+    bucket) MAX(rho), then per group an exact BIGINT register sum via
+    power-of-two shifts (order-independent, engine-identical). The raw
+    HLL estimator (no log-based small-range correction — m=64 keeps the
+    fixtures in the raw regime, and ln() is not bit-identical across
+    engines) is one fixed-order double expression emitted as an x100
+    BIGINT. State per group is 64 registers regardless of row count —
+    the 100 TB path for COUNT(DISTINCT) without a full key shuffle."""
+    d = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    hx = F.md5(F.col("user_id").cast("string").cast("binary"))
+    bucket = F.pmod(F.conv(F.substring(hx, 1, 2), 16, 10).cast("long"), F.lit(_HLL_M))
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rho = F.least(
+        F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53)), F.lit(52)
+    )
+    b = (
+        d.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"), F.count("*").alias("c"))
+    )
+    s = b.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_exact"),
+        F.sum(F.expr("shiftleft(1L, 52 - m_rho)")).cast("double").alias("reg_sum"),
+        F.count("*").alias("nb"),
+    )
+    est = F.lit(_HLL_ALPHA_M2).cast("double") / (
+        F.col("reg_sum") / F.lit(_POW52) + (F.lit(_HLL_M) - F.col("nb")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        "n_exact",
+        F.floor(est * 100.0 + 0.5).cast("long").alias("hll_est_x100"),
+    ).orderBy("event_type")
+
+
+# --- Count-Min sketch (d=4 rows x w=256 buckets) ---------------------------
+_CMS_D = 4
+_CMS_W = 256  # one md5 hex byte
+
+
+def _cms_bucket_sql(i_expr: str, key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({i_expr} AS VARCHAR) || ':' "
+        f"|| CAST({key_expr} AS VARCHAR)), 1, 2)) AS BIGINT)"
+    )
+
+
+def _cms_bucket(i_col, key_col) -> "F.Column":
+    hx = F.md5(
+        F.concat(i_col.cast("string"), F.lit(":"), key_col.cast("string")).cast("binary")
+    )
+    return F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+
+
+@register(
+    "q_sketch_cms",
+    group="I",
+    oracle=f"""
+WITH rows_ AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(i)),
+counters AS (
+  SELECT i, {_cms_bucket_sql('i', 'user_id')} AS bucket, COUNT(*) AS c
+  FROM events, rows_
+  GROUP BY i, bucket
+),
+cnt AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+top AS (SELECT user_id, n FROM cnt ORDER BY n DESC, user_id LIMIT 10),
+probe AS (
+  SELECT t.user_id, t.n, r.i, {_cms_bucket_sql('r.i', 't.user_id')} AS bucket
+  FROM top t, rows_ r
+)
+SELECT p.user_id,
+       CAST(p.n AS BIGINT) AS n_exact,
+       CAST(MIN(c.c) AS BIGINT) AS cms_est
+FROM probe p JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
+GROUP BY p.user_id, p.n
+ORDER BY n_exact DESC, p.user_id
+""",
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch: 4x256 counter matrix over event
+    user_ids, probed for the top-10 users beside their exact counts
+    (CMS guarantees est >= exact; the gap is the collision overestimate).
+
+    The counter build explodes each row over the 4 hash rows and hash-
+    aggregates to AT MOST 1024 cells — map-side partials do almost all
+    the work, and the shuffled state is the fixed matrix, not the key
+    space. Probing broadcasts the tiny counter table. At 100 TB this is
+    the heavy-hitter path that never shuffles per-key counts."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    counters = (
+        ev.select("user_id", rows)
+        .select("i", _cms_bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+    probe = top.select(
+        "user_id", "n", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    ).withColumn("bucket", _cms_bucket(F.col("i"), F.col("user_id")))
+    return (
+        probe.join(F.broadcast(counters), ["i", "bucket"], "inner")
+        .groupBy("user_id", "n")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .select("user_id", F.col("n").cast("long").alias("n_exact"), "cms_est")
+        .orderBy(F.desc("n_exact"), "user_id")
+    )

@@ -89,6 +89,7 @@ def load_all_queries() -> dict[str, Query]:
             text,
             windows,
             stream_join,
+            sketches,
         )
         from mapreduce_framework_api_spark.compat import rdd_queries  # noqa: F401
 

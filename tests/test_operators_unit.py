@@ -366,3 +366,44 @@ def test_salted_agg_spreads_hot_key_and_matches_plain(spark):
         .select("_salt").distinct().count()
     )
     assert n_groups > 1
+
+
+def _write_synthetic_events(spark, tmp_path, rows):
+    """rows: list of (event_id, user_id, event_type). Writes the events
+    schema with ts as raw nanos (the fixture's TIMESTAMP(NANOS) shape is
+    read back as long via nanosAsLong, so a long column round-trips)."""
+    df = spark.createDataFrame(
+        [(eid, 1_700_000_000_000_000_000 + eid * 1_000_000, uid, et, 1.0, "{}")
+         for eid, uid, et in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_hll_sketch_error_bound_on_wide_keyspace(spark, tmp_path):
+    """5000 distinct users (m=64 registers): the deterministic HLL estimate
+    must land within the ~1.04/sqrt(64)=13% expected band; assert a loose
+    25% so the test pins sanity, not one lucky hash draw."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = [(i, i, "a") for i in range(5000)]
+    sf = _write_synthetic_events(spark, tmp_path, rows)
+    r = load_all_queries()["q_sketch_hll"].fn(spark, sf).collect()
+    assert len(r) == 1 and r[0]["n_exact"] == 5000
+    est = r[0]["hll_est_x100"] / 100.0
+    assert abs(est - 5000) / 5000 < 0.25
+
+
+def test_cms_sketch_never_underestimates(spark, tmp_path):
+    """With 3000 distinct users over 4x256 counters, collisions are
+    guaranteed — Count-Min must overestimate or equal, never under, and
+    must rank the dominant heavy hitter first."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = [(i, i % 3000, "a") for i in range(6000)]
+    rows += [(10_000 + j, 77, "a") for j in range(500)]  # heavy hitter
+    sf = _write_synthetic_events(spark, tmp_path, rows)
+    got = load_all_queries()["q_sketch_cms"].fn(spark, sf).collect()
+    assert got[0]["user_id"] == 77 and got[0]["n_exact"] == 502
+    assert all(r["cms_est"] >= r["n_exact"] for r in got)
