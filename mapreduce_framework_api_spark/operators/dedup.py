@@ -157,12 +157,18 @@ def _shingles(col, k: int = 3):
 
 
 def _token_hash31(c):
-    """Deterministic 31-bit hash of a string: xxhash64 (fixed default seed
-    42, JVM-native, codegen'd — ~20× cheaper than an md5+conv pipeline)
-    folded to [0, P). Deterministic across runs and machines; used only in
-    the rows-only signature pipelines (minhash/simhash), never in an
-    oracle-checked value."""
-    return F.pmod(F.xxhash64(c), F.lit(_MINHASH_P))
+    """Deterministic 31-bit hash of a shingle string, derived from md5 so
+    Spark (md5 of the UTF-8 bytes) and DuckDB (md5 of the VARCHAR) compute
+    identical values — this is what upgrades the minhash pipeline from
+    rows-only to a full differential oracle: the 13-hex-char (52-bit) md5
+    prefix folds to [0, P) with the same arithmetic on both engines.
+    (xxhash64 would be ~20× cheaper per hash but has no DuckDB analogue;
+    the md5 cost is one hash per distinct shingle and benches <10% of the
+    pipeline.)"""
+    return F.pmod(
+        F.conv(F.substring(F.md5(c.cast("binary")), 1, 13), 16, 10).cast("long"),
+        F.lit(_MINHASH_P),
+    )
 
 
 def _perm(a: int, b: int):
@@ -200,10 +206,71 @@ def minhash_signature(col) -> "F.Column":
     )
 
 
+# Full DuckDB mirror of the minhash pipeline, generated from the same
+# permutation constants. Every stage is replicated semantically: identical
+# shingles (incl. the whole-text fallback for <3-token docs), identical
+# md5-derived 31-bit shingle hashes, the same 16 (a*h+b) % P minima, the
+# same 8×2 band buckets, the same sorted-slice hot-bucket cap, and the
+# same round-then-filter on matches/16. All intermediate arithmetic is
+# BIGINT (a*h < 2^62), so the engines agree bit-for-bit.
+_MINHASH_MINS = ",\n         ".join(
+    f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i + 1}"
+    for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+)
+_MINHASH_BUCKET_CASE = "\n           ".join(
+    f"WHEN {b} THEN m{2 * b + 1} || '_' || m{2 * b + 2}" for b in range(_N_BANDS)
+)
+_MINHASH_MATCHES = " + ".join(
+    f"(CASE WHEN x.m{i + 1} = y.m{i + 1} THEN 1 ELSE 0 END)" for i in range(_N_PERM)
+)
+_MINHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks,
+         text
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [text] END) AS shingle
+  FROM t
+), hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 13)) AS BIGINT) % {_MINHASH_P} AS h
+  FROM sh
+), mins AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hs GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, bb.band_id,
+         CASE bb.band_id
+           {_MINHASH_BUCKET_CASE}
+         END AS bucket
+  FROM mins, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS bb(band_id)
+), bk AS (
+  SELECT band_id, bucket,
+         list_slice(list_sort(list(doc_id)), 1, {_BUCKET_CAP}) AS ds
+  FROM bands GROUP BY band_id, bucket HAVING COUNT(*) > 1
+), cand AS (
+  SELECT DISTINCT ua.a AS doc_a, ub.b AS doc_b
+  FROM bk, UNNEST(ds) AS ua(a), UNNEST(ds) AS ub(b)
+  WHERE ua.a < ub.b
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(({_MINHASH_MATCHES}) / 16.0, 2) AS est_jaccard
+FROM cand c JOIN mins x ON c.doc_a = x.doc_id JOIN mins y ON c.doc_b = y.doc_id
+WHERE ROUND(({_MINHASH_MATCHES}) / 16.0, 2) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 @register(
     "q_dedup_minhash",
     group="I",
-    oracle=None,  # rows-only: LSH banding is not cleanly SQL-expressible
+    oracle=_MINHASH_ORACLE,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs on documents.text.
@@ -212,7 +279,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates = pairs agreeing on ≥1 full band, then filtered by estimated
     Jaccard (matching minhashes / 16) ≥ 0.5. The join is on (band_id,
     bucket) so work scales with real collisions, and bucket width is capped
-    (capped_bucket) so one viral bucket never goes quadratic."""
+    (capped_bucket) so one viral bucket never goes quadratic. md5-derived
+    shingle hashes make the whole pipeline — signatures, banding, cap,
+    estimate — exactly reproducible in SQL (_MINHASH_ORACLE), so this
+    query is hash-checked, not rows-only."""
     docs = parallelized(table(spark, sf_dir, "documents"))
     sig = docs.select("doc_id", minhash_signature("text").alias("sig"))
     bands = sig.select(
@@ -282,29 +352,40 @@ def _pow2():
 def simhash_signature(col) -> "F.Column":
     """64-bit SimHash of a text column, computed entirely array-side.
 
-    Single-pass fold over raw xxhash64 token hashes carrying all 64
-    running bit-sums (bit k of the signature = sign of Σ±1 over tokens),
-    then one zip_with to assemble the integer. The per-bit loop is
-    unrolled in Python (literal shift amounts), so the fold step is one
-    flat 64-term array expression — shiftright reads the signed
-    two's-complement bit pattern directly, no pow2 division/element_at
-    indirection. No explode, no shuffle; the 64-bit width costs ~0.1s
-    over the previous 32-bit fold at sf0.1 (0.39s vs 0.29s warm) and,
-    with 16-bit banding blocks, keeps candidate buckets 256× finer —
-    the corpus-scale banding an 8-bit-block scheme lacks."""
-    hashes = F.transform(tokens_nonempty(col), lambda t: F.xxhash64(t))
-    init = F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS)
-    sums = F.aggregate(
-        hashes,
-        init,
-        lambda acc, x: F.array(
-            *[
-                F.element_at(acc, k + 1)
-                + F.when(F.shiftright(x, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for k in range(_SIMHASH_BITS)
-            ]
+    Single-pass fold over md5-derived 64-bit token hashes (two 32-bit
+    conv halves — md5, unlike xxhash64, exists in DuckDB, which is what
+    makes the signature oracle-checkable bit-for-bit) carrying all 64
+    running bit-sums (bit k of the signature = sign of Σ±1 over tokens,
+    duplicates included), then one zip_with to assemble the integer. The
+    per-bit loop is unrolled in Python (literal shift amounts), so the
+    fold step is one flat 64-term array expression — shiftright reads
+    the two's-complement bit pattern directly. No explode, no shuffle;
+    with 16-bit banding blocks, candidate buckets stay 256× finer than
+    an 8-bit-block scheme — the corpus-scale banding layout."""
+    hashes = F.transform(
+        tokens_nonempty(col),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hi"),
+            F.conv(F.substring(F.md5(t.cast("binary")), 9, 8), 16, 10)
+            .cast("long")
+            .alias("lo"),
         ),
     )
+    init = F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS)
+
+    def _step(acc, x):
+        terms = []
+        for k in range(_SIMHASH_BITS):
+            half, kk = (x["lo"], k) if k < 32 else (x["hi"], k - 32)
+            terms.append(
+                F.element_at(acc, k + 1)
+                + F.when(F.shiftright(half, kk).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            )
+        return F.array(*terms)
+
+    sums = F.aggregate(hashes, init, _step)
     return F.aggregate(
         F.zip_with(sums, _pow2(), lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
@@ -312,16 +393,75 @@ def simhash_signature(col) -> "F.Column":
     )
 
 
+# Full DuckDB mirror of the simhash pipeline: identical tokens (with
+# duplicates — term frequency weights the bit votes), identical md5-derived
+# 32-bit hash halves, the same 64 sign-of-sum bits assembled with the same
+# carry-free power-of-two addition (bit 63 = the min-long literal, so the
+# signed signature matches Spark's long exactly), the same 4×16-bit block
+# banding with the sorted-slice hot-bucket cap, and the same
+# bit_count(xor) ≤ 3 verification.
+_SIMHASH_BIT_TERMS = " +\n         ".join(
+    "(CASE WHEN SUM(CASE WHEN ({half} >> {kk}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    "THEN {pow} ELSE 0 END)".format(
+        half="lo" if k < 32 else "hi",
+        kk=k if k < 32 else k - 32,
+        pow=(1 << k) if k < 63 else "(-9223372036854775807 - 1)",
+    )
+    for k in range(_SIMHASH_BITS)
+)
+_SIMHASH_BLOCK_CASE = "\n           ".join(
+    f"WHEN {i} THEN (simhash >> {_SIMHASH_BLOCK_BITS * i}) & {(1 << _SIMHASH_BLOCK_BITS) - 1}"
+    for i in range(_SIMHASH_BLOCKS)
+)
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS lo
+  FROM tok
+), sig AS (
+  SELECT doc_id,
+         CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
+  FROM th GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, bb.block_id,
+         CASE bb.block_id
+           {_SIMHASH_BLOCK_CASE}
+         END AS block
+  FROM sig, (VALUES (0), (1), (2), (3)) AS bb(block_id)
+), bk AS (
+  SELECT block_id, block,
+         list_slice(list_sort(list(doc_id)), 1, {_BUCKET_CAP}) AS ds
+  FROM blocks GROUP BY block_id, block HAVING COUNT(*) > 1
+), cand AS (
+  SELECT DISTINCT ua.a AS doc_a, ub.b AS doc_b
+  FROM bk, UNNEST(ds) AS ua(a), UNNEST(ds) AS ub(b)
+  WHERE ua.a < ub.b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 @register(
     "q_dedup_simhash",
     group="I",
-    oracle=None,  # rows-only: bit-level signature pipeline
+    oracle=_SIMHASH_ORACLE,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature from xxhash64 token hashes
-    (bit k of the signature = sign of Σ±1 over tokens), candidates via
-    4×16-bit block banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
-    block), exact bit_count(xor) ≤ 3 filter.
+    """SimHash near-dup pairs: 64-bit signature from md5-derived token
+    hashes (bit k of the signature = sign of Σ±1 over tokens), candidates
+    via 4×16-bit block banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+    block), exact bit_count(xor) ≤ 3 filter. The md5 base hash makes the
+    whole bit-level pipeline reproducible in SQL (_SIMHASH_ORACLE), so
+    this query is hash-checked, not rows-only.
 
     Scale note: 16-bit blocks give 65536 buckets per band — an 8-bit
     scheme caps at 256 and turns into m² hot-bucket blowups beyond ~10^5
