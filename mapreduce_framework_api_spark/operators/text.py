@@ -311,3 +311,67 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = F.when(n < 5, F.md5("text")).otherwise(F.array_min(shingle_hashes))
     return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+@register(
+    "q_text_repetition",
+    group="I",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS tg
+  FROM t
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST(FLOOR(CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS distinct_ratio_x10000,
+       CAST(FLOOR(CAST(COALESCE(list_max(list_transform(list_distinct(tg),
+                                         s -> len(list_filter(tg, x -> x = s)))), 0) AS DOUBLE)
+                  / CAST(GREATEST(len(tg), 1) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS top_trigram_frac_x10000
+FROM g
+WHERE len(toks) > 0
+ORDER BY doc_id
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for quality filtering (the Gopher-style
+    duplicate-n-gram family): per document, the distinct-token ratio and
+    the fraction of trigram slots taken by the single most frequent
+    trigram — boilerplate and degenerate loops push the first down and
+    the second up. Entirely array-side per row (no explode, no shuffle:
+    the mode is a transform over distinct trigrams, O(distinct·n) on
+    ~100-token docs), emitted as x10000-scaled integers from fixed-order
+    double expressions so both engines agree exactly."""
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    toks = tokens_nonempty("text")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    m = F.greatest(n - 2, F.lit(0))
+    sh = F.slice(F.col("toks"), 1, m)
+    for j in range(1, 3):
+        sh = F.zip_with(sh, F.slice(F.col("toks"), 1 + j, m), lambda a, b: F.concat_ws(" ", a, b))
+    tg = F.when(n >= 3, sh).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", "toks", tg.alias("tg"))
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct("tg"),
+                lambda s: F.size(F.filter(F.col("tg"), lambda x: x == s)),
+            )
+        ),
+        F.lit(0),
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / F.size("toks").cast("double")
+    top_frac = top_cnt.cast("double") / F.greatest(F.size("tg"), F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.floor(distinct_ratio * 10000.0 + 0.5).cast("long").alias("distinct_ratio_x10000"),
+        F.floor(top_frac * 10000.0 + 0.5).cast("long").alias("top_trigram_frac_x10000"),
+    ).orderBy("doc_id")

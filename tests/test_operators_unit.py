@@ -407,3 +407,22 @@ def test_cms_sketch_never_underestimates(spark, tmp_path):
     got = load_all_queries()["q_sketch_cms"].fn(spark, sf).collect()
     assert got[0]["user_id"] == 77 and got[0]["n_exact"] == 502
     assert all(r["cms_est"] >= r["n_exact"] for r in got)
+
+
+def test_repetition_signals_flag_degenerate_doc(spark, tmp_path):
+    """A degenerate 'spam spam …' doc must score max trigram repetition and
+    minimal distinct ratio; a all-unique doc scores the opposite ends."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam", "en", "s", 19),
+         (2, "alpha beta gamma delta", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           load_all_queries()["q_text_repetition"].fn(spark, str(tmp_path)).collect()}
+    assert got[1]["distinct_ratio_x10000"] == 2500   # 1 distinct / 4 tokens
+    assert got[1]["top_trigram_frac_x10000"] == 10000
+    assert got[2]["distinct_ratio_x10000"] == 10000
+    assert got[2]["top_trigram_frac_x10000"] == 5000  # 1 of 2 distinct trigrams
