@@ -426,3 +426,34 @@ def test_repetition_signals_flag_degenerate_doc(spark, tmp_path):
     assert got[1]["top_trigram_frac_x10000"] == 10000
     assert got[2]["distinct_ratio_x10000"] == 10000
     assert got[2]["top_trigram_frac_x10000"] == 5000  # 1 of 2 distinct trigrams
+
+
+def test_lsh_contract_and_recall_floor(spark):
+    """q_sim_ann_lsh on the fixture: well-formed per-query top-k
+    (ascending rk, descending cosine, no self-pairs), deterministic, and
+    recall@3 vs exact brute force well above chance — the quality
+    evidence behind the declared rows-only check."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    sf = "/root/testdata/sf0.001"
+    lsh = qs["q_sim_ann_lsh"].fn(spark, sf).collect()
+    assert lsh, "LSH returned no rows"
+    per_q = {}
+    for r in lsh:
+        assert r["vec_id"] != r["neighbor_id"]
+        per_q.setdefault(r["vec_id"], []).append((r["rk"], r["cosine"]))
+    for ranks in per_q.values():
+        ks = [k for k, _ in sorted(ranks)]
+        assert ks == list(range(1, len(ks) + 1))
+        cosines = [c for _, c in sorted(ranks)]
+        assert cosines == sorted(cosines, reverse=True)
+    again = qs["q_sim_ann_lsh"].fn(spark, sf).collect()
+    assert sorted(map(tuple, lsh)) == sorted(map(tuple, again))
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in qs["q_sim_cosine_topk"].fn(spark, sf).filter("rk <= 3").collect()
+    }
+    approx = {(r["vec_id"], r["neighbor_id"]) for r in lsh}
+    recall = len(approx & exact) / len(exact)
+    assert recall > 0.2, recall
