@@ -33,7 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from mapreduce_framework_api_spark.operators.dedup import (
     _dot,
@@ -224,18 +224,31 @@ def _lsh_dim_pair(t: int, k: int, d: int) -> tuple[int, int]:
     return i, j
 
 
-def _lsh_table_code(v, t: int, g: int, d: int) -> "F.Column":
-    """g-bit sign code for table t — one flat carry-free sum of g
-    when-terms (g <= 16, so plain positive powers of two)."""
-    bits = [
-        F.when(
-            F.element_at(v, i + 1) - F.element_at(v, j + 1) > 0,
-            F.lit(1 << k).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for k in range(g)
-        for (i, j) in [_lsh_dim_pair(t, k, d)]
-    ]
-    return sum(bits[1:], bits[0])
+def _lsh_codes_udf(g: int, d: int):
+    """Arrow-batched kernel computing ALL table codes per vector at once:
+    one fancy-indexed numpy subtraction + sign + power-of-two contraction
+    per batch, returning array<long> of _LSH_TABLES codes. The pure-
+    expression alternative (a sum of g when-terms per table, 16 tables =
+    a ~256-node tree per row) measured 2.5 s warm at n=2000 vs 0.4 s for
+    this kernel — giant flat expression trees fall out of efficient
+    evaluation long before the data is big. Hyperplane geometry is closed
+    over as plain ints, so the kernel ships with the task, no broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    ii = np.array([[_lsh_dim_pair(t, k, d)[0] for k in range(g)] for t in range(_LSH_TABLES)])
+    jj = np.array([[_lsh_dim_pair(t, k, d)[1] for k in range(g)] for t in range(_LSH_TABLES)])
+    pw = (1 << np.arange(g)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def codes(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(v.to_numpy())  # (batch, d)
+        c = ((m[:, ii] - m[:, jj] > 0).astype(np.int64) * pw).sum(axis=2)
+        return pd.Series(list(c))
+
+    return codes
 
 
 def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
@@ -283,19 +296,8 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     g, d = _lsh_geometry(spark, sf_dir)
     vecs = _vectors(spark, sf_dir)
     tables = vecs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        _lsh_table_code(F.col("v"), t, g, d).alias("code"),
-                    )
-                    for t in range(_LSH_TABLES)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "b.table_id", "b.code")
+        "vec_id", F.posexplode(_lsh_codes_udf(g, d)("v")).alias("table_id", "code")
+    )
     buckets = (
         tables.groupBy("table_id", "code")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("recs"))
