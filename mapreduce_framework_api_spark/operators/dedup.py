@@ -33,6 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
 from mapreduce_framework_api_spark.registry import register
@@ -284,7 +285,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate — exactly reproducible in SQL (_MINHASH_ORACLE), so this
     query is hash-checked, not rows-only."""
     docs = parallelized(table(spark, sf_dir, "documents"))
-    sig = docs.select("doc_id", minhash_signature("text").alias("sig"))
+    # Arrow-batched kernel == minhash_signature() bit-for-bit (pinned by
+    # tests); the expression fold costs ~2x the whole query at sf0.1.
+    sig = docs.select("doc_id", _minhash_sig_udf()("text").alias("sig"))
     bands = sig.select(
         F.struct("doc_id", "sig").alias("rec"),
         F.explode(
@@ -393,6 +396,143 @@ def simhash_signature(col) -> "F.Column":
     )
 
 
+# ---- Arrow-batched signature kernels -------------------------------------
+#
+# The expression builders above (minhash_signature / simhash_signature) are
+# the executable spec: every arithmetic step mirrors the DuckDB oracle
+# verbatim. But as *hot paths* they are interpreted higher-order-function
+# folds — measured ~2.7 s of each dedup query's cost at sf0.1 (5000 docs) is
+# the per-element lambda evaluation, the same pathology the LSH code stage
+# had (operators/similarity.py). These kernels compute the identical
+# signatures (md5 via hashlib == Spark md5 of the UTF-8 bytes == DuckDB md5
+# of the VARCHAR) in numpy over Arrow batches; tests/test_operators_unit.py
+# pins kernel ≡ expression on the fixtures. A per-worker memo caches token/
+# shingle digests — corpus vocabulary repeats heavily, so most md5 work is
+# amortized away.
+
+_TOKEN_RE_STR = "[A-Za-z0-9]+"
+_MD5_MEMO_CAP = 1_000_000
+
+
+def _minhash_sig_udf():
+    """pandas_udf: text -> array<long> of the 16 minhash values,
+    bit-identical to minhash_signature()."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile(_TOKEN_RE_STR)
+    A = np.array(_MINHASH_A, dtype=np.int64)[:, None]
+    B = np.array(_MINHASH_B, dtype=np.int64)[:, None]
+    memo: dict[str, int] = {}
+
+    def h31(s: str) -> int:
+        v = memo.get(s)
+        if v is None:
+            if len(memo) > _MD5_MEMO_CAP:
+                memo.clear()
+            v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:13], 16) % _MINHASH_P
+            memo[s] = v
+        return v
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts):
+        out = []
+        for text in texts:
+            toks = tok_re.findall(text)
+            if len(toks) >= 3:
+                sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            else:
+                sh = {text}
+            hs = np.array([h31(s) for s in sh], dtype=np.int64)
+            out.append((A * hs + B) % _MINHASH_P if hs.size else A * 0 + _MINHASH_P + 1)
+        return pd.Series([m.min(axis=1) if m.ndim > 1 else m.ravel() for m in out])
+
+    return sig
+
+
+def _simhash_sig_udf():
+    """pandas_udf: text -> the 64-bit simhash long, bit-identical to
+    simhash_signature() (including the empty-token-array -> 0 case)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile(_TOKEN_RE_STR)
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    memo: dict[str, int] = {}
+
+    def h64(t: str) -> int:
+        v = memo.get(t)
+        if v is None:
+            if len(memo) > _MD5_MEMO_CAP:
+                memo.clear()
+            hx = hashlib.md5(t.encode("utf-8")).hexdigest()
+            # bit k of the word = bit k of lo for k<32, bit k-32 of hi above
+            # — i.e. the word IS (hi << 32) | lo.
+            v = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+            memo[t] = v
+        return v
+
+    @F.pandas_udf(LongType())
+    def sig(texts):
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for row, text in enumerate(texts):
+            toks = tok_re.findall(text)
+            if not toks:
+                continue  # fold over an empty array leaves the zero init
+            ws = np.array([h64(t) for t in toks], dtype=np.uint64)
+            ones = ((ws[:, None] >> shifts) & 1).sum(axis=0)
+            bits = (2 * ones > len(toks)).astype(np.uint64)
+            out[row] = (bits << shifts).sum(dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
+
+    return sig
+
+
+def _shingle_hash_udf():
+    """pandas_udf: text -> array<long> of DISTINCT 63-bit shingle hashes
+    (md5-derived). Jaccard is computed from |∩| and set sizes — invariant
+    under ANY injective hash — so this kernel replaces the xxhash64
+    expression path with no semantic change; the string-level oracle is the
+    collision canary either way."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile(_TOKEN_RE_STR)
+    memo: dict[str, int] = {}
+
+    def h63(s: str) -> int:
+        v = memo.get(s)
+        if v is None:
+            if len(memo) > _MD5_MEMO_CAP:
+                memo.clear()
+            v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            memo[s] = v
+        return v
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def harr(texts):
+        out = []
+        for text in texts:
+            toks = tok_re.findall(text)
+            if len(toks) >= 3:
+                sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            else:
+                sh = {text}
+            out.append(np.array([h63(s) for s in sh], dtype=np.int64))
+        return pd.Series(out)
+
+    return harr
+
+
 # Full DuckDB mirror of the simhash pipeline: identical tokens (with
 # duplicates — term frequency weights the bit votes), identical md5-derived
 # 32-bit hash halves, the same 64 sign-of-sum bits assembled with the same
@@ -469,7 +609,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     width-capped by capped_bucket before pair expansion; the banding/verify
     plan shape is unchanged."""
     docs = parallelized(table(spark, sf_dir, "documents"))
-    sim = docs.select("doc_id", simhash_signature("text").alias("simhash"))
+    # Arrow-batched kernel == simhash_signature() bit-for-bit (pinned by
+    # tests); the 64-bit-carrying expression fold is the slow path.
+    sim = docs.select("doc_id", _simhash_sig_udf()("text").alias("simhash"))
     blocks = sim.select(
         F.struct("doc_id", "simhash").alias("rec"),
         F.explode(
@@ -568,11 +710,12 @@ def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = parallelized(table(spark, sf_dir, "documents"))
-    # Shingles are shuffled as 8-byte xxhash64 values, not strings: Jaccard
-    # is computed from |∩| and set sizes, both invariant under an injective
-    # hash, so the equi-join keys shrink ~4× with identical results (64-bit
-    # collision odds at ~1e6 distinct shingles: ~3e-8 — the string oracle
-    # below is the collision canary).
+    # Shingles are shuffled as 8-byte hash values, not strings: Jaccard is
+    # computed from |∩| and set sizes, both invariant under an injective
+    # hash, so the equi-join keys shrink ~4× with identical results (63-bit
+    # collision odds at ~1e6 distinct shingles: ~1e-7 — the string oracle
+    # below is the collision canary). The hashes come from the Arrow-batched
+    # shingle kernel (md5-derived; see _shingle_hash_udf).
     # Single pipeline: the shingle-set size n rides along with every
     # exploded shingle row, so there is no second branch recomputing the
     # shingles for a per-doc size aggregate and no size join at the end —
@@ -580,12 +723,7 @@ def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction twice and added a shuffle + two joins (6.0s → ~3.4s at
     # sf0.1). The n column is redundant across a doc's rows (one long), a
     # cheap trade for halving the heavy work.
-    base = docs.select(
-        "doc_id",
-        F.array_distinct(F.transform(_shingles("text"), lambda s: F.xxhash64(s))).alias(
-            "harr"
-        ),
-    )
+    base = docs.select("doc_id", _shingle_hash_udf()("text").alias("harr"))
     sh = base.select(
         "doc_id", F.size("harr").alias("n"), F.explode("harr").alias("shingle")
     )

@@ -457,3 +457,44 @@ def test_lsh_contract_and_recall_floor(spark):
     approx = {(r["vec_id"], r["neighbor_id"]) for r in lsh}
     recall = len(approx & exact) / len(exact)
     assert recall > 0.2, recall
+
+
+def test_signature_kernels_match_expression_builders(spark):
+    """The Arrow-batched md5 kernels are drop-in replacements for the
+    expression builders (the executable spec the DuckDB oracles mirror):
+    bit-identical minhash signatures, simhash longs, and Jaccard-invariant
+    shingle-set SIZES on the full fixture corpus, including the short-doc
+    whole-text-shingle fallback and an empty-token doc."""
+    from mapreduce_framework_api_spark.operators import dedup as D
+    from mapreduce_framework_api_spark.sources import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, "a b"), (9002, ""), (9003, "!!! ...")], "doc_id long, text string"
+    )
+    docs = docs.unionByName(edge)
+
+    mh = docs.select(
+        "doc_id",
+        D.minhash_signature("text").alias("expr"),
+        D._minhash_sig_udf()("text").alias("kern"),
+    )
+    assert mh.filter("expr <> kern").count() == 0
+
+    sh = docs.select(
+        "doc_id",
+        D.simhash_signature("text").alias("expr"),
+        D._simhash_sig_udf()("text").alias("kern"),
+    )
+    assert sh.filter("expr <> kern").count() == 0
+
+    # Shingle hashes differ by design (md5-derived vs the old xxhash64);
+    # Jaccard only sees set sizes and intersections, so assert the kernel's
+    # DISTINCT size matches the expression shingle set exactly.
+    jc = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(D._shingles("text"))).alias("n_expr"),
+        F.size(D._shingle_hash_udf()("text")).alias("n_kern"),
+    )
+    assert jc.filter("n_expr <> n_kern").count() == 0
