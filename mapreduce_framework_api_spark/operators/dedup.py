@@ -494,12 +494,13 @@ def _simhash_sig_udf():
     return sig
 
 
-def _shingle_hash_udf():
-    """pandas_udf: text -> array<long> of DISTINCT 63-bit shingle hashes
-    (md5-derived). Jaccard is computed from |∩| and set sizes — invariant
-    under ANY injective hash — so this kernel replaces the xxhash64
-    expression path with no semantic change; the string-level oracle is the
-    collision canary either way."""
+def _shingle_hash_udf(k: int = 3):
+    """pandas_udf: text -> array<long> of DISTINCT 63-bit k-shingle hashes
+    (md5-derived; whole-text fallback for docs shorter than k tokens, same
+    as _shingles). Set-overlap measures (Jaccard, contamination counts) are
+    invariant under ANY injective hash — so this kernel replaces the string
+    shingles with no semantic change; the string-level oracles are the
+    collision canary."""
     import hashlib
     import re
 
@@ -523,8 +524,8 @@ def _shingle_hash_udf():
         out = []
         for text in texts:
             toks = tok_re.findall(text)
-            if len(toks) >= 3:
-                sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= k:
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
             else:
                 sh = {text}
             out.append(np.array([h63(s) for s in sh], dtype=np.int64))

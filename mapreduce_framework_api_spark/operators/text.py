@@ -375,3 +375,72 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(distinct_ratio * 10000.0 + 0.5).cast("long").alias("distinct_ratio_x10000"),
         F.floor(top_frac * 10000.0 + 0.5).cast("long").alias("top_trigram_frac_x10000"),
     ).orderBy("doc_id")
+
+
+# Corpus-LM surprisal: floor(log2(corpus count)) per token, computed as an
+# integer CASE chain (identical on both engines — no FP log whose last-ulp
+# could flip a floor). 2^40 comfortably exceeds any single-token count this
+# side of a ~10^13-token corpus; extend the chain if yours is bigger.
+_SURPRISAL_MAX_LOG2 = 40
+_SURPRISAL_CASE_SQL = "CASE " + " ".join(
+    f"WHEN cnt >= {1 << b} THEN {b}" for b in range(_SURPRISAL_MAX_LOG2, 0, -1)
+) + " ELSE 0 END"
+
+
+def _bucket_expr(cnt):
+    """floor(log2(cnt)) for cnt >= 1 as a pure-integer CASE chain."""
+    e = F.lit(0)
+    for b in range(1, _SURPRISAL_MAX_LOG2 + 1):
+        e = F.when(cnt >= (1 << b), b).otherwise(e)
+    return e
+
+
+@register(
+    "q_text_surprisal",
+    group="I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), b AS (
+  SELECT token, {_SURPRISAL_CASE_SQL} AS bucket FROM vocab
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(FLOOR(100.0 * SUM(b.bucket) / COUNT(*) + 0.5) AS BIGINT)
+         AS mean_bucket_x100
+FROM toks t JOIN b USING (token)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document quality signal: per doc, the mean over its
+    tokens (duplicates included) of floor(log2(corpus frequency)) — the
+    integer-exact stand-in for mean log-probability. Low scores flag
+    rare-token-heavy documents (OCR garble, codes, non-language); high
+    scores flag stopword/boilerplate-heavy ones — the cheap two-ended
+    quality filter a pipeline applies before perplexity models.
+
+    Plan: one scan explodes tokens; the vocabulary is a map-side-combined
+    hash aggregate on token (shuffled bytes ≈ distinct vocabulary, not
+    corpus size); scoring co-partitions doc tokens with the vocabulary on
+    the token key (AQE broadcasts it when small); one final per-doc hash
+    aggregate. Exact integer sums — the one division happens once per doc
+    on both engines with identical operands."""
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", explode_tokens("text"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    buckets = vocab.select("token", _bucket_expr(F.col("cnt")).alias("bucket"))
+    return (
+        toks.join(buckets, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.floor(100.0 * F.sum("bucket") / F.count("*") + 0.5)
+            .cast("bigint")
+            .alias("mean_bucket_x100"),
+        )
+        .orderBy("doc_id")
+    )

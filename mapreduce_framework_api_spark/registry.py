@@ -66,11 +66,12 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-3 window: the ten new queries (canonical/report/pii_scrub/salted×2/
-# star/repetition/attrib/sketches×2), this round's fixes (multimodal ×2,
-# dedup ×6, similarity ×3, agg_stats), the r01-only set (events, pipe,
-# percentile, fn), and 12 relational re-checks. Sitting out (all r02-green,
-# code untouched): rollup/cube/sort/set_ops/grouping_sets/pivot/full_outer/
+# Round-3 window: the twelve new queries (canonical/report/pii_scrub/
+# salted×2/star/repetition/attrib/sketches×2/decontaminate/surprisal),
+# this round's fixes (multimodal ×2, dedup ×6, similarity ×3, agg_stats),
+# the r01-only set (events, pipe, percentile, fn), and 10 relational
+# re-checks. Sitting out (all r02-green, code untouched): agg_basic/
+# distinct/rollup/cube/sort/set_ops/grouping_sets/pivot/full_outer/
 # subqueries/limit_offset, text ×7, windows ×7, wordcount_rdd.
 _WINDOW: tuple[str, ...] = (
     "q_dedup_canonical",
@@ -121,8 +122,8 @@ _WINDOW: tuple[str, ...] = (
     "q_join_anti",
     "q_join_theta_range",
     "q_join_asof",
-    "q_agg_basic",
-    "q_agg_distinct",
+    "q_dedup_decontaminate",
+    "q_text_surprisal",
 )
 
 
@@ -132,6 +133,7 @@ def load_all_queries() -> dict[str, Query]:
     global _LOADED
     if not _LOADED:
         from mapreduce_framework_api_spark.operators import (  # noqa: F401
+            contamination,
             dedup,
             events,
             multimodal,

@@ -498,3 +498,59 @@ def test_signature_kernels_match_expression_builders(spark):
         F.size(D._shingle_hash_udf()("text")).alias("n_kern"),
     )
     assert jc.filter("n_expr <> n_kern").count() == 0
+
+
+def test_decontaminate_flags_exact_overlap(spark, tmp_path):
+    """A training doc sharing an 8-gram with an eval doc is flagged with
+    the exact overlap count; a disjoint training doc is absent. Eval
+    membership is the md5(doc_id) prefix rule, so the test derives
+    eval/train ids the same way the operator does."""
+    import hashlib
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    def is_eval(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] < "10"
+
+    eval_id = next(i for i in range(1000) if is_eval(i))
+    train_a, train_b = [i for i in range(1000) if not is_eval(i)][:2]
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    rows = [
+        (eval_id, leak + " iota kappa", "en", "w", 1),
+        # 9 tokens -> two 8-grams, one shared with the eval doc
+        (train_a, "zero " + leak, "en", "w", 1),
+        (train_b, "one two three four five six seven eight nine", "en", "w", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in load_all_queries()["q_dedup_decontaminate"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == {train_a}
+    assert got[train_a]["n_ngrams"] == 2
+    assert got[train_a]["n_contaminated"] == 1
+    assert got[train_a]["frac_x10000"] == 5000
+
+
+def test_surprisal_buckets_and_mean(spark, tmp_path):
+    """Hand-computed corpus: token counts 4 ('a') and 1 ('b'/'c'/'d') give
+    buckets 2 and 0; per-doc means follow exactly."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = [
+        (1, "a a a b", "en", "w", 1),   # buckets 2,2,2,0 -> mean 1.5 -> 150
+        (2, "a c d", "en", "w", 1),     # buckets 2,0,0 -> mean 2/3 -> 67
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in load_all_queries()["q_text_surprisal"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_tokens"] == 4 and got[1]["mean_bucket_x100"] == 150
+    assert got[2]["n_tokens"] == 3 and got[2]["mean_bucket_x100"] == 67
