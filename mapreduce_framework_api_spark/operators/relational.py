@@ -296,6 +296,62 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bin width for the binned band join. Must be >= the band length (6) so an
+# interval spans at most 2 bins; 8 keeps the explode multiplier at <= 2
+# while the residual filter discards the few cross-bin false candidates.
+_RANGE_BIN_W = 8
+
+
+@register(
+    "q_join_range_binned",
+    group="C",
+    # Same result set as q_join_theta_range: binning is plan-level only.
+    oracle="""
+SELECT s.s_suppkey, s.s_name, p.p_partkey, p.p_size
+FROM supplier s JOIN part p
+  ON p.p_size BETWEEN (s.s_suppkey % 10) * 3 AND (s.s_suppkey % 10) * 3 + 5
+ORDER BY s.s_suppkey, p.p_partkey
+""",
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same band join as q_join_theta_range, rewritten as the plan that
+    survives when NEITHER side fits in a broadcast: quantize the range key
+    into fixed-width bins, explode each interval over the <= 2 bins it
+    touches, equi-join on the bin, and re-check the exact band as a
+    residual predicate.
+
+    Spark's own planner can only give a theta join BroadcastNestedLoop (one
+    side must fit in memory) or a cartesian product (never at scale); the
+    bin column turns it into an ordinary shuffled equi-join — both sides
+    partition by bin, cost is O(colliding bin pairs), and AQE handles a
+    skewed bin like any other hot key. The explode multiplies the interval
+    side by at most ceil(band/width) + 1 = 2 rows. Same trick at the heart
+    of the LSH banding pipelines (operators/similarity.py); the point-side
+    bin is unique, so no dedup step is needed — each true pair meets in
+    exactly one bin."""
+    w = _RANGE_BIN_W
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", ((F.col("s_suppkey") % 10) * 3).alias("lo")
+    )
+    s_binned = s.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / w), F.floor((F.col("lo") + 5) / w)
+            )
+        ),
+    )
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", F.floor(F.col("p_size") / w).alias("bin")
+    )
+    return (
+        s_binned.join(p, "bin")
+        .filter((F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("lo") + 5))
+        .select("s_suppkey", "s_name", "p_partkey", "p_size")
+        .orderBy("s_suppkey", "p_partkey")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

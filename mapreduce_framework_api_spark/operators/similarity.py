@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from mapreduce_framework_api_spark.operators.dedup import (
+    _BUCKET_CAP,
     _dot,
     _pairs_within,
     capped_bucket,
@@ -258,7 +259,15 @@ def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     base = table(spark, sf_dir, "embeddings")
     n = base.count()
     d = int(base.select(F.size("embedding").alias("d")).first()["d"])
-    g = min(_LSH_MAX_BITS, max(_LSH_MIN_BITS, math.ceil(math.log2(max(n, 2) / _LSH_TARGET_OCC))))
+    # Integer form of clamp(ceil(log2(n / occ)), MIN, MAX): the smallest b
+    # with 2^b * occ >= n. Pure-integer so the SQL oracle's CASE chain
+    # (_LSH_G_CASE) agrees bit-for-bit — ceil(log2(x)) through two
+    # different libms can disagree by 1 at exact powers of two.
+    g = _LSH_MAX_BITS
+    for b in range(_LSH_MIN_BITS, _LSH_MAX_BITS):
+        if (1 << b) * _LSH_TARGET_OCC >= n:
+            g = b
+            break
     return g, d
 
 
@@ -276,15 +285,88 @@ def _cosine_batch(va, vb):   # need a live session at import time
     return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
 
+# Full DuckDB mirror of the sign-LSH pipeline. Every stage is exactly
+# reproducible because the hash family is coordinate-difference signs:
+# bit k of table t is just (e[i] > e[j]) for deterministic (i, j) — an
+# exact float comparison, no dot products, no FP accumulation — so the
+# codes, buckets, hot-bucket cap, and candidate set agree bit-for-bit
+# across engines. Only the final cosine SCORE is floating point, and it
+# uses the identical convention the already-hash-green q_sim_cosine_topk
+# oracle uses (double-cast dot / norms, ROUND 2, neighbor_id tie-break).
+# The band width g is the same pure-integer CASE chain _lsh_geometry uses.
+_LSH_G_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= {(1 << b) * _LSH_TARGET_OCC} THEN {b}"
+        for b in range(_LSH_MIN_BITS, _LSH_MAX_BITS)
+    )
+    + f" ELSE {_LSH_MAX_BITS} END"
+)
+_LSH_ORACLE = f"""
+WITH params AS (
+  SELECT (SELECT COUNT(*) FROM embeddings) AS n,
+         (SELECT len(embedding) FROM embeddings LIMIT 1) AS d
+), geom AS (
+  SELECT d, {_LSH_G_CASE} AS g FROM params
+), planes AS (
+  SELECT t.t, k.k,
+         (17 * (t.t * 32 + k.k) + t.t) % d AS i0,
+         CASE WHEN (17 * (t.t * 32 + k.k) + t.t) % d
+                   = (17 * (t.t * 32 + k.k) + 29 + 7 * t.t) % d
+              THEN ((17 * (t.t * 32 + k.k) + 29 + 7 * t.t) % d + 1) % d
+              ELSE (17 * (t.t * 32 + k.k) + 29 + 7 * t.t) % d END AS j0
+  FROM geom, range({_LSH_TABLES}) t(t), range({_LSH_MAX_BITS}) k(k)
+  WHERE k.k < g
+), codes AS (
+  SELECT e.vec_id, p.t AS table_id,
+         SUM(CASE WHEN e.embedding[p.i0 + 1] > e.embedding[p.j0 + 1]
+                  THEN CAST(1 AS BIGINT) << p.k ELSE 0 END) AS code
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.t
+), bk AS (
+  SELECT table_id, code, list_slice(list_sort(list(vec_id)), 1, {_BUCKET_CAP}) AS ds
+  FROM codes GROUP BY table_id, code HAVING COUNT(*) > 1
+), cand AS (
+  SELECT DISTINCT ua.a AS ida, ub.b AS idb
+  FROM bk, UNNEST(ds) AS ua(a), UNNEST(ds) AS ub(b)
+  WHERE ua.a < ub.b
+), vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv
+), once AS (
+  SELECT c.ida, c.idb, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
+  FROM cand c JOIN nrm a ON c.ida = a.vec_id JOIN nrm b ON c.idb = b.vec_id
+), scored AS (
+  SELECT ida AS vec_id, idb AS neighbor_id, cos_raw FROM once
+  UNION ALL
+  SELECT idb AS vec_id, ida AS neighbor_id, cos_raw FROM once
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, neighbor_id, ROUND(cos_raw, 2) AS cosine, rk
+FROM ranked WHERE rk <= {_LSH_TOP_K}
+ORDER BY vec_id, rk
+"""
+
+
 @register(
     "q_sim_ann_lsh",
     group="I",
-    oracle=None,  # approximate by construction: rows-only check
+    oracle=_LSH_ORACLE,
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via occupancy-targeted multi-table
     sign-LSH (16 tables, band bits g = log2(n / 8) adapted to corpus
     size — see the layout note above for the measured recall).
+
+    Approximate-but-deterministic: the coordinate-difference hash family
+    makes every stage up to candidate generation exact integer/comparison
+    work, so unlike typical ANN this query has a FULL differential oracle
+    (_LSH_ORACLE) rather than a rows-only check.
 
     Candidate generation is a width-capped bucket groupBy per (table,
     code) + array-side pair expansion (ids only — vectors are NOT

@@ -66,13 +66,14 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-3 window: the twelve new queries (canonical/report/pii_scrub/
-# salted×2/star/repetition/attrib/sketches×2/decontaminate/surprisal),
-# this round's fixes (multimodal ×2, dedup ×6, similarity ×3, agg_stats),
-# the r01-only set (events, pipe, percentile, fn), and 10 relational
-# re-checks. Sitting out (all r02-green, code untouched): agg_basic/
-# distinct/rollup/cube/sort/set_ops/grouping_sets/pivot/full_outer/
-# subqueries/limit_offset, text ×7, windows ×7, wordcount_rdd.
+# Round-3 window: the thirteen new queries (canonical/report/pii_scrub/
+# salted×2/star/repetition/attrib/sketches×2/decontaminate/surprisal/
+# range_binned), this round's fixes (multimodal ×2, dedup ×6, similarity
+# ×3 — ann_lsh newly oracle-checked — agg_stats), the r01-only set
+# (events, pipe, percentile, fn), and 9 relational re-checks. Sitting out
+# (all r02-green, code untouched): scan_project, agg_basic/distinct/
+# rollup/cube/sort/set_ops/grouping_sets/pivot/full_outer/subqueries/
+# limit_offset, text ×7, windows ×7, wordcount_rdd.
 _WINDOW: tuple[str, ...] = (
     "q_dedup_canonical",
     "q_dedup_report",
@@ -112,7 +113,7 @@ _WINDOW: tuple[str, ...] = (
     "q_fn_json",
     "q_fn_array",
     "q_fn_conditional",
-    "q_scan_project",
+    "q_join_range_binned",
     "q_filter_pred",
     "q_join_inner",
     "q_join_broadcast",

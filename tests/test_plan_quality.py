@@ -110,3 +110,15 @@ def test_no_inferred_filter_below_explode(spark, queries):
     import re
 
     assert not re.search(r"Filter \(*size\(array_distinct", plan), plan[:2000]
+
+
+def test_range_binned_join_is_equi_not_nested_loop(spark, queries):
+    """The binned band join exists precisely to avoid the nested-loop tier:
+    its physical join on the bin key must be a hash/sort-merge equi-join,
+    never BroadcastNestedLoop (which requires one side in memory) or
+    CartesianProduct. The residual band predicate rides on the equi-join."""
+    df = queries["q_join_range_binned"].fn(spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert strategies, "expected at least one join in the plan"
+    bad = [s for s in strategies if s in ("BroadcastNestedLoopJoin", "CartesianProduct")]
+    assert bad == [], strategies
