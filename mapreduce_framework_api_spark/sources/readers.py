@@ -37,12 +37,19 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table as a DataFrame (lazy; pushdown-capable).
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
-    a timestamp ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos
-    (legacy.parquet.nanosAsLong) and convert ns → µs in the plan
-    (``ts DIV 1000`` — integer division; a double roundtrip would lose
-    precision above 2^53 ns). Matches DuckDB's CAST(ts AS TIMESTAMP)
-    truncation, per the FIXTURES.md gotcha-#1 discipline.
+    events.ts normalization is schema-adaptive — fixtures have shipped both
+    parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS), and a reader that
+    hard-codes one physical encoding breaks on the other:
+
+    - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp
+      ([PARQUET_TYPE_ILLEGAL]); retry with legacy.parquet.nanosAsLong and
+      convert ns → µs in the plan (``ts DIV 1000`` — integer division; a
+      double roundtrip would lose precision above 2^53 ns). Matches
+      DuckDB's CAST(ts AS TIMESTAMP) truncation.
+    - TIMESTAMP(MICROS) (isAdjustedToUTC=false): reads natively as
+      TIMESTAMP_NTZ; cast to TimestampType (value-preserving: the session
+      timezone is pinned to UTC) so downstream plans see one type either
+      way.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
@@ -50,9 +57,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # Schema inference failed — the nanos encoding. Enable the
+            # legacy long read and retry.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            # nanosAsLong path (also hit when the conf is already set from
+            # an earlier read in this session).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -42,40 +42,65 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 WATERMARK = "24 hours"
 SESSION_GAP = "30 minutes"
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw parquet NANOS (see sources/readers.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_is_nanos(path: str) -> bool:
+    """Inspect the parquet footer for the physical ts encoding.
+
+    ``readStream`` requires an explicit schema up-front, so the dtype
+    dispatch the batch reader does post-read (``sources/readers.py``) has
+    to happen pre-read here: one footer read, no data scanned. Fixtures
+    have shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS); hard-coding
+    either breaks on the other.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        path = os.path.join(path, sorted(parts)[0])
+    return "ns" in str(pq.read_schema(path).field("ts").type)
+
+
+def _events_schema(ts_nanos: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_nanos else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet directory.
 
     ``maxFilesPerTrigger=1`` keeps micro-batches bounded no matter how many
-    files land; the ns→µs conversion matches the batch reader so both lanes
+    files land; the ts normalization matches the batch reader so both lanes
     see identical timestamps. The file stream source lists a *directory*
     (new files appearing there are the stream); the fixture is a single
     parquet file, so it is staged into a temp dir via symlink — in
     production the landing directory already exists and files arrive in it.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
+    ts_nanos = _events_ts_is_nanos(src)
     if os.path.isfile(src):
         staged = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(staged, "events.parquet"))
         src = staged
+    if ts_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_nanos))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # TIMESTAMP_NTZ → TimestampType is value-preserving under the pinned
+    # UTC session timezone.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
