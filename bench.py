@@ -40,7 +40,19 @@ def main() -> None:
     # q_dedup_clusters 13.5 s cold vs 4.5 s once classes are compiled,
     # identical data). Compiling is schema-dependent, not data-dependent,
     # so it's warmed at sf0.001 where the data cost is nil.
-    registry["q_text_wordcount"].fn(spark, sf_dir).count()
+    # Every warm-up and timed run is individually fenced: one broken query
+    # must cost exactly its own row (recorded as an "err"), never the whole
+    # bench — r02/r03 both produced rc=1 with zero timings for 77 healthy
+    # queries because a single AnalysisException escaped.
+    def _safe_count(fn, *args) -> tuple[int | None, str | None]:
+        try:
+            return fn(*args).count(), None
+        except Exception as exc:
+            return None, f"{type(exc).__name__}: {exc}"[:500]
+
+    _, err = _safe_count(registry["q_text_wordcount"].fn, spark, sf_dir)
+    if err:
+        print(f"# warmup q_text_wordcount: {err}", file=sys.stderr)
     spark.range(32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
@@ -59,15 +71,24 @@ def main() -> None:
             "q_sim_ivf_topk",  # k-means + cogroup scoring plans
             "q_sketch_cms",  # 4x256 counter expression tree
         ):
-            registry[wq].fn(spark, warm_sf).count()
+            _, err = _safe_count(registry[wq].fn, spark, warm_sf)
+            if err:
+                print(f"# warmup {wq}: {err}", file=sys.stderr)
 
     import gc
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(registry.items()):
         t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERR {errors[name]}", file=sys.stderr)
+            gc.collect()
+            continue
         per_query[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {per_query[name]:.2f}s ({n} rows)", file=sys.stderr)
         # Drop the query's DataFrame/RDD references NOW so the JVM
@@ -80,17 +101,16 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
     spark.stop()
 
 
