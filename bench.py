@@ -68,7 +68,7 @@ def main() -> None:
             "q_dedup_canonical",  # label-propagation loop + election window
             "q_dedup_embedding",  # blocked-index mapInPandas scan
             "q_sim_ann_lsh",
-            "q_sim_ivf_topk",  # k-means + cogroup scoring plans
+            "q_sim_ivf_topk",  # quantizer + cogroup scoring plans
             "q_sketch_cms",  # 4x256 counter expression tree
         ):
             _, err = _safe_count(registry[wq].fn, spark, warm_sf)

@@ -16,8 +16,9 @@ Three tiers:
   Buckets are width-capped (hot-bucket guard) and pair generation is
   array-side — never a cross join; scoring is one Arrow-batched numpy
   kernel over unordered pairs.
-- ``q_sim_ivf_topk``: IVF — deterministic k-means coarse quantizer trained
-  on a bounded hash-sample, inverted lists probed per query via cogroup.
+- ``q_sim_ivf_topk``: IVF — deterministic hash-seeded coarse quantizer
+  with integer-exact assignment (full differential oracle), inverted
+  lists probed per query via cogroup.
 
 Design note: Spark has no vector index; all tiers are DataFrame plans plus
 Arrow-batched kernels. The blocked-broadcast loop is the same shape a
@@ -429,72 +430,111 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 16  # inverted lists
 _IVF_NPROBE = 2  # clusters scored per query
-_IVF_ITERS = 5  # Lloyd refinement passes (deterministic)
 _IVF_TOP_K = 3
-_IVF_TRAIN_CAP = 1000 * _IVF_K  # k-means needs ~1000×K points, no more
-
-
-def ivf_centroids(spark: SparkSession, sf_dir: str):
-    """Deterministic IVF coarse quantizer: k-means with init = the K
-    lowest-vec_id training vectors and a fixed iteration count (no RNG, no
-    early stop — identical output every run).
-
-    Training pulls a BOUNDED deterministic hash-sample to the driver
-    (pmod(xxhash64(vec_id)) thinning — the q_pipe_sample_hash trick), capped
-    at ~1000×K rows, so the driver footprint is constant in corpus size.
-    Fixture tables are under the cap and train on every row. Returns the
-    row-normalized centroid matrix [K, d] float64."""
-    import numpy as np
-
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()
-    if n > _IVF_TRAIN_CAP:
-        keep = int(1_000_000 * _IVF_TRAIN_CAP / n)
-        e = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)) < keep)
-    pdf = e.orderBy("vec_id").toPandas()
-    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    c = x[:_IVF_K].copy()
-    for _ in range(_IVF_ITERS):
-        c_n = c / np.linalg.norm(c, axis=1, keepdims=True)
-        assign = (x @ c_n.T).argmax(axis=1)
-        for j in range(_IVF_K):
-            members = x[assign == j]
-            if len(members):
-                c[j] = members.mean(axis=0)
-    return c / np.linalg.norm(c, axis=1, keepdims=True)
+# Coordinates are quantized to integers (floor(x * 2^18)) before the
+# assignment dot products. Multiplying a float by a power of two is exact
+# in double, floor is exact, and the integer dot products stay far below
+# 2^53 (|x| < 1 ⇒ |terms| < 2^36, d=64 ⇒ |sum| < 2^42), so EVERY partial
+# sum is an exactly-representable integer — the assignment argmax agrees
+# bit-for-bit across engines regardless of summation order. That is what
+# upgrades IVF from a rows-only check to a full differential oracle (the
+# same trick sign-LSH uses, with integer dots instead of sign bits).
+_IVF_SCALE = 1 << 18
 
 
 @register(
     "q_sim_ivf_topk",
     group="I",
-    oracle=None,  # approximate by construction: rows-only check
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS q,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seed AS (
+  SELECT vec_id, q FROM iv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
+), cent AS (
+  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c FROM seed
+), dots AS (
+  SELECT iv.vec_id, cent.c,
+         CAST(list_dot_product(iv.q, cent.cq) AS BIGINT) AS dot
+  FROM iv, cent
+), probe_rank AS (
+  SELECT vec_id, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS pr
+  FROM dots
+), assigned AS (
+  SELECT vec_id, c AS cluster FROM probe_rank WHERE pr = 1
+), probes AS (
+  SELECT vec_id AS q_id, c AS cluster FROM probe_rank WHERE pr <= {_IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE p.q_id <> a.vec_id
+), nrm AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM iv
+), scored AS (
+  SELECT c.q_id AS vec_id, c.n_id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
+  FROM cand c JOIN nrm a ON c.q_id = a.vec_id JOIN nrm b ON c.n_id = b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, neighbor_id, ROUND(cos_raw, 2) AS cosine, rk
+FROM ranked WHERE rk <= {_IVF_TOP_K}
+ORDER BY vec_id, rk
+""",
 )
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 cosine neighbors via an IVF index (the third ANN
     tier next to brute force and sign-LSH).
 
-    Structure: (1) deterministic coarse quantizer (broadcast K×d centroids,
-    trained on a bounded hash-sample); (2) every vector is assigned to its
-    nearest centroid's inverted list; (3) every query probes its
-    _IVF_NPROBE nearest lists — an equi-join on cluster id, so the shuffle
-    routes each query to ≤2 of K partitions instead of all of them;
-    (4) per-cluster scoring is one Arrow-batched BLAS matmul per
-    (query-batch × list); (5) global top-k merges the probed lists with a
-    window. Recall > sign-LSH at the same candidate budget because lists
-    follow the data distribution."""
+    Structure: (1) deterministic coarse quantizer — the K seed vectors with
+    the smallest md5(vec_id) (an engine-portable hash-sample; K driver
+    rows, corpus-size-independent), assignment by argmax over
+    INTEGER-quantized dot products (see _IVF_SCALE: exact in both engines,
+    ties to the lower centroid index); (2) every vector joins its nearest
+    centroid's inverted list; (3) every query probes its _IVF_NPROBE
+    nearest lists — an equi-join on cluster id, so the shuffle routes each
+    query to ≤2 of K partitions instead of all of them; (4) per-cluster
+    scoring is one Arrow-batched BLAS matmul per (query-batch × list);
+    (5) global top-k merges the probed lists with a window.
+
+    Approximate-but-deterministic, so — like sign-LSH — it carries a FULL
+    differential oracle rather than a rows-only check. A production
+    deployment would swap the seed quantizer for k-means centroids (better
+    recall per probe, FP-iterative so not oracle-reproducible); the plan
+    shape (broadcast centroids → list assignment → cogroup scoring) is
+    identical."""
     import numpy as np
     import pandas as pd
 
-    cent = spark.sparkContext.broadcast(ivf_centroids(spark, sf_dir))
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_IVF_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    cq = np.floor(
+        np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _IVF_SCALE
+    ).astype(np.int64)
+    cent = spark.sparkContext.broadcast(cq)
 
     def assign(batches):
         for pdf in batches:
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = qn @ cent.value.T
-            top = np.argsort(-sims, axis=1)[:, :_IVF_NPROBE]
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            iv = np.floor(v * _IVF_SCALE).astype(np.int64)
+            dots = iv @ cent.value.T  # int64: exact, engine-portable
+            # stable sort on -dots ⇒ ties keep ascending centroid index,
+            # matching the oracle's (dot DESC, c ASC) row_number order
+            order = np.argsort(-dots, axis=1, kind="stable")
+            top = order[:, :_IVF_NPROBE]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
