@@ -76,27 +76,19 @@ def test_codegen_covers_relational_core(spark, queries):
         assert codegen_stage_count(df) > 0, name
 
 
-def test_no_row_python_udfs_anywhere(spark, queries):
-    """Python in the hot path is Arrow-batched (MapInPandas) or absent —
-    never row-at-a-time BatchEvalPython."""
-    offenders = [
-        name
-        for name, q in queries.items()
-        if scans_python_udf(q.fn(spark, SF_DIR))
-    ]
-    assert offenders == [], offenders
+@pytest.mark.parametrize("name", sorted(load_all_queries()))
+def test_plan_hygiene_per_query(spark, queries, name):
+    """Per-query plan hygiene (parametrized so one broken operator fails
+    exactly its own case, not a whole sweep):
 
-
-def test_no_cartesian_products_anywhere(spark, queries):
-    """No registered query may plan a CartesianProduct: unbounded pairwise
-    blowup at scale. (Theta/range joins go through broadcast nested loop
-    with one small side instead.)"""
-    offenders = [
-        name
-        for name, q in queries.items()
-        if "CartesianProduct" in join_strategies(q.fn(spark, SF_DIR))
-    ]
-    assert offenders == [], offenders
+    - Python in the hot path is Arrow-batched (MapInPandas) or absent —
+      never row-at-a-time BatchEvalPython.
+    - No CartesianProduct: unbounded pairwise blowup at scale. (Theta/
+      range joins go through broadcast nested loop with one small side
+      instead.)"""
+    df = queries[name].fn(spark, SF_DIR)
+    assert not scans_python_udf(df), "row-at-a-time Python UDF in plan"
+    assert "CartesianProduct" not in join_strategies(df), "CartesianProduct in plan"
 
 
 def test_no_inferred_filter_below_explode(spark, queries):

@@ -12,25 +12,26 @@ construction (blocked index collection, IVF centroid training, the cluster
 label loop); at sf0.001 that is sub-second per query.
 """
 
+import pytest
 from conftest import SF_DIR
 
 from mapreduce_framework_api_spark.registry import load_all_queries
 
+QUERIES = load_all_queries()
 
-def test_every_registered_query_builds(spark):
-    failures = {}
-    for name, q in load_all_queries().items():
-        try:
-            df = q.fn(spark, SF_DIR)
-            _ = df.schema  # force analysis, not just construction
-        except Exception as e:  # noqa: BLE001 — collecting all failures
-            failures[name] = f"{type(e).__name__}: {e}"
-    assert not failures, f"{len(failures)} queries fail to build: {failures}"
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registered_query_builds(spark, name):
+    # Parametrized per query (not one sweep loop): a single broken operator
+    # must fail exactly its own case — in round 3 one reader bug failed
+    # three whole sweep tests and the report could not localize it.
+    df = QUERIES[name].fn(spark, SF_DIR)
+    _ = df.schema  # force analysis, not just construction
 
 
 def test_every_oracle_has_matching_registration(spark):
     """Oracle coverage contract: each registered query either declares a
     DuckDB oracle string or is explicitly rows-only (oracle=None); no
     oracle may be empty/whitespace."""
-    for name, q in load_all_queries().items():
+    for name, q in QUERIES.items():
         assert q.oracle is None or q.oracle.strip(), f"{name}: empty oracle"
