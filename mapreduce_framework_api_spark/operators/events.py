@@ -24,6 +24,7 @@ from mapreduce_framework_api_spark.sources import table
 _HOUR_US = 3_600 * 1_000_000
 _HALF_HOUR_US = 1_800 * 1_000_000
 _SESSION_GAP_US = 1_800 * 1_000_000  # 30 min
+_DAY_US = 24 * _HOUR_US
 
 
 @register(
@@ -190,4 +191,167 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("win_start_us", "event_type")
+    )
+
+
+@register(
+    "q_events_funnel",
+    group="H",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t_view
+  FROM e
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t_view THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t_click THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+), per_user AS (
+  SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM s3
+)
+SELECT COUNT(t_view) AS n_view,
+       COUNT(t_click) AS n_view_click,
+       COUNT(t_purchase) AS n_view_click_purchase
+FROM per_user
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user: the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that; output = users completing each stage.
+
+    Plan shape: three chained full-partition windows over ONE user_id hash
+    partitioning (each stage's MIN(CASE...) references the previous
+    stage's timestamp) — a single exchange, no self-joins, no per-stage
+    scans. At 100 TB the alternative (3 filtered aggregates + 2 joins)
+    shuffles the events table three times; this shuffles it once."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    staged = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t_click")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t_purchase", t_purchase)
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .distinct()
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "q_events_retention",
+    group="H",
+    oracle=f"""
+WITH a AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) * {_DAY_US} AS day_us
+  FROM events
+), c AS (
+  SELECT user_id, MIN(day_us) AS cohort_us FROM a GROUP BY user_id
+)
+SELECT c.cohort_us AS cohort_day_us,
+       CAST((a.day_us - c.cohort_us) // {_DAY_US} AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY cohort_day_us, day_offset
+ORDER BY cohort_day_us, day_offset
+""",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active day, counted
+    on each later active day as a day offset — the standard growth-
+    analytics triangle.
+
+    The per-(user, day) dedup, the cohort MIN, and the final join all key
+    on user_id, so AQE reuses one hash partitioning; the output is
+    O(days^2) rows regardless of corpus size. Day buckets are epoch-µs
+    integer floors (engine-portable; no date-type drift)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.unix_micros("ts") / _DAY_US).cast("long") * _DAY_US).alias("day_us"),
+    )
+    active = e.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day_us").alias("cohort_us"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_us").alias("cohort_day_us"),
+            ((F.col("day_us") - F.col("cohort_us")) / _DAY_US)
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day_us", "day_offset")
+    )
+
+
+@register(
+    "q_agg_rollup_reuse",
+    group="D",
+    oracle=f"""
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) * {_DAY_US} AS day_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY day_us, event_type
+ORDER BY day_us, event_type
+""",
+)
+def q_agg_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup reuse (the hypertable / materialized-rollup
+    pattern): DAILY aggregates computed FROM the HOURLY aggregate table,
+    never from raw events — counts and exact-decimal sums compose
+    associatively, so the result is identical to aggregating the raw
+    table (the oracle does exactly that, proving the reuse is lossless).
+
+    At 100 TB this is the difference between scanning 24x fewer rows for
+    every daily/weekly/monthly report and re-scanning raw events each
+    time; the hourly table is what a production pipeline persists. Sums
+    run over DECIMAL(12,2) (value is 2-decimal data) because double
+    addition is NOT associative — the decimal sums make the two-level
+    rollup byte-identical to the direct aggregate on both engines."""
+    e = table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("dv"),
+    )
+    hourly = e.groupBy(
+        ((F.col("ts_us") / _HOUR_US).cast("long") * _HOUR_US).alias("hour_us"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.sum("dv").alias("sv"))
+    return (
+        hourly.groupBy(
+            ((F.col("hour_us") / _DAY_US).cast("long") * _DAY_US).alias("day_us"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+        .orderBy("day_us", "event_type")
     )

@@ -994,3 +994,59 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@register(
+    "q_subquery_corr_agg",
+    group="C",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         COUNT(*) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * pa.n_li < pa.sum_qty
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+)
+def q_subquery_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (the TPC-H Q17 'small-quantity order
+    revenue' shape): lineitems with quantity below 20% of their part's
+    average, revenue per brand.
+
+    Decorrelated the way Catalyst rewrites Q17: one per-part aggregate,
+    joined back to lineitem on the same l_partkey the aggregate shuffled
+    on — AQE reuses the partitioning, so the 'correlated subquery' costs
+    one extra map-side agg, not a per-row subquery execution. The 20%
+    threshold is evaluated in pure integers (qty is integral; 5*qty*n <
+    sum_qty avoids an FP avg whose last-ulp could flip boundary rows
+    between engines), and revenue sums exact decimals (cast DOUBLE at the
+    end), so the oracle is byte-exact."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("iq"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("iq").alias("sum_qty"), F.count("*").alias("n_li")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.lit(5) * F.col("iq") * F.col("n_li") < F.col("sum_qty"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum("price").cast("double").alias("small_revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -173,3 +173,124 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("n").cast("long").alias("n_exact"), "cms_est")
         .orderBy(F.desc("n_exact"), "user_id")
     )
+
+
+# --- Bloom filter (m=4096 bits via 3 md5-derived positions) ----------------
+_BLOOM_K = 3
+_BLOOM_PRICE_CUT = 490_000.0  # "high-value customer" member set
+
+
+def _bloom_pos_sql(j_expr: str, key_expr: str) -> str:
+    # 3 hex chars = exactly 12 bits = [0, 4096) — uniform, no modulo bias
+    return (
+        f"CAST(('0x' || substr(md5(CAST({j_expr} AS VARCHAR) || '#' "
+        f"|| CAST({key_expr} AS VARCHAR)), 1, 3)) AS BIGINT)"
+    )
+
+
+def _bloom_pos(j_col, key_col) -> "F.Column":
+    hx = F.md5(
+        F.concat(j_col.cast("string"), F.lit("#"), key_col.cast("string")).cast("binary")
+    )
+    return F.conv(F.substring(hx, 1, 3), 16, 10).cast("long")
+
+
+@register(
+    "q_sketch_bloom",
+    group="I",
+    oracle=f"""
+WITH ks AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(j)),
+members AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice >= {_BLOOM_PRICE_CUT}
+),
+bits AS (
+  SELECT DISTINCT {_bloom_pos_sql('ks.j', 'members.o_custkey')} AS pos
+  FROM members, ks
+),
+probe AS (
+  SELECT c.c_custkey, c.c_mktsegment, ks.j,
+         {_bloom_pos_sql('ks.j', 'c.c_custkey')} AS pos
+  FROM customer c, ks
+),
+hits AS (
+  SELECT p.c_custkey, p.c_mktsegment,
+         CASE WHEN COUNT(b.pos) = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_pass
+  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.c_custkey, p.c_mktsegment
+),
+truth AS (
+  SELECT h.c_custkey, h.c_mktsegment, h.bloom_pass,
+         CASE WHEN m.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM hits h LEFT JOIN members m ON h.c_custkey = m.o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(is_member) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM truth
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter as a semi-join pre-filter, with its
+    false-positive accounting in the result (bloom guarantees no false
+    negatives: n_bloom_pass >= n_members always).
+
+    The member set (customers with a >= {cut} order) folds to AT MOST
+    m=4096 distinct set-bit positions — the filter state is a fixed-size
+    bit set no matter how many members stream in, built with one
+    map-side-combinable distinct and broadcast to the probe side. This is
+    the runtime-filter pattern that prunes a 100 TB fact scan before the
+    shuffle: probes failing any of the 3 positions never reach the join.
+    md5-derived positions make every bit, pass flag, and count exactly
+    reproducible in the SQL oracle (same discipline as the HLL/CMS
+    sketches above)."""
+    ks = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    members = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= _BLOOM_PRICE_CUT)
+        .select("o_custkey")
+        .distinct()
+    )
+    bits = (
+        members.select(ks, "o_custkey")
+        .select(_bloom_pos(F.col("j"), F.col("o_custkey")).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .select("c_custkey", "c_mktsegment", ks)
+        .withColumn("pos", _bloom_pos(F.col("j"), F.col("c_custkey")))
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.when(F.count("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_pass")
+        )
+    )
+    truth = hits.join(
+        F.broadcast(members.withColumn("is_member", F.lit(1))),
+        hits.c_custkey == members.o_custkey,
+        "left",
+    ).select(
+        "c_mktsegment", "bloom_pass", F.coalesce("is_member", F.lit(0)).alias("is_member")
+    )
+    return (
+        truth.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+            F.sum("is_member").cast("long").alias("n_members"),
+            F.sum(
+                F.when((F.col("bloom_pass") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -66,65 +66,72 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-3 window: the thirteen new queries (canonical/report/pii_scrub/
-# salted×2/star/repetition/attrib/sketches×2/decontaminate/surprisal/
-# range_binned), this round's fixes (multimodal ×2, dedup ×6, similarity
-# ×3 — ann_lsh newly oracle-checked — agg_stats), the r01-only set
-# (events, pipe, percentile, fn), and 9 relational re-checks. Sitting out
-# (all r02-green, code untouched): scan_project, agg_basic/distinct/
-# rollup/cube/sort/set_ops/grouping_sets/pivot/full_outer/subqueries/
-# limit_offset, text ×7, windows ×7, wordcount_rdd.
+# Round-4 window, by the standing policy: (1) the five NEW queries
+# (funnel/retention/rollup_reuse/bloom/corr_agg — no driver row yet);
+# (2) the twelve r03-red rows (the 11 events-reader casualties, all fixed
+# by the schema-adaptive reader, plus q_sim_ivf_topk, which now carries a
+# full oracle); (3) the 13 queries last verified in r01 and the 15 last
+# verified in r02 (2-3 rounds stale); (4) five code-touched/high-value
+# re-checks (similarity module changed for the IVF rewrite; relational
+# gained a query; minhash/clusters are the heaviest dedup results).
+# Sitting out (33): everything else — all hash-green in r03 on code
+# untouched this round.
 _WINDOW: tuple[str, ...] = (
-    "q_dedup_canonical",
-    "q_dedup_report",
-    "q_pipe_pii_scrub",
-    "q_join_skew_salted",
+    # (1) new this round
+    "q_events_funnel",
+    "q_events_retention",
+    "q_agg_rollup_reuse",
+    "q_sketch_bloom",
+    "q_subquery_corr_agg",
+    # (2) r03-red
+    "q_join_asof",
     "q_agg_skew_salted",
-    "q_join_star",
-    "q_text_repetition",
-    "q_stream_attrib",
-    "q_sketch_hll",
-    "q_sketch_cms",
-    "q_multimodal_stats",
-    "q_multimodal_meta",
     "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    "q_sim_cosine_topk",
-    "q_sim_ann_lsh",
-    "q_sim_ivf_topk",
-    "q_agg_stats",
+    "q_fn_json",
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_late",
-    "q_pipe_sample_hash",
-    "q_pipe_split_assign",
-    "q_pipe_quota_cap",
-    "q_pipe_keep_first",
-    "q_agg_percentile",
-    "q_pipe_length_hist",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_json",
-    "q_fn_array",
-    "q_fn_conditional",
-    "q_join_range_binned",
-    "q_filter_pred",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_multi",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_dedup_decontaminate",
-    "q_text_surprisal",
+    "q_stream_attrib",
+    "q_sketch_hll",
+    "q_sketch_cms",
+    "q_sim_ivf_topk",
+    # (3a) last green r01
+    "q_scan_project",
+    "q_join_full_outer",
+    "q_subquery_scalar",
+    "q_subquery_exists",
+    "q_agg_basic",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_pivot",
+    "q_sort_multi",
+    "q_set_ops",
+    "q_limit_offset",
+    # (3b) last green r02
+    "q_text_wordcount",
+    "q_text_wordcount_rdd",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_topk_group",
+    "q_win_lag_lead",
+    "q_win_ntile_dist",
+    "q_win_range_frame",
+    "q_win_first_last",
+    "q_text_ngrams",
+    "q_text_tfidf",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    # (4) code-touched / high-value re-checks
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_join_star",
 )
 
 

@@ -554,3 +554,96 @@ def test_surprisal_buckets_and_mean(spark, tmp_path):
     }
     assert got[1]["n_tokens"] == 4 and got[1]["mean_bucket_x100"] == 150
     assert got[2]["n_tokens"] == 3 and got[2]["mean_bucket_x100"] == 67
+
+
+def test_funnel_strict_ordering(spark, tmp_path):
+    """Hand-built event log: a click BEFORE the first view must not count;
+    stage counts are monotone non-increasing."""
+    import datetime as dt
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, "view", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 20),
+        # user 2: click precedes the only view -> stops at view
+        ev(4, 2, "click", 0), ev(5, 2, "view", 10), ev(6, 2, "purchase", 20),
+        # wait: purchase after view but no click after view -> still view-only
+        # user 3: never views
+        ev(7, 3, "click", 0), ev(8, 3, "purchase", 5),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    (row,) = load_all_queries()["q_events_funnel"].fn(spark, str(tmp_path)).collect()
+    assert (row["n_view"], row["n_view_click"], row["n_view_click_purchase"]) == (2, 1, 1)
+
+
+def test_retention_offsets(spark, tmp_path):
+    """Two users, known active days: cohort day 0 counts both; only user 1
+    returns on day 2."""
+    import datetime as dt
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, (uid, day) in enumerate([(1, 0), (1, 0), (1, 2), (2, 0)]):
+        rows.append((i, t0 + dt.timedelta(days=day, minutes=i), uid, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["cohort_day_us"], r["day_offset"]): r["n_users"]
+        for r in load_all_queries()["q_events_retention"].fn(spark, str(tmp_path)).collect()
+    }
+    day0_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got == {(day0_us, 0): 2, (day0_us, 2): 1}
+
+
+def test_rollup_reuse_equals_direct(spark):
+    """The two-level (hourly -> daily) rollup must equal a direct daily
+    aggregate of the raw table — decimal sums make composition lossless."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+    from mapreduce_framework_api_spark.sources import table as t
+
+    sf = "/root/testdata/sf0.001"
+    day_us = 24 * 3600 * 1_000_000
+    direct = (
+        t(spark, sf, "events")
+        .groupBy(
+            ((F.unix_micros("ts") / day_us).cast("long") * day_us).alias("day_us"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    got = load_all_queries()["q_agg_rollup_reuse"].fn(spark, sf).collect()
+    want = direct.collect()
+
+    def as_map(rows):
+        return {(r["day_us"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in rows}
+
+    assert as_map(got) == as_map(want)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom invariant on the fixture: every member passes the filter
+    (n_bloom_pass >= n_members per segment) and totals reconcile."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = load_all_queries()["q_sketch_bloom"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_bloom_pass"] >= r["n_members"], r
+        assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_members"], r
+        assert r["n_customers"] >= r["n_bloom_pass"], r
