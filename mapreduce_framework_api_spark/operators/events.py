@@ -286,18 +286,25 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     on each later active day as a day offset — the standard growth-
     analytics triangle.
 
-    The per-(user, day) dedup, the cohort MIN, and the final join all key
-    on user_id, so AQE reuses one hash partitioning; the output is
-    O(days^2) rows regardless of corpus size. Day buckets are epoch-µs
-    integer floors (engine-portable; no date-type drift)."""
+    The cohort day is a MIN over a full-partition window on the SAME
+    user_id partitioning the per-(user, day) dedup produces — no separate
+    cohort aggregate and, crucially, no cohort join: a per-user cohort
+    table is O(users) and NOT broadcastable at 100 TB, while the window
+    formulation never materializes it. Output is O(days²) rows regardless
+    of corpus size. Day buckets are epoch-µs integer floors
+    (engine-portable; no date-type drift)."""
     e = table(spark, sf_dir, "events").select(
         "user_id",
         ((F.unix_micros("ts") / _DAY_US).cast("long") * _DAY_US).alias("day_us"),
     )
-    active = e.distinct()
-    cohort = active.groupBy("user_id").agg(F.min("day_us").alias("cohort_us"))
+    # One explicit user_id shuffle serves BOTH the (user, day) distinct
+    # (hash(user) satisfies the clustered-distribution requirement — a
+    # subset of the grouping keys) and the cohort window: without it Spark
+    # plans two exchanges, hash(user, day) then hash(user).
+    active = e.repartition("user_id").distinct()
+    cohort_us = F.min("day_us").over(W.partitionBy("user_id"))
     return (
-        active.join(cohort, "user_id")
+        active.withColumn("cohort_us", cohort_us)
         .groupBy(
             F.col("cohort_us").alias("cohort_day_us"),
             ((F.col("day_us") - F.col("cohort_us")) / _DAY_US)
