@@ -260,3 +260,138 @@ def q_pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+# Target mixture: per-language permille shares of the output corpus.
+_MIX_PERMILLE = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
+_MIX_U_BITS = 16  # md5-derived uniform: first 4 hex chars in [0, 65536)
+
+
+@register(
+    "q_pipe_mixture",
+    group="I",
+    oracle=f"""
+WITH w AS (
+  SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_PERMILLE.items()))})
+         AS t(lang, permille)
+), stats AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM documents
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN stats s ON d.lang = s.lang
+JOIN w ON d.lang = w.lang
+CROSS JOIN tot
+WHERE CAST(('0x' || substr(md5('mix#' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      * s.n_lang * 1000
+      < w.permille * tot.n_total * {1 << _MIX_U_BITS}
+ORDER BY d.doc_id
+""",
+)
+def q_pipe_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: thin each language to a target
+    share of the corpus (en 40%, the rest 15% each). Per-language keep
+    rate = min(1, target_share·N/n_lang), applied as a pure integer
+    comparison — u16·n_lang·1000 < permille·N·2^16 with u16 the first 16
+    md5 bits of the doc id — so membership is exact on both engines and,
+    like all hash sampling here, stable under reruns and data growth.
+
+    Plan shape: the per-language counts and the grand total are
+    broadcast-sized BY CONSTRUCTION (languages are a bounded set; the
+    totals are one row per language), so the only per-row work is a
+    row-local hash filter — no corpus shuffle at any size. At extreme
+    corpus sizes (N ≳ 10^12) promote the comparison to DECIMAL to keep
+    the products inside 64 bits."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    tot = d.agg(F.count("*").alias("n_total"))
+    weights = F.create_map(
+        *[F.lit(x) for kv in sorted(_MIX_PERMILLE.items()) for x in kv]
+    )
+    u16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")).cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(stats), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("permille", weights[F.col("lang")])
+        .filter(
+            u16 * F.col("n_lang") * 1000
+            < F.col("permille") * F.col("n_total") * (1 << _MIX_U_BITS)
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_PACK_BUDGET = 256  # tokens per training chunk
+_PACK_BLOCK = 200  # docs per scan block (tune to partition size at scale)
+
+
+@register(
+    "q_pipe_pack_chunks",
+    group="I",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pos
+  FROM t
+)
+SELECT doc_id, n_tokens, pos,
+       CAST(pos // {_PACK_BUDGET} AS BIGINT) AS chunk_id
+FROM c ORDER BY doc_id
+""",
+)
+def q_pipe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (the concat-and-split step of LLM training prep):
+    documents are laid out in doc_id order into one token stream and cut
+    into fixed {budget}-token chunks; each doc reports its stream
+    position and chunk id.
+
+    The global prefix sum is computed as a DISTRIBUTED two-level scan —
+    the oracle's single ``SUM() OVER (ORDER BY ...)`` is a one-partition
+    sort at scale, which is exactly what this plan avoids: (1) within
+    each doc_id block, a per-block running sum (parallel windows over
+    block partitions); (2) block totals are prefix-summed in a second
+    window over ONE ROW PER BLOCK (thousands of rows at 100 TB, not
+    trillions) and broadcast back as offsets. All integer arithmetic, so
+    the distributed scan is bit-identical to the sequential one."""
+    from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_nonempty("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / _PACK_BLOCK).cast("long").alias("blk"),
+    )
+    in_blk = W.partitionBy("blk").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = d.withColumn("cum_in_blk", F.sum("n_tokens").over(in_blk))
+    blk_tot = local.groupBy("blk").agg(F.max("cum_in_blk").alias("blk_sum"))
+    over_blks = W.orderBy("blk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = blk_tot.withColumn(
+        "blk_offset", F.sum("blk_sum").over(over_blks) - F.col("blk_sum")
+    ).select("blk", "blk_offset")
+    return (
+        local.join(F.broadcast(offsets), "blk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("blk_offset") + F.col("cum_in_blk") - F.col("n_tokens")).alias("pos"),
+            (
+                (F.col("blk_offset") + F.col("cum_in_blk") - F.col("n_tokens"))
+                / _PACK_BUDGET
+            )
+            .cast("long")
+            .alias("chunk_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -83,6 +83,8 @@ _WINDOW: tuple[str, ...] = (
     "q_agg_rollup_reuse",
     "q_sketch_bloom",
     "q_subquery_corr_agg",
+    "q_pipe_mixture",
+    "q_pipe_pack_chunks",
     # (2) r03-red
     "q_join_asof",
     "q_agg_skew_salted",
@@ -126,11 +128,10 @@ _WINDOW: tuple[str, ...] = (
     "q_text_quality",
     "q_text_tokens",
     "q_text_fingerprint",
-    # (4) code-touched / high-value re-checks
+    # (4) code-touched re-checks (similarity module changed for the IVF
+    # rewrite; relational gained a query)
     "q_sim_cosine_topk",
     "q_sim_ann_lsh",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
     "q_join_star",
 )
 

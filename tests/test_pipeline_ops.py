@@ -66,3 +66,59 @@ def test_percentile_matches_manual_median(spark):
     df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], ["x"])
     got = df.agg(F.expr("percentile(x, 0.5)").alias("m")).collect()[0]["m"]
     assert got == 2.5  # linear interpolation, not nearest-rank
+
+
+def test_mixture_respects_targets(spark):
+    """Languages over their target share get thinned; languages under it
+    keep every row; the filter is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_api_spark.operators.pipeline import _MIX_PERMILLE
+    from mapreduce_framework_api_spark.registry import load_all_queries
+    from mapreduce_framework_api_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents")
+    n_total = d.count()
+    n_lang = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    q = load_all_queries()["q_pipe_mixture"]
+    kept = {
+        r["lang"]: r["n"]
+        for r in q.fn(spark, sf).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in n_lang.items():
+        target = _MIX_PERMILLE[lang] * n_total / 1000
+        if n <= target:
+            assert kept.get(lang, 0) == n, (lang, kept.get(lang), n)
+        else:
+            # thinned to ~target; allow hash noise of 25%
+            assert kept.get(lang, 0) <= n, lang
+            assert abs(kept.get(lang, 0) - target) <= max(10, 0.25 * target), (
+                lang, kept.get(lang), target,
+            )
+    again = {
+        r["lang"]: r["n"]
+        for r in q.fn(spark, sf).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept == again
+
+
+def test_pack_chunks_is_a_prefix_scan(spark):
+    """The distributed two-level scan must equal the sequential scan:
+    positions are the exact prefix sums of token counts in doc_id order,
+    and chunk ids are pos // budget."""
+    from mapreduce_framework_api_spark.operators.pipeline import _PACK_BUDGET
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = (
+        load_all_queries()["q_pipe_pack_chunks"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows
+    pos = 0
+    for r in rows:
+        assert r["pos"] == pos, (r["doc_id"], r["pos"], pos)
+        assert r["chunk_id"] == pos // _PACK_BUDGET
+        pos += r["n_tokens"]
