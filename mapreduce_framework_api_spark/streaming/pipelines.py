@@ -19,9 +19,10 @@ Design notes (100 TB / always-on):
 - Sessionization uses native ``F.session_window`` (state-store-backed
   gap-merge), the streaming twin of the lag/prefix-sum batch plan in
   ``q_stream_session``.
-- The custom stateful operator (running per-user event counter with
-  timeout) uses ``applyInPandasWithState`` — the escape hatch for
-  semantics the built-in windows can't express.
+- The custom stateful operators (running per-user counter with timeout;
+  the view→click→purchase funnel state machine) use
+  ``applyInPandasWithState`` — the escape hatch for semantics the
+  built-in windows can't express.
 
 Tests drive these with ``trigger(availableNow=True)`` against the sf0.001
 fixtures and assert the streaming results equal the batch Group-H results
@@ -272,4 +273,61 @@ def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         F.unix_micros("click_ts").alias("click_ts_us"),
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
         F.round("value", 2).alias("value_r"),
+    )
+
+
+_FUNNEL_STATE_SCHEMA = "t_view long, t_click long, t_purchase long"
+_FUNNEL_OUT_SCHEMA = "user_id long, t_view long, t_click long, t_purchase long"
+_NO_TS = -1  # sentinel: stage not reached (ts_us is always >= 0)
+
+
+def _funnel_update(key, pdf_iter, state: GroupState):
+    """Per-user funnel state machine (view -> click -> purchase).
+
+    State is THREE timestamps per user — constant, never the event log —
+    advanced in event-time order within each micro-batch. The machine is
+    monotone: once a stage timestamp is fixed it never retracts, which is
+    exact under per-user in-order delivery (and for any single-batch
+    drain, which sorts the batch); cross-batch late data older than an
+    already-fixed stage cannot rewrite it — the standard streaming-funnel
+    contract, and the reason the batch twin (q_events_funnel) is the
+    arbiter for out-of-order corpora."""
+    import pandas as pd
+
+    tv, tc, tp = state.get if state.exists else (_NO_TS, _NO_TS, _NO_TS)
+    rows = pd.concat(list(pdf_iter))
+    rows = rows.sort_values("ts_us")
+    for typ, ts in zip(rows["event_type"], rows["ts_us"]):
+        ts = int(ts)
+        if typ == "view" and tv == _NO_TS:
+            tv = ts
+        elif typ == "click" and tc == _NO_TS and tv != _NO_TS and ts > tv:
+            tc = ts
+        elif typ == "purchase" and tp == _NO_TS and tc != _NO_TS and ts > tc:
+            tp = ts
+    state.update((tv, tc, tp))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "t_view": [tv], "t_click": [tc], "t_purchase": [tp]}
+    )
+
+
+def funnel_state(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: streaming view->click->purchase funnel via
+    ``applyInPandasWithState`` — ordered-sequence detection is semantics no
+    built-in streaming window expresses (the batch twin chains window MINs,
+    which needs the whole partition). Emits each user's current stage
+    timestamps every micro-batch (update mode); state per user is three
+    longs regardless of stream length."""
+    return (
+        events.select(
+            "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_update,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -101,3 +101,39 @@ def test_streaming_attribution_join_equals_batch(spark):
     batch = load_all_queries()["q_stream_attrib"].fn(spark, SF_DIR)
     assert got == _rows(batch, "purchase_id", "click_id")
     assert len(got) > 0
+
+
+def test_streaming_funnel_equals_batch(spark):
+    """The stateful streaming funnel's final per-user stage timestamps,
+    aggregated, equal the batch q_events_funnel counts on the same data."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        _NO_TS,
+        funnel_state,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    run_to_memory(
+        funnel_state(read_events_stream(spark, SF_DIR)), "t_funnel", output_mode="update"
+    )
+    # update mode re-emits per batch; keep each user's LAST emission
+    final = (
+        spark.table("t_funnel")
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+    )
+    got = final.agg(
+        F.sum((F.col("t_view") != _NO_TS).cast("long")).alias("n_view"),
+        F.sum((F.col("t_click") != _NO_TS).cast("long")).alias("n_view_click"),
+        F.sum((F.col("t_purchase") != _NO_TS).cast("long")).alias("n_view_click_purchase"),
+    ).collect()[0]
+    (want,) = load_all_queries()["q_events_funnel"].fn(spark, SF_DIR).collect()
+    assert (got["n_view"], got["n_view_click"], got["n_view_click_purchase"]) == (
+        want["n_view"], want["n_view_click"], want["n_view_click_purchase"],
+    )
