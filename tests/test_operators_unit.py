@@ -647,3 +647,62 @@ def test_bloom_no_false_negatives(spark):
         assert r["n_bloom_pass"] >= r["n_members"], r
         assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_members"], r
         assert r["n_customers"] >= r["n_bloom_pass"], r
+
+
+def test_multimodal_features_feed_similarity(spark):
+    """End-to-end media pipeline composition: documents -> media payloads ->
+    (fake-)decoded 16-dim features -> brute-force cosine top-k over those
+    features. Proves the multimodal plumbing emits exactly the
+    array<double> shape the similarity tier consumes, with deterministic
+    results — the decode->embed->ANN path of a production multimodal
+    corpus, minus only the stubbed codec."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_api_spark.operators.multimodal import as_media, decode_media
+    from mapreduce_framework_api_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    feats = decode_media(as_media(docs), fake=True).select("doc_id", "feature")
+    rows = feats.collect()
+    assert len(rows) == 40 and all(len(r["feature"]) == 16 for r in rows)
+
+    # brute-force cosine top-3 per feature vector, computed distributedly
+    # with the same zip_with/aggregate expression the dedup tier uses
+    a = feats.select(F.col("doc_id").alias("ida"), F.col("feature").alias("va"))
+    b = feats.select(F.col("doc_id").alias("idb"), F.col("feature").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.zip_with("va", "va", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.zip_with("vb", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x))
+    from pyspark.sql import Window as W
+
+    scored = (
+        a.join(b, F.col("ida") != F.col("idb"))
+        .select("ida", "idb", (dot / (na * nb)).alias("cos"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("ida").orderBy(F.desc("cos"), F.asc("idb"))),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    got = scored.groupBy("ida").count().collect()
+    assert len(got) == 40 and all(r["count"] == 3 for r in got)
+
+    # deterministic: same fake decode -> same neighbors
+    again = scored.collect()
+    once = scored.collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, again))
+
+    # cross-check one vector's top-1 against numpy
+    fmap = {r["doc_id"]: np.array(r["feature"]) for r in rows}
+    q_id = rows[0]["doc_id"]
+    qv = fmap[q_id]
+    best = max(
+        ((i, float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))) for i, v in fmap.items() if i != q_id),
+        key=lambda t: (t[1], -t[0]),
+    )
+    spark_best = {r["ida"]: r["idb"] for r in once if r["rk"] == 1}[q_id]
+    assert spark_best == best[0]
