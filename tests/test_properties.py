@@ -117,3 +117,42 @@ def test_capped_bucket_pair_count_law(spark, members, cap):
     ).collect()[0]["n"]
     k = min(len(arr), cap)
     assert n == k * (k - 1) // 2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2000), st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_chunks_distributed_scan_matches_sequential(spark, docs):
+    """The two-level distributed prefix scan in q_pipe_pack_chunks must be
+    bit-identical to a sequential scan for ARBITRARY doc sets: sparse and
+    clustered doc_ids (crossing the block size), zero-token docs, single
+    docs. Tokens are synthesized as n one-letter words."""
+    import tempfile
+
+    from mapreduce_framework_api_spark.operators.pipeline import _PACK_BUDGET
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = [
+        (doc_id, " ".join(["w"] * n_tokens), "en", "s", n_tokens)
+        for doc_id, n_tokens in docs
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = (
+            load_all_queries()["q_pipe_pack_chunks"].fn(spark, tmp).orderBy("doc_id").collect()
+        )
+    pos = 0
+    for r, (doc_id, n_tokens) in zip(got, sorted(docs)):
+        assert r["doc_id"] == doc_id
+        assert r["n_tokens"] == n_tokens
+        assert r["pos"] == pos
+        assert r["chunk_id"] == pos // _PACK_BUDGET
+        pos += n_tokens
