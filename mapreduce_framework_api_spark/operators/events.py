@@ -362,3 +362,77 @@ def q_agg_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_us", "event_type")
     )
+
+
+@register(
+    "q_events_gapfill",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US}) * {_HOUR_US} AS hour_us,
+         event_type,
+         CAST(value AS DECIMAL(12,2)) AS dv
+  FROM events
+), hourly AS (
+  SELECT hour_us, event_type, COUNT(*) AS n,
+         CAST(SUM(dv) AS DOUBLE) AS sum_value
+  FROM e GROUP BY hour_us, event_type
+), bounds AS (
+  SELECT MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM e
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, {_HOUR_US})) AS hour_us FROM bounds
+), grid AS (
+  SELECT s.hour_us, t.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.hour_us, g.event_type,
+       COALESCE(h.n, 0) AS n_events,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM grid g LEFT JOIN hourly h ON g.hour_us = h.hour_us AND g.event_type = h.event_type
+ORDER BY g.hour_us, g.event_type
+""",
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine per event_type with
+    zero-counts for silent hours and the last observed hourly sum carried
+    forward (``last_value`` IGNORE NULLS) — the densification step before
+    any rolling-window model sees the series.
+
+    Scale shape: the spine is GENERATED (``sequence`` over the global
+    [min, max] hour bounds — a broadcast 1-row aggregate), never scanned;
+    its size is O(hours × event types), independent of event count. The
+    left join hashes on (hour, type) against the already-aggregated hourly
+    table, and the forward fill is one window per event_type over the
+    spine-sized frame. Sums are exact decimals cast to double, so the
+    fill copies byte-identical values on both engines."""
+    e = table(spark, sf_dir, "events").select(
+        ((F.unix_micros("ts") / _HOUR_US).cast("long") * _HOUR_US).alias("hour_us"),
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("dv"),
+    )
+    hourly = e.groupBy("hour_us", "event_type").agg(
+        F.count("*").alias("n"), F.sum("dv").cast("double").alias("sum_value")
+    )
+    bounds = e.agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(_HOUR_US))).alias("hour_us")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["hour_us", "event_type"], "left")
+        .select(
+            "hour_us",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+        .orderBy("hour_us", "event_type")
+    )

@@ -706,3 +706,38 @@ def test_multimodal_features_feed_similarity(spark):
     )
     spark_best = {r["ida"]: r["idb"] for r in once if r["rk"] == 1}[q_id]
     assert spark_best == best[0]
+
+
+def test_gapfill_dense_spine_and_ffill(spark, tmp_path):
+    """Hand-built series with a 2-hour hole: the spine is dense, gap hours
+    carry n_events=0 with the last observed sum forward-filled, and hours
+    before a type's first observation stay NULL."""
+    import datetime as dt
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "click", 10.0, "{}"),
+        # hours +1, +2 silent for click
+        (1, t0 + dt.timedelta(hours=3), 1, "click", 20.0, "{}"),
+        (2, t0 + dt.timedelta(hours=2), 2, "view", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["hour_us"], r["event_type"]): (r["n_events"], r["filled_sum"])
+        for r in load_all_queries()["q_events_gapfill"].fn(spark, str(tmp_path)).collect()
+    }
+    hour_us = 3_600 * 1_000_000
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    # dense: 4 hours x 2 types
+    assert len(got) == 8
+    assert got[(base, "click")] == (1, 10.0)
+    assert got[(base + 1 * hour_us, "click")] == (0, 10.0)  # gap, ffilled
+    assert got[(base + 2 * hour_us, "click")] == (0, 10.0)
+    assert got[(base + 3 * hour_us, "click")] == (1, 20.0)
+    assert got[(base, "view")] == (0, None)  # before first observation
+    assert got[(base + 2 * hour_us, "view")] == (1, 5.0)
+    assert got[(base + 3 * hour_us, "view")] == (0, 5.0)
