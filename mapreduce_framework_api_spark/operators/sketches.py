@@ -18,7 +18,7 @@ double expression shared by both engines — no order-dependent FP sums.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_framework_api_spark.registry import register
@@ -293,4 +293,107 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_pos"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# --- Equi-width histogram quantile sketch (256 bins/group) -----------------
+_HIST_BINS = 256
+
+
+@register(
+    "q_sketch_hist_quantile",
+    group="I",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+), binned AS (
+  SELECT e.event_type,
+         CASE WHEN b.vmax = b.vmin THEN 0
+              ELSE LEAST(CAST(FLOOR((e.value - b.vmin)
+                                    / ((b.vmax - b.vmin) / {_HIST_BINS})) AS BIGINT),
+                         {_HIST_BINS - 1}) END AS bin
+  FROM events e JOIN b ON e.event_type = b.event_type
+), counters AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM counters
+), med AS (
+  SELECT c2.event_type, MIN(c2.bin) AS med_bin
+  FROM cum c2 JOIN b ON c2.event_type = b.event_type
+  WHERE c2.cc >= (b.n + 1) // 2
+  GROUP BY c2.event_type
+)
+SELECT b.event_type,
+       CAST(b.n AS BIGINT) AS n,
+       ROUND(b.vmin + med.med_bin * ((b.vmax - b.vmin) / {_HIST_BINS}), 2) AS est_p50,
+       (SELECT ROUND(quantile_cont(value, 0.5), 2) FROM events e2
+        WHERE e2.event_type = b.event_type) AS exact_p50
+FROM b JOIN med ON b.event_type = med.event_type
+ORDER BY b.event_type
+""",
+)
+def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantile sketch: estimate the per-type median
+    from a fixed 256-bin histogram, beside the exact percentile (so the
+    bin-width error is visible in the result).
+
+    This is the quantile member of the sketch family (HLL = distinct,
+    CMS = frequency, Bloom = membership): state per group is 256 counters
+    no matter how many rows stream through, built with one map-side-
+    combinable aggregate — the 100 TB alternative to the full sort/
+    shuffle an exact percentile needs. Bin assignment is a fixed-order
+    IEEE expression (single subtract/divide/floor — no order-dependent
+    accumulation), so bins, cumulative counts, and the estimate agree
+    bit-for-bit across engines; the exact-percentile column reuses the
+    `percentile` ≡ `quantile_cont` equivalence proven by
+    q_agg_percentile."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("exact_p50"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / _HIST_BINS
+    bin_ = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("long"),
+            F.lit(_HIST_BINS - 1),
+        )
+    )
+    counters = (
+        ev.join(F.broadcast(b.select("event_type", "vmin", "vmax")), "event_type")
+        .select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    cum_w = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = counters.withColumn("cc", F.sum("c").over(cum_w))
+    med = (
+        cum.join(F.broadcast(b.select("event_type", "n")), "event_type")
+        .filter(F.col("cc") >= (F.col("n") + 1) / 2)
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("med_bin"))
+    )
+    return (
+        b.join(med, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("vmin") + F.col("med_bin") * ((F.col("vmax") - F.col("vmin")) / _HIST_BINS),
+                2,
+            ).alias("est_p50"),
+            "exact_p50",
+        )
+        .orderBy("event_type")
     )

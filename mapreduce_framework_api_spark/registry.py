@@ -66,15 +66,15 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-4 window, by the standing policy: (1) the eight NEW queries
+# Round-4 window, by the standing policy: (1) the nine NEW queries
 # (funnel/retention/rollup_reuse/bloom/corr_agg/mixture/pack_chunks/
-# gapfill — no driver row yet); (2) the twelve r03-red rows (the 11
+# gapfill/hist_quantile — no driver row yet); (2) the twelve r03-red rows (the 11
 # events-reader casualties, all fixed by the schema-adaptive reader, plus
 # q_sim_ivf_topk, which now carries a full oracle); (3) the 13 queries
 # last verified in r01 and the 15 last verified in r02 (2-3 rounds
-# stale); (4) two code-touched re-checks (similarity module changed for
-# the IVF rewrite). Sitting out (36): everything else — all hash-green in
-# r03 on code untouched this round.
+# stale); (4) one code-touched re-check (the similarity module changed
+# for the IVF rewrite). Sitting out (37): everything else — all
+# hash-green in r03 on code untouched this round.
 _WINDOW: tuple[str, ...] = (
     # (1) new this round
     "q_events_funnel",
@@ -85,6 +85,7 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_mixture",
     "q_pipe_pack_chunks",
     "q_events_gapfill",
+    "q_sketch_hist_quantile",
     # (2) r03-red
     "q_join_asof",
     "q_agg_skew_salted",
@@ -131,7 +132,6 @@ _WINDOW: tuple[str, ...] = (
     # (4) code-touched re-checks (similarity module changed for the IVF
     # rewrite; relational gained a query)
     "q_sim_cosine_topk",
-    "q_sim_ann_lsh",
 )
 
 

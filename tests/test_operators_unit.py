@@ -741,3 +741,27 @@ def test_gapfill_dense_spine_and_ffill(spark, tmp_path):
     assert got[(base, "view")] == (0, None)  # before first observation
     assert got[(base + 2 * hour_us, "view")] == (1, 5.0)
     assert got[(base + 3 * hour_us, "view")] == (0, 5.0)
+
+
+def test_hist_quantile_within_one_bin(spark):
+    """The 256-bin histogram median estimate lands within one bin width of
+    the exact median per event_type (the sketch's error bound)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_api_spark.operators.sketches import _HIST_BINS
+    from mapreduce_framework_api_spark.registry import load_all_queries
+    from mapreduce_framework_api_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    spread = {
+        r["event_type"]: (r["vmax"] - r["vmin"]) / _HIST_BINS
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .collect()
+    }
+    rows = load_all_queries()["q_sketch_hist_quantile"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        w = spread[r["event_type"]]
+        assert abs(r["est_p50"] - r["exact_p50"]) <= w + 0.01, (r, w)
