@@ -129,8 +129,8 @@ _WINDOW: tuple[str, ...] = (
     "q_text_quality",
     "q_text_tokens",
     "q_text_fingerprint",
-    # (4) code-touched re-checks (similarity module changed for the IVF
-    # rewrite; relational gained a query)
+    # (4) code-touched re-check (similarity module changed for the IVF
+    # rewrite)
     "q_sim_cosine_topk",
 )
 

@@ -765,3 +765,37 @@ def test_hist_quantile_within_one_bin(spark):
     for r in rows:
         w = spread[r["event_type"]]
         assert abs(r["est_p50"] - r["exact_p50"]) <= w + 0.01, (r, w)
+
+
+def test_new_event_queries_on_empty_events(spark, tmp_path):
+    """Funnel / retention / rollup / gapfill / hist-quantile on an EMPTY
+    events table: no AnalysisException, well-defined empty-ish results
+    (funnel emits one all-zero row; the rest emit no rows)."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame([], schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    qs = load_all_queries()
+    (funnel,) = qs["q_events_funnel"].fn(spark, str(tmp_path)).collect()
+    assert tuple(funnel) == (0, 0, 0)
+    for name in (
+        "q_events_retention",
+        "q_agg_rollup_reuse",
+        "q_events_gapfill",
+        "q_sketch_hist_quantile",
+        "q_stream_tumbling",
+    ):
+        assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
