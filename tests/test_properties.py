@@ -156,3 +156,55 @@ def test_pack_chunks_distributed_scan_matches_sequential(spark, docs):
         assert r["pos"] == pos
         assert r["chunk_id"] == pos // _PACK_BUDGET
         pos += n_tokens
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),      # user_id
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=10_000), # offset seconds
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_funnel_matches_python_reference(spark, events):
+    """q_events_funnel on arbitrary event logs (duplicate timestamps,
+    interleaved users, stages out of order) equals a sequential Python
+    state machine over the same per-user event-time order."""
+    import datetime as dt
+    import tempfile
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=sec), uid, typ, 1.0, "{}")
+        for i, (uid, typ, sec) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        (got,) = load_all_queries()["q_events_funnel"].fn(spark, tmp).collect()
+
+    # Python reference: earliest view; earliest click strictly after it;
+    # earliest purchase strictly after that (min-based, order-independent).
+    want = [0, 0, 0]
+    for uid in {u for u, _, _ in events}:
+        evs = [(sec, typ) for u, typ, sec in events if u == uid]
+        tv = min((s for s, t in evs if t == "view"), default=None)
+        if tv is None:
+            continue
+        want[0] += 1
+        tc = min((s for s, t in evs if t == "click" and s > tv), default=None)
+        if tc is None:
+            continue
+        want[1] += 1
+        tp = min((s for s, t in evs if t == "purchase" and s > tc), default=None)
+        if tp is not None:
+            want[2] += 1
+    assert [got["n_view"], got["n_view_click"], got["n_view_click_purchase"]] == want
