@@ -6,8 +6,9 @@ tumbling aggregation as a readStream query). The reference has no streaming
 semantics at all — its bounded buffer is pipelined execution, not event-time
 processing (SURVEY.md §2.3) — so this group is pure new surface.
 
-Cross-engine timestamp discipline (FIXTURES.md gotchas #1): events.ts is
-nanosecond parquet; Spark truncates to microseconds while DuckDB keeps ns.
+Cross-engine timestamp discipline (FIXTURES.md gotcha #1): events.ts has
+shipped as both nanosecond and microsecond parquet (the reader normalizes
+to µs TimestampType either way; DuckDB keeps whatever the file stores).
 Every comparison/bucket here therefore goes through epoch *microseconds*
 (``unix_micros`` / ``epoch_us``) on both engines, and window starts are
 emitted as epoch-µs BIGINTs, never raw timestamps.

@@ -1050,3 +1050,49 @@ def q_subquery_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_agg_mode",
+    group="D",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, qty
+), r AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, qty ASC) AS rk
+  FROM c
+)
+SELECT l_returnflag, qty AS mode_qty, CAST(n AS BIGINT) AS mode_n
+FROM r WHERE rk = 1
+ORDER BY l_returnflag
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent quantity per return flag,
+    ties to the smallest value — Spark's built-in ``mode()`` is
+    tie-nondeterministic, so the deterministic two-stage form is the one
+    an oracle-checked pipeline can actually use).
+
+    Scale shape: count-then-top1 — the first aggregate collapses the
+    corpus to one row per (group, value) with map-side partials, and the
+    window's WindowGroupLimit prunes to the per-group max before any
+    sort materializes. No value list is ever collected per group (the
+    ``mode()``/collect-based forms hold per-group state proportional to
+    distinct values; this holds one row)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    c = li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").cast("long").alias("mode_n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -66,15 +66,16 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-4 window, by the standing policy: (1) the nine NEW queries
+# Round-4 window, by the standing policy: (1) the ten NEW queries
 # (funnel/retention/rollup_reuse/bloom/corr_agg/mixture/pack_chunks/
-# gapfill/hist_quantile — no driver row yet); (2) the twelve r03-red rows (the 11
+# gapfill/hist_quantile/mode — no driver row yet); (2) the twelve r03-red rows (the 11
 # events-reader casualties, all fixed by the schema-adaptive reader, plus
 # q_sim_ivf_topk, which now carries a full oracle); (3) the 13 queries
 # last verified in r01 and the 15 last verified in r02 (2-3 rounds
-# stale); (4) one code-touched re-check (the similarity module changed
-# for the IVF rewrite). Sitting out (37): everything else — all
-# hash-green in r03 on code untouched this round.
+# stale); sitting out (38): everything
+# else — all hash-green in r03 on code untouched this round (including
+# the similarity tier, whose r03-green members were only repositioned,
+# not changed, by the IVF rewrite).
 _WINDOW: tuple[str, ...] = (
     # (1) new this round
     "q_events_funnel",
@@ -86,6 +87,7 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_pack_chunks",
     "q_events_gapfill",
     "q_sketch_hist_quantile",
+    "q_agg_mode",
     # (2) r03-red
     "q_join_asof",
     "q_agg_skew_salted",
@@ -129,9 +131,6 @@ _WINDOW: tuple[str, ...] = (
     "q_text_quality",
     "q_text_tokens",
     "q_text_fingerprint",
-    # (4) code-touched re-check (similarity module changed for the IVF
-    # rewrite)
-    "q_sim_cosine_topk",
 )
 
 
