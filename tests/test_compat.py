@@ -112,3 +112,37 @@ def test_cli_usage_matches_reference_bytes(capsys):
         capsys.readouterr().err.strip()
         == "Usage: mr-wordc <input> <output> [# of mapper threads] [buffer size]"
     )
+
+
+def test_second_and_third_apps_on_the_compat_surface(spark):
+    """The mr_* facade is app-generic: the line-length histogram and token
+    bigram apps (compat/apps.py) run unchanged through mr_create/start/
+    result and match pure-Python references over the reference corpus."""
+    import re
+
+    from mapreduce_framework_api_spark.compat.apps import (
+        bigram_map,
+        count_reduce,
+        linelen_map,
+    )
+    from mapreduce_framework_api_spark.compat.mapreduce import mr_create
+
+    path = "/root/reference/input/mr-wordc/doc-0.txt"
+    with open(path, encoding="utf-8", errors="surrogateescape") as f:
+        lines = f.read().splitlines()
+
+    got = dict(mr_create(linelen_map, count_reduce, partitions=8).start(spark, path).result())
+    want: dict[int, int] = {}
+    for line in lines:
+        b = (len(line) // 10) * 10
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+    got2 = dict(mr_create(bigram_map, count_reduce, partitions=8).start(spark, path).result())
+    tok = re.compile(r"[A-Za-z0-9]+")
+    want2: dict[str, int] = {}
+    for line in lines:
+        ts = tok.findall(line)
+        for a, b2 in zip(ts, ts[1:]):
+            want2[f"{a} {b2}"] = want2.get(f"{a} {b2}", 0) + 1
+    assert got2 == want2
