@@ -1066,3 +1066,53 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_dedup_latest",
+    group="I",
+    oracle="""
+WITH r AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                                     event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, event_type, event_id AS latest_event_id, ts_us AS latest_ts_us,
+       ROUND(value, 2) AS latest_value
+FROM r WHERE rk = 1
+ORDER BY user_id, event_type
+""",
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins compaction (the CDC/upsert merge every lakehouse
+    table needs): per (user_id, event_type) key keep exactly the newest
+    row, ties to the highest event_id — the deterministic form of
+    'latest state per key'.
+
+    Scale shape: one hash shuffle on the key and a WindowGroupLimit top-1
+    — Spark prunes to one candidate per key per partition BEFORE the
+    exchange sort materializes, so the shuffled payload approaches one
+    row per key, not one per version. This is the batch twin of the
+    streaming lane's dropDuplicatesWithinWatermark (which bounds the same
+    semantics by a watermark instead of a full history)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts_us").alias("latest_ts_us"),
+            F.round("value", 2).alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )

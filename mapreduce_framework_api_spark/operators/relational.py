@@ -1096,3 +1096,83 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_IVL_LEN_US = 600 * 1_000_000  # each event spans [ts, ts + 10 min)
+
+
+@register(
+    "q_join_interval_overlap",
+    group="C",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS s FROM events
+), a AS (
+  SELECT event_id, event_type, s,
+         unnest(list_distinct([s // {_IVL_LEN_US},
+                               (s + {_IVL_LEN_US}) // {_IVL_LEN_US}])) AS bin
+  FROM e
+), b AS (
+  SELECT event_id, event_type, s, s // {_IVL_LEN_US} AS bin FROM e
+)
+SELECT a.event_type,
+       a.event_id AS a_id, b.event_id AS b_id,
+       (a.s + {_IVL_LEN_US}) - b.s AS overlap_us
+FROM a JOIN b ON a.event_type = b.event_type AND a.bin = b.bin
+WHERE (a.s < b.s OR (a.s = b.s AND a.event_id < b.event_id))
+  AND b.s < a.s + {_IVL_LEN_US}
+ORDER BY a_id, b_id
+""",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap self-join: pairs of same-type events whose
+    10-minute activity windows intersect — the temporal-overlap shape
+    (meetings, sensor windows, genomics ranges) that q_join_range_binned's
+    point-in-band bin trick does NOT cover, because BOTH sides are
+    intervals.
+
+    Meet-exactly-once allocation: each pair is produced by exactly one
+    (bin, role) assignment — the EARLIER interval explodes over its ≤2
+    covered bins, the LATER interval joins on its unique start bin (which
+    the earlier one necessarily covers), with (start, event_id) ordering
+    breaking the equal-start case. So the physical join is a plain
+    hash/sort-merge equi-join on (type, bin) with the overlap predicate
+    as a residual — no nested loop, no post-hoc dedup, and per-pair cost
+    proportional to REAL overlaps, which is the only thing that scales on
+    a 100 TB event stream."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("s")
+    )
+    a = e.select(
+        F.col("event_id").alias("a_id"),
+        "event_type",
+        F.col("s").alias("sa"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("s") / _IVL_LEN_US).cast("long"),
+                    ((F.col("s") + _IVL_LEN_US) / _IVL_LEN_US).cast("long"),
+                )
+            )
+        ).alias("bin"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("s").alias("sb"),
+        (F.col("s") / _IVL_LEN_US).cast("long").alias("bin"),
+    )
+    earlier = (F.col("sa") < F.col("sb")) | (
+        (F.col("sa") == F.col("sb")) & (F.col("a_id") < F.col("b_id"))
+    )
+    return (
+        a.join(b, (a.event_type == b.b_type) & (a.bin == b.bin))
+        .filter(earlier & (F.col("sb") < F.col("sa") + _IVL_LEN_US))
+        .select(
+            "event_type",
+            "a_id",
+            "b_id",
+            ((F.col("sa") + _IVL_LEN_US) - F.col("sb")).alias("overlap_us"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -66,13 +66,15 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-4 window, by the standing policy: (1) the ten NEW queries
+# Round-4 window, by the standing policy: (1) the twelve NEW queries
 # (funnel/retention/rollup_reuse/bloom/corr_agg/mixture/pack_chunks/
-# gapfill/hist_quantile/mode — no driver row yet); (2) the twelve r03-red rows (the 11
+# gapfill/hist_quantile/mode/latest/interval_overlap — no driver row
+# yet); (2) the twelve r03-red rows (the 11
 # events-reader casualties, all fixed by the schema-adaptive reader, plus
 # q_sim_ivf_topk, which now carries a full oracle); (3) the 13 queries
-# last verified in r01 and the 15 last verified in r02 (2-3 rounds
-# stale); sitting out (38): everything
+# last verified in r01 and 13 of the 15 last verified in r02 (2-3 rounds
+# stale; tokens/fingerprint — trivially row-local, twice green — yield
+# their slots to the new queries and rotate in next round); sitting out (38): everything
 # else — all hash-green in r03 on code untouched this round (including
 # the similarity tier, whose r03-green members were only repositioned,
 # not changed, by the IVF rewrite).
@@ -88,6 +90,8 @@ _WINDOW: tuple[str, ...] = (
     "q_events_gapfill",
     "q_sketch_hist_quantile",
     "q_agg_mode",
+    "q_dedup_latest",
+    "q_join_interval_overlap",
     # (2) r03-red
     "q_join_asof",
     "q_agg_skew_salted",
@@ -129,8 +133,6 @@ _WINDOW: tuple[str, ...] = (
     "q_text_tfidf",
     "q_text_langid",
     "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
 )
 
 
