@@ -343,8 +343,11 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pos
+         -- DuckDB's windowed SUM(BIGINT) yields HUGEINT; cast back so the
+         -- driver's type-aware hash sees int64 on both engines.
+         CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS pos
   FROM t
 )
 SELECT doc_id, n_tokens, pos,
