@@ -380,7 +380,10 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = counters.withColumn("cc", F.sum("c").over(cum_w))
     med = (
         cum.join(F.broadcast(b.select("event_type", "n")), "event_type")
-        .filter(F.col("cc") >= (F.col("n") + 1) / 2)
+        # integer floor division to match the oracle's (n + 1) // 2 — the
+        # double-division form (n + 1) / 2 picks rank n/2 + 1 on even counts,
+        # which diverges whenever the two middle ranks straddle a bin edge
+        .filter(F.col("cc") >= F.expr("(n + 1) div 2"))
         .groupBy("event_type")
         .agg(F.min("bin").alias("med_bin"))
     )

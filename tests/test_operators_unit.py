@@ -743,9 +743,61 @@ def test_gapfill_dense_spine_and_ffill(spark, tmp_path):
     assert got[(base + 3 * hour_us, "view")] == (0, 5.0)
 
 
+def test_hist_quantile_even_count_straddles_bin_edge(spark, tmp_path):
+    """Median-rank arithmetic on an EVEN-count group whose two middle ranks
+    fall in different bins: the rank must be (n+1)//2 (integer floor), not
+    (n+1)/2 (double). With values [0, 1, 9, 10] the floor rank (2) lands in
+    bin 25 while the double threshold 2.5 would skip to bin 230 — the two
+    estimates differ by ~8, so this pins the Spark side to the oracle's
+    integer semantics (the sf fixtures never hit this by construction)."""
+    import duckdb
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "a", v, "{}") for i, v in enumerate([0.0, 1.0, 9.0, 10.0])
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    q = load_all_queries()["q_sketch_hist_quantile"]
+    (got,) = q.fn(spark, str(tmp_path)).collect()
+    # rank (4+1)//2 = 2 -> value 1.0 -> bin floor(1.0/(10/256)) = 25
+    # -> estimate 25 * 10/256 = 0.9765625 -> 0.98
+    assert (got["event_type"], got["n"], got["est_p50"], got["exact_p50"]) == (
+        "a",
+        4,
+        0.98,
+        5.0,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    (oracle,) = con.execute(q.oracle).fetchall()
+    assert (oracle[0], oracle[1], oracle[2], oracle[3]) == ("a", 4, 0.98, 5.0)
+
+
 def test_hist_quantile_within_one_bin(spark):
     """The 256-bin histogram median estimate lands within one bin width of
-    the exact median per event_type (the sketch's error bound)."""
+    the DISCRETE median per event_type (the sketch's error bound).
+
+    percentile_disc(0.5) is exactly the rank-(n+1)//2 value the sketch
+    targets; the interpolated median can sit arbitrarily far into a data
+    gap between the two middle values, so it is NOT the bound's anchor."""
     from pyspark.sql import functions as F
 
     from mapreduce_framework_api_spark.operators.sketches import _HIST_BINS
@@ -753,18 +805,24 @@ def test_hist_quantile_within_one_bin(spark):
     from mapreduce_framework_api_spark.sources import table
 
     sf = "/root/testdata/sf0.001"
-    spread = {
-        r["event_type"]: (r["vmax"] - r["vmin"]) / _HIST_BINS
+    anchors = {
+        r["event_type"]: ((r["vmax"] - r["vmin"]) / _HIST_BINS, r["p50_disc"])
         for r in table(spark, sf, "events")
         .groupBy("event_type")
-        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+                "p50_disc"
+            ),
+        )
         .collect()
     }
     rows = load_all_queries()["q_sketch_hist_quantile"].fn(spark, sf).collect()
     assert rows
     for r in rows:
-        w = spread[r["event_type"]]
-        assert abs(r["est_p50"] - r["exact_p50"]) <= w + 0.01, (r, w)
+        w, p50_disc = anchors[r["event_type"]]
+        assert abs(r["est_p50"] - p50_disc) <= w + 0.01, (r, w, p50_disc)
 
 
 def test_new_event_queries_on_empty_events(spark, tmp_path):
