@@ -813,46 +813,43 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Floats are cast to double BEFORE any arithmetic (FIXTURES.md gotcha #5).
     This is the exact tier — all pairs are scored, but through the same
-    BLOCKED broadcast-index matmul engine as q_sim_cosine_topk
-    (scan_index_blocked: queries stream through an Arrow-batched BLAS
-    kernel against each bounded index block in turn, the broadcast is
-    destroyed between blocks, so peak memory is one block per process
-    regardless of corpus size). Each (a < b) pair is emitted by exactly
-    one block — the one holding b — so the per-block unions are exact and
-    need no dedup. The sub-quadratic candidate path for web-scale corpora
-    is the LSH variant in operators/similarity.py (same output contract)."""
+    block-pair cogroup engine as q_sim_cosine_topk (cogroup_index_blocks:
+    ONE Spark job, one Arrow-batched BLAS matmul per bounded
+    (query-block × index-block) pair, no driver loop). Each (a < b) pair
+    meets in exactly one block pair — (qblk(a), iblk(b)) — so the output
+    is exact with no downstream dedup. The sub-quadratic candidate path
+    for web-scale corpora is the LSH variant in operators/similarity.py
+    (same output contract)."""
     # Function-level import: operators/similarity.py imports helpers from
     # this module at module level, so the reverse edge must resolve lazily.
-    from mapreduce_framework_api_spark.operators.similarity import scan_index_blocked
+    from mapreduce_framework_api_spark.operators.similarity import cogroup_index_blocks
 
     threshold = _COSINE_DUP_THRESHOLD
 
-    def make_kernel(bc):
-        def score(batches):
-            import numpy as np
-            import pandas as pd
+    def score_pair(qs, idx):
+        import numpy as np
+        import pandas as pd
 
-            ids, m, norms = bc.value
-            for pdf in batches:
-                q_ids = pdf["vec_id"].to_numpy(dtype="int64")
-                q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                q_norms = np.sqrt((q * q).sum(axis=1))
-                s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
-                # keep only (a < b) pairs above threshold
-                keep = (s >= threshold) & (q_ids[:, None] < ids[None, :])
-                rows, cols = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {
-                        "vec_a": q_ids[rows],
-                        "vec_b": ids[cols],
-                        "cos_raw": s[rows, cols],
-                    }
-                )
+        if qs.empty or idx.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
+            )
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        ids = idx["vec_id"].to_numpy(dtype="int64")
+        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+        q_norms = np.sqrt((q * q).sum(axis=1))
+        norms = np.sqrt((m * m).sum(axis=1))
+        s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
+        # keep only (a < b) pairs above threshold
+        keep = (s >= threshold) & (q_ids[:, None] < ids[None, :])
+        rows, cols = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": q_ids[rows], "vec_b": ids[cols], "cos_raw": s[rows, cols]}
+        )
 
-        return score
-
-    pairs = scan_index_blocked(
-        spark, sf_dir, make_kernel, schema="vec_a long, vec_b long, cos_raw double"
+    pairs = cogroup_index_blocks(
+        spark, sf_dir, score_pair, schema="vec_a long, vec_b long, cos_raw double"
     )
     return pairs.select("vec_a", "vec_b", F.round("cos_raw", 2).alias("cosine")).orderBy(
         "vec_a", "vec_b"

@@ -3,11 +3,11 @@
 Three tiers:
 
 - ``q_sim_cosine_topk``: exact brute-force top-k — the correctness
-  baseline. Queries stream through an Arrow-batched BLAS kernel against a
-  BLOCKED broadcast index: the index is collected in bounded chunks, each
-  chunk broadcast → scored → its per-block candidates materialized → the
-  broadcast released — so no single process (driver or executor) ever
-  holds more than one block. Global top-k merges the per-block top-k.
+  baseline. Both sides are hashed into bounded blocks and cogrouped on
+  (query-block, index-block): ONE Arrow-batched BLAS matmul per block
+  pair, all pairs scored concurrently across the cluster in a single
+  Spark job — no driver loop, no broadcast, no collect. Per-task memory
+  is two blocks; global top-k merges the per-pair top-k.
 - ``q_sim_ann_lsh``: the bucketed scale path — occupancy-targeted
   multi-table sign-LSH: 16 independent tables, each a g-bit deterministic
   code where g = log2(n / target_occupancy) adapts to corpus size, so
@@ -21,10 +21,10 @@ Three tiers:
   lists probed per query via cogroup.
 
 Design note: Spark has no vector index; all tiers are DataFrame plans plus
-Arrow-batched kernels. The blocked-broadcast loop is the same shape a
-1000-executor cluster needs: block size bounds executor broadcast memory,
-and the per-block candidate unions are tiny (top-k per query, or
-thresholded pairs).
+Arrow-batched kernels. The block-pair cogroup is the same shape a
+1000-executor cluster needs: block size bounds per-task memory, every
+(query-block × index-block) pair is an independent task, and the per-pair
+candidate outputs are tiny (top-k per query, or thresholded pairs).
 """
 
 from __future__ import annotations
@@ -63,65 +63,85 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
 
 
-def scan_index_blocked(
+def _parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — a driver-side metadata read,
+    no Spark job and no data scan (the count lives in each file's footer).
+    This sizes the block grid before the one real job runs; a cluster
+    deployment pointed at object storage does the same footer listing (or
+    uses catalog statistics)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def cogroup_index_blocks(
     spark: SparkSession,
     sf_dir: str,
-    make_kernel,
+    score_pair,
     schema: str,
     block_rows: int | None = None,
 ) -> DataFrame:
-    """Stream the query side against the index in bounded broadcast blocks.
+    """Exact all-pairs scoring as ONE Spark job: a bucketed block-pair
+    cogroup (no driver loop, no collect, no broadcast).
 
-    For each block b (rows with pmod(vec_id, nblocks) == b):
-      1. collect ONLY that block to the driver (bounded: ≤ block_rows rows),
-      2. broadcast it as (ids int64[n], M float64[n,d], norms float64[n]),
-      3. run ``make_kernel(bc)`` as a mapInPandas over the full query side,
-      4. localCheckpoint the (small) per-block candidates eagerly,
-      5. destroy the broadcast before touching the next block.
-    Union of the per-block candidate frames is returned. Peak memory is one
-    block on the driver and one block per executor, independent of corpus
-    size — the outer loop the round-1 single-broadcast version lacked.
-    float32 → float64 before any arithmetic (FIXTURES.md gotcha #5).
+    Both sides of the embeddings table are hashed into ``nblocks`` bounded
+    blocks; each query row is replicated across all index blocks and each
+    index row across all query blocks, so group key (qblk, iblk) holds
+    exactly one bounded (queries, index) frame pair. ``score_pair(qs, idx)``
+    runs once per pair — one Arrow-batched BLAS matmul — and every pair
+    task is independent, so the whole grid scores concurrently across the
+    cluster instead of serially through the driver (the round-2..4 shape
+    collected each block to the driver and re-scanned the full query side
+    per block: bounded memory, but O(nblocks) sequential jobs and zero
+    inter-block parallelism).
 
-    Blocks are assigned by pmod(xxhash64(vec_id), nblocks), NOT by raw
-    vec_id mod: clustered or strided id distributions (e.g. all-even ids,
-    snowflake ids sharing low bits) would pile arbitrarily many rows into
-    one raw-mod block and defeat the memory bound, while a 64-bit hash is
-    uniform regardless of id shape (block width concentrates tightly
-    around n/nblocks; overshooting a 1024-row target by even 2× is
-    vanishingly unlikely and still bounded). An exact per-block row bound
-    would need a global rank over vec_id — a single-partition window sort,
-    the one thing a 100 TB index build cannot afford. An empty table (or a
-    table smaller than one block with all-empty remainder blocks) returns
-    an empty frame with the declared schema."""
-    import numpy as np
+    Memory: one query block + one index block per task, independent of
+    corpus size. Shuffle: each side is written nblocks times — inherent to
+    exact brute force (the compute is O(n²·d); the shuffle is O(n²/block)
+    rows) and irrelevant to the sub-quadratic LSH/IVF tiers that take over
+    at scale.
 
+    Blocks are assigned by pmod(xxhash64(vec_id), nblocks), NOT raw id mod:
+    clustered or strided id distributions (all-even ids, snowflake ids
+    sharing low bits) would pile arbitrarily many rows into one raw-mod
+    block, while a 64-bit hash is uniform regardless of id shape. An exact
+    per-block row bound would need a global rank over vec_id — a
+    single-partition window sort, the one thing a 100 TB index build
+    cannot afford. An empty table yields zero groups and therefore an
+    empty frame with the declared schema.
+
+    A pair (query q, index row x) meets in exactly ONE group —
+    (qblk(q), iblk(x)) — so kernels that emit each qualifying pair once
+    (e.g. the dedup threshold kernel) need no downstream dedup."""
     block_rows = block_rows or _INDEX_BLOCK_ROWS
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()
+    n = _parquet_row_count(sf_dir, "embeddings")
     nblocks = max(1, math.ceil(n / block_rows))
-    parts: list[DataFrame] = []
-    for b in range(nblocks):
-        pdf = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)) == b).toPandas()
-        if pdf.empty:
-            continue
-        ids = pdf["vec_id"].to_numpy(dtype="int64")
-        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        norms = np.sqrt((m * m).sum(axis=1))
-        bc = spark.sparkContext.broadcast((ids, m, norms))
-        part = e.mapInPandas(make_kernel(bc), schema=schema)
-        if nblocks > 1:
-            # Materialize this block's candidates so the broadcast can be
-            # released before the next block is collected.
-            part = part.localCheckpoint()
-            bc.destroy()
-        parts.append(part)
-    if not parts:
-        return spark.createDataFrame([], schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    all_blocks = F.sequence(F.lit(0), F.lit(nblocks - 1))
+    qry = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int").alias("qblk"),
+        F.explode(all_blocks).alias("iblk"),
+    )
+    idx = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int").alias("iblk"),
+        F.explode(all_blocks).alias("qblk"),
+    )
+    return (
+        qry.groupBy("qblk", "iblk")
+        .cogroup(idx.groupBy("qblk", "iblk"))
+        .applyInPandas(score_pair, schema=schema)
+    )
 
 
 @register(
@@ -150,41 +170,43 @@ ORDER BY vec_id, rk
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors per vector (brute force, vectorized).
 
-    Queries stream through an Arrow-batched mapInPandas kernel doing one
-    BLAS matmul per (batch × index block) — per-block top-k candidates are
-    unioned and a global window re-ranks them (a query's true top-k is
-    always inside the union of its per-block top-k). Ties broken by
-    neighbor_id (lexsort), so the cutoff is deterministic."""
+    One Spark job: block-pair cogroup (cogroup_index_blocks) — one BLAS
+    matmul per (query-block × index-block) pair, per-pair top-k candidates,
+    then a global window re-rank (a query's true top-k is always inside
+    the union of its per-index-block top-k, because every index vector
+    lives in exactly one block). Ties broken by neighbor_id (lexsort), so
+    the cutoff is deterministic. float32 → float64 before any arithmetic
+    (FIXTURES.md gotcha #5)."""
     k = _TOP_K
 
-    def make_kernel(bc):
-        def score(batches):
-            import numpy as np
-            import pandas as pd
+    def score_pair(qs, idx):
+        import numpy as np
+        import pandas as pd
 
-            ids, m, norms = bc.value
-            for pdf in batches:
-                q_ids = pdf["vec_id"].to_numpy(dtype="int64")
-                q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                q_norms = np.sqrt((q * q).sum(axis=1))
-                s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
-                out_q, out_n, out_c = [], [], []
-                for row in range(len(q_ids)):
-                    srow = s[row]
-                    mask = ids != q_ids[row]
-                    cand_ids, cand_s = ids[mask], srow[mask]
-                    order = np.lexsort((cand_ids, -cand_s))[:k]
-                    out_q.extend([q_ids[row]] * len(order))
-                    out_n.extend(cand_ids[order])
-                    out_c.extend(cand_s[order])
-                yield pd.DataFrame(
-                    {"vec_id": out_q, "neighbor_id": out_n, "cos_raw": out_c}
-                )
+        if qs.empty or idx.empty:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos_raw": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"}
+            )
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        ids = idx["vec_id"].to_numpy(dtype="int64")
+        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+        q_norms = np.sqrt((q * q).sum(axis=1))
+        norms = np.sqrt((m * m).sum(axis=1))
+        s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
+        out_q, out_n, out_c = [], [], []
+        for row in range(len(q_ids)):
+            srow = s[row]
+            mask = ids != q_ids[row]
+            cand_ids, cand_s = ids[mask], srow[mask]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            out_q.extend([q_ids[row]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_c.extend(cand_s[order])
+        return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "cos_raw": out_c})
 
-        return score
-
-    cand = scan_index_blocked(
-        spark, sf_dir, make_kernel, schema="vec_id long, neighbor_id long, cos_raw double"
+    cand = cogroup_index_blocks(
+        spark, sf_dir, score_pair, schema="vec_id long, neighbor_id long, cos_raw double"
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (

@@ -99,6 +99,47 @@ def test_ivf_contract_and_recall_floor(spark):
     assert recall > 0.2, recall
 
 
+def test_cogroup_block_grid_invariant_to_block_size(spark, monkeypatch):
+    """The block-pair cogroup result must not depend on the grid: a 5-block
+    grid (500 vectors / 128-row blocks) yields exactly the single-block
+    result for both the top-k and the thresholded-pair kernels."""
+    from mapreduce_framework_api_spark.operators import similarity
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = load_all_queries()
+    base_topk = sorted(map(tuple, qs["q_sim_cosine_topk"].fn(spark, sf).collect()))
+    base_pairs = sorted(map(tuple, qs["q_dedup_embedding"].fn(spark, sf).collect()))
+    monkeypatch.setattr(similarity, "_INDEX_BLOCK_ROWS", 128)
+    assert sorted(map(tuple, qs["q_sim_cosine_topk"].fn(spark, sf).collect())) == base_topk
+    assert (
+        sorted(map(tuple, qs["q_dedup_embedding"].fn(spark, sf).collect())) == base_pairs
+    )
+
+
+def test_cogroup_block_grid_empty_embeddings(spark, tmp_path):
+    """Zero-row embeddings: the cogroup grid has zero groups; both consumers
+    return empty frames with their declared schemas (no job failure)."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    spark.createDataFrame([], schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    qs = load_all_queries()
+    topk = qs["q_sim_cosine_topk"].fn(spark, str(tmp_path))
+    assert topk.count() == 0
+    assert topk.columns == ["vec_id", "neighbor_id", "cosine", "rk"]
+    pairs = qs["q_dedup_embedding"].fn(spark, str(tmp_path))
+    assert pairs.count() == 0
+    assert pairs.columns == ["vec_a", "vec_b", "cosine"]
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting is invisible in the result: hot-key join matches the plain
     join exactly (90% of big rows share one key)."""
