@@ -74,7 +74,7 @@ _LOADED = False
 # q_sim_ivf_topk, which now carries a full oracle); (3) the 13 queries
 # last verified in r01 and 13 of the 15 last verified in r02 (2-3 rounds
 # stale; tokens/fingerprint — trivially row-local, twice green — yield
-# their slots to the new queries and rotate in next round); sitting out (38): everything
+# their slots to the new queries and rotate in next round); sitting out (40): everything
 # else — all hash-green in r03 on code untouched this round (including
 # the similarity tier, whose r03-green members were only repositioned,
 # not changed, by the IVF rewrite).

@@ -106,6 +106,38 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
         ) from exc
 
 
+def _size_to_bytes(s: str) -> int:
+    """Parse a Spark size conf string ('134217728', '128MB', '1g', '512k')."""
+    s = s.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(s[-1:], 1)
+    return int(s[:-1] if mult > 1 else s) * mult
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate the scan's partition count from FILE METADATA — no RDD
+    handle, no job. Each file contributes ceil(size / maxPartitionBytes)
+    splits (the FilePartition math, ignoring small-file packing, which only
+    ever LOWERS the true count — so for >=-target gating the estimate can
+    overshoot; the affected shape, thousands of tiny files, is a scan
+    that needs compaction, not a repartition). Non-local URIs fall back to
+    one split per file."""
+    spark = df.sparkSession
+    try:
+        max_bytes = _size_to_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except ValueError:
+        max_bytes = 128 << 20
+    total = 0
+    for uri in df.inputFiles():
+        path = uri.removeprefix("file:")
+        try:
+            total += max(1, -(-os.path.getsize(path) // max_bytes))
+        except OSError:
+            total += 1
+    return total
+
+
 def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least ``min_partitions`` (default: cluster default
     parallelism) partitions before CPU-heavy per-row work.
@@ -116,9 +148,12 @@ def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     repartition is GATED: a scan that already has enough partitions — every
     real 100 TB scan — passes through untouched, so this never adds a
     shuffle at scale; locally it shuffles only the (tiny) raw input once in
-    exchange for full-width parallelism on the expensive stage."""
+    exchange for full-width parallelism on the expensive stage. The gate
+    reads file metadata (``_estimated_scan_partitions``) instead of
+    ``df.rdd.getNumPartitions()`` — the RDD handle materialized a Java RDD
+    per query build just to read one number."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_scan_partitions(df) >= target:
         return df
     return df.repartition(target)
