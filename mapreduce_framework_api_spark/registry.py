@@ -66,73 +66,73 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-4 window, by the standing policy: (1) the twelve NEW queries
-# (funnel/retention/rollup_reuse/bloom/corr_agg/mixture/pack_chunks/
-# gapfill/hist_quantile/mode/latest/interval_overlap — no driver row
-# yet); (2) the twelve r03-red rows (the 11
-# events-reader casualties, all fixed by the schema-adaptive reader, plus
-# q_sim_ivf_topk, which now carries a full oracle); (3) the 13 queries
-# last verified in r01 and 13 of the 15 last verified in r02 (2-3 rounds
-# stale; tokens/fingerprint — trivially row-local, twice green — yield
-# their slots to the new queries and rotate in next round); sitting out (40): everything
-# else — all hash-green in r03 on code untouched this round (including
-# the similarity tier, whose r03-green members were only repositioned,
-# not changed, by the IVF rewrite).
+# Round-5 window, by the standing policy: (1) no never-checked queries
+# exist (union of r01-r04 covers all 90); (2) code changed this round:
+# q_pipe_pack_chunks (oracle HUGEINT cast — the one r4-red row, needs its
+# green receipt) and q_sketch_hist_quantile (median-rank div fix) lead,
+# and the block-pair-cogroup rework's consumers q_sim_cosine_topk /
+# q_dedup_embedding are already inside (3); (3) the 40 queries that sat
+# out r4 (last driver-checked r02/r03 — the staleness window the r4
+# verdict flagged); remaining 8 slots go to r4-green queries sitting on
+# changed shared code (text tier rides the new parallelized() gate;
+# q_sim_ivf_topk shares the edited similarity module) plus the two
+# perf-watch rows (q_win_topk_group, q_agg_basic spiked in local r5
+# runs). Sitting out (40): the rest of the r4-checked set — hash-green
+# in r4 on code untouched this round.
 _WINDOW: tuple[str, ...] = (
-    # (1) new this round
-    "q_events_funnel",
-    "q_events_retention",
-    "q_agg_rollup_reuse",
-    "q_sketch_bloom",
-    "q_subquery_corr_agg",
-    "q_pipe_mixture",
+    # (2) changed this round
     "q_pipe_pack_chunks",
-    "q_events_gapfill",
     "q_sketch_hist_quantile",
-    "q_agg_mode",
-    "q_dedup_latest",
-    "q_join_interval_overlap",
-    # (2) r03-red
-    "q_join_asof",
-    "q_agg_skew_salted",
-    "q_dedup_exact",
-    "q_fn_json",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_late",
-    "q_stream_attrib",
-    "q_sketch_hll",
-    "q_sketch_cms",
-    "q_sim_ivf_topk",
-    # (3a) last green r01
-    "q_scan_project",
-    "q_join_full_outer",
-    "q_subquery_scalar",
-    "q_subquery_exists",
-    "q_agg_basic",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_pivot",
-    "q_sort_multi",
-    "q_set_ops",
-    "q_limit_offset",
-    # (3b) last green r02
+    # (3) sat out r4 (incl. the two cogroup-rework consumers)
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_dedup_canonical",
+    "q_dedup_clusters",
+    "q_dedup_decontaminate",
+    "q_dedup_embedding",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_report",
+    "q_dedup_simhash",
+    "q_filter_pred",
+    "q_fn_array",
+    "q_fn_conditional",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_string",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multi",
+    "q_join_range_binned",
+    "q_join_semi",
+    "q_join_skew_salted",
+    "q_join_star",
+    "q_join_theta_range",
+    "q_multimodal_meta",
+    "q_multimodal_stats",
+    "q_pipe_keep_first",
+    "q_pipe_length_hist",
+    "q_pipe_pii_scrub",
+    "q_pipe_quota_cap",
+    "q_pipe_sample_hash",
+    "q_pipe_split_assign",
+    "q_sim_ann_lsh",
+    "q_sim_cosine_topk",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_text_surprisal",
+    "q_text_tokens",
+    # (3b) r4-green on shared changed code + perf-watch
     "q_text_wordcount",
-    "q_text_wordcount_rdd",
-    "q_win_rank",
-    "q_win_running",
-    "q_win_topk_group",
-    "q_win_lag_lead",
-    "q_win_ntile_dist",
-    "q_win_range_frame",
-    "q_win_first_last",
     "q_text_ngrams",
     "q_text_tfidf",
     "q_text_langid",
-    "q_text_quality",
+    "q_sim_ivf_topk",
+    "q_win_topk_group",
+    "q_sketch_cms",
+    "q_agg_basic",
 )
 
 
