@@ -47,15 +47,15 @@ def test_tokens_straddling_many_tiny_partitions(spark):
 
 def test_multimodal_decode_plumbing(spark):
     """The Arrow-batched decode path: schema, batching, deterministic fake
-    codec (real codecs are stubbed per environment constraints)."""
-    import pytest
-
+    codec; the REAL (fake=False) path is dirty-row-tolerant — text payloads
+    are not PNGs, so every row decodes to null features, no task failure."""
     from mapreduce_framework_api_spark.operators.multimodal import as_media, decode_media
     from mapreduce_framework_api_spark.sources import table
 
     media = as_media(table(spark, "/root/testdata/sf0.001", "documents").limit(50))
-    with pytest.raises(NotImplementedError):
-        decode_media(media).collect()
+    real = decode_media(media).collect()
+    assert len(real) == 50
+    assert all(r["width"] is None and r["feature"] is None for r in real)
     feats = decode_media(media, fake=True)
     rows = feats.collect()
     assert len(rows) == 50
@@ -65,6 +65,117 @@ def test_multimodal_decode_plumbing(spark):
     # deterministic: same input -> same features
     again = decode_media(media, fake=True).collect()
     assert [tuple(x) for x in rows] == [tuple(x) for x in again]
+
+
+def _make_png(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic RGB gradient test image."""
+    from mapreduce_framework_api_spark.functions.pngcodec import encode_png
+
+    rgb = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((x * 7 + doc_id) % 256, (y * 11) % 256, (x + y) % 256)
+    )
+    return encode_png(w, h, rgb)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-codec units: encode→decode is the identity on pixels, and the
+    decoder undoes all five standard scanline filters (synthesized by
+    re-filtering a known image by hand)."""
+    import struct
+    import zlib
+
+    from mapreduce_framework_api_spark.functions.pngcodec import (
+        _chunk,
+        _SIG,
+        decode_png,
+        encode_png,
+        resize_rgb_nearest,
+    )
+
+    w, h = 9, 5
+    rgb = bytes((i * 37) % 256 for i in range(w * h * 3))
+    assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+    # resample determinism + exact corner preservation
+    small = resize_rgb_nearest(w, h, rgb, 3, 2)
+    assert len(small) == 3 * 2 * 3 and small[:3] == rgb[:3]
+    # hand-filter each row with filter type (y % 5) and re-frame the PNG:
+    # the decoder must reconstruct the original pixels
+    stride = w * 3
+    prev = bytearray(stride)
+    raw = bytearray()
+    for y in range(h):
+        row = bytearray(rgb[y * stride : (y + 1) * stride])
+        filt = y % 5
+        enc = bytearray(row)
+        if filt == 1:
+            for x in range(stride - 1, 2, -1):
+                enc[x] = (row[x] - row[x - 3]) & 0xFF
+        elif filt == 2:
+            for x in range(stride):
+                enc[x] = (row[x] - prev[x]) & 0xFF
+        elif filt == 3:
+            for x in range(stride):
+                left = row[x - 3] if x >= 3 else 0
+                enc[x] = (row[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif filt == 4:
+            for x in range(stride):
+                a = row[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (row[x] - pred) & 0xFF
+        raw += bytes([filt]) + enc
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    assert decode_png(png) == (w, h, rgb)
+    # unsupported variants refuse cleanly
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(b"JFIF not a png")
+    gray_ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_png(_SIG + _chunk(b"IHDR", gray_ihdr) + _chunk(b"IEND", b""))
+
+
+def test_multimodal_real_codec_end_to_end(spark):
+    """fake=False through Spark: PNG payloads decode to true dimensions and
+    a deterministic luminance histogram; resize re-encodes valid PNGs at
+    the target size; one corrupt payload degrades to nulls, not a crash."""
+    from mapreduce_framework_api_spark.functions.pngcodec import decode_png
+    from mapreduce_framework_api_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_media,
+    )
+
+    rows = [
+        (i, "image", _make_png(i, 16 + i, 12 + i), (None, None, "unit"))
+        for i in range(4)
+    ] + [(99, "image", b"corrupt bytes", (None, None, "unit"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert len(feats) == 5
+    for i in range(4):
+        r = feats[i]
+        assert (r["width"], r["height"]) == (16 + i, 12 + i)
+        assert len(r["feature"]) == 16
+        assert sum(r["feature"]) == (16 + i) * (12 + i)  # histogram covers all px
+    assert feats[99]["width"] is None and feats[99]["feature"] is None
+    resized = {r["doc_id"]: r for r in resize_media(media, 8, 6).collect()}
+    for i in range(4):
+        w, h, rgb = decode_png(bytes(resized[i]["payload"]))
+        assert (w, h) == (8, 6) and len(rgb) == 8 * 6 * 3
+    assert resized[99]["payload"] is None
+    # determinism end-to-end
+    again = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert all(tuple(feats[k]) == tuple(again[k]) for k in feats)
 
 
 def test_ivf_contract_and_recall_floor(spark):
@@ -177,15 +288,14 @@ def test_salted_agg_equals_plain_agg(spark):
 
 def test_multimodal_resize_plumbing(spark):
     """Fake resize: 1 row in → 1 row out, payload shrunk deterministically,
-    dims stamped; NotImplementedError without fake=True."""
-    import pytest
-
+    dims stamped; the REAL (fake=False) path nulls non-PNG payloads
+    instead of raising (dirty-row tolerance)."""
     from mapreduce_framework_api_spark.operators.multimodal import as_media, resize_media
     from mapreduce_framework_api_spark.sources import table
 
     media = as_media(table(spark, "/root/testdata/sf0.001", "documents").limit(20))
-    with pytest.raises(NotImplementedError):
-        resize_media(media, 32, 32).collect()
+    real = resize_media(media, 32, 32).collect()
+    assert len(real) == 20 and all(r["payload"] is None for r in real)
     out = resize_media(media, 32, 32, fake=True)
     rows = out.collect()
     assert len(rows) == 20
