@@ -437,3 +437,61 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_us", "event_type")
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "q_events_sessionize",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), g AS (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                   IS NULL THEN 1
+              WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                   > {_SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_sess
+  FROM e
+)
+SELECT event_id, user_id, ts_us,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM g ORDER BY user_id, ts_us, event_id
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level session-id assignment: a user's events belong to one
+    session until a >30-minute inactivity gap starts the next (the
+    event-table complement of q_stream_session, which aggregates whole
+    sessions — this one tags every row, which is what downstream
+    attribution and funnel features consume).
+
+    Plan shape: LAG and the running SUM share one window family
+    (PARTITION BY user_id ORDER BY ts, event_id), so the whole query is a
+    single hash exchange on user_id followed by per-user windows — no
+    second shuffle, no global sort except the presentation ORDER BY.
+    Gap arithmetic is integer microseconds, bit-identical across engines."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    new_sess = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("new_sess", new_sess)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.sum("new_sess").over(cum).cast("long").alias("session_seq"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )

@@ -398,3 +398,186 @@ def q_pipe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CHUNK_SIZE = 128  # tokens per training chunk (overlapping variant)
+_CHUNK_STRIDE = 96  # start-to-start distance; overlap = size - stride
+
+
+@register(
+    "q_pipe_chunk_overlap",
+    group="I",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+), k AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN n_tokens <= {_CHUNK_SIZE} THEN 1
+              ELSE 1 + (n_tokens - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+         END AS n_chunks
+  FROM t WHERE n_tokens > 0
+), c AS (
+  SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx FROM k
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_tokens) AS BIGINT) AS end_tok
+FROM c ORDER BY doc_id, chunk_idx
+""",
+)
+def q_pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (the RAG/long-context variant of
+    sequence packing): each document is cut into {size}-token chunks whose
+    starts advance by {stride} tokens, so consecutive chunks share
+    size - stride tokens; the last chunk is clipped to the document end and
+    chunk starts never run past it.
+
+    Plan shape: pure MAP — token count, chunk count, and the
+    sequence-explode are all row-local expressions; zero shuffles at any
+    corpus size (the one exchange in the plan is the presentation-only
+    global sort, which a production writer drops). Chunk count is integer
+    arithmetic (ceil via (n - size + stride - 1) DIV stride), bit-identical
+    across engines. Empty documents produce no chunks."""
+    from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
+
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokens_nonempty("text")).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n_tokens") <= size, F.lit(1)).otherwise(
+                F.lit(1) + F.expr(f"(n_tokens - {size} + {stride} - 1) DIV {stride}")
+            ),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("chunk_idx"),
+            (F.col("ci") * stride).cast("long").alias("start_tok"),
+            F.least(F.col("ci") * stride + size, F.col("n_tokens"))
+            .cast("long")
+            .alias("end_tok"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# Per-language epoch multipliers: upsample low-resource languages. A real
+# run derives these from the mixture solver; fixed literals keep the
+# oracle exact.
+_EPOCH_WEIGHTS = {"en": 1, "de": 2, "es": 2, "fr": 3, "zh": 3}
+
+
+@register(
+    "q_pipe_upsample_epochs",
+    group="I",
+    oracle=f"""
+WITH w AS (
+  SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(_EPOCH_WEIGHTS.items()))})
+         AS t(lang, epochs)
+), r AS (
+  SELECT d.doc_id, d.lang, unnest(range(0, w.epochs)) AS epoch
+  FROM documents d JOIN w USING (lang)
+)
+SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+FROM r ORDER BY doc_id, epoch
+""",
+)
+def q_pipe_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted corpus replication (the standard low-resource
+    upsampling step before training): each document appears ``epochs(lang)``
+    times, tagged with its epoch index, so the downstream shuffle-order
+    pass interleaves repeats instead of clustering them.
+
+    Plan shape: pure MAP — the weight table is a broadcast-sized literal
+    map and the replication is a row-local sequence-explode; zero data
+    shuffles at any corpus size. Output volume is sum(epochs(lang) * n_lang)
+    rows, the pipeline's intended amplification."""
+    weights = F.create_map(
+        *[F.lit(x) for kv in sorted(_EPOCH_WEIGHTS.items()) for x in kv]
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        d.withColumn("epochs", weights[F.col("lang")])
+        .filter(F.col("epochs").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("epochs") - 1)).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .orderBy("doc_id", "epoch")
+    )
+
+
+_SHUFFLE_SHARDS = 32  # fixture-scale; production sets corpus_rows / shard_rows
+_SHUFFLE_SEED = "ep0"
+
+
+@register(
+    "q_pipe_shuffle_order",
+    group="I",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5('shuf:{_SHUFFLE_SEED}#' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), s AS (
+  SELECT doc_id, hx,
+         CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % {_SHUFFLE_SHARDS} AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM s ORDER BY shard, pos
+""",
+)
+def q_pipe_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    (shard, position) address from a seeded md5 — the materialized random
+    permutation a data loader consumes, reproducible on any engine and any
+    re-run (same seed ⇒ same order; bump the seed per epoch).
+
+    Plan shape: ONE hash exchange on shard, then shard-parallel
+    ROW_NUMBER windows — there is no global sort anywhere. The per-shard
+    window is the unavoidable cost of materializing positions; it stays
+    bounded because production sets shards ≈ corpus_rows / shard_rows
+    (this registration pins {_SHUFFLE_SHARDS} so the oracle is exact at
+    fixture scale). The md5 sort key inside each shard is what makes the
+    order pseudo-random rather than id-ordered."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    hx = F.md5(
+        F.concat(F.lit(f"shuf:{_SHUFFLE_SEED}#"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    s = d.select(
+        "doc_id",
+        hx.alias("hx"),
+        F.pmod(F.conv(F.substring(hx, 1, 4), 16, 10).cast("long"), _SHUFFLE_SHARDS).alias(
+            "shard"
+        ),
+    )
+    w = W.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        s.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
