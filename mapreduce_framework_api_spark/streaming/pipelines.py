@@ -331,3 +331,63 @@ def funnel_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_SESSIONIZE_OUT_SCHEMA = "event_id long, user_id long, ts_us long, session_seq long"
+_SESSIONIZE_STATE_SCHEMA = "last_ts_us long, session_seq long"
+
+
+def _sessionize_update(key, pdf_iter, state: GroupState):
+    """Per-user sessionizer: state is TWO longs (last event time, current
+    session ordinal) no matter how long the stream runs. Events are
+    processed in event-time order within each micro-batch; a gap larger
+    than the 30-minute threshold starts the next session. Exact under
+    per-user in-order delivery (and for any single-batch drain, which
+    sorts the batch); the batch twin q_events_sessionize is the arbiter
+    for out-of-order corpora — same contract as the funnel machine."""
+    import pandas as pd
+
+    from mapreduce_framework_api_spark.operators.events import _SESSION_GAP_US
+
+    last, seq = state.get if state.exists else (_NO_TS, 0)
+    rows = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+    out_seq = []
+    for ts in rows["ts_us"]:
+        ts = int(ts)
+        if last == _NO_TS or ts - last > _SESSION_GAP_US:
+            seq += 1
+        last = ts
+        out_seq.append(seq)
+    state.update((last, seq))
+    yield pd.DataFrame(
+        {
+            "event_id": rows["event_id"].astype("int64"),
+            "user_id": key[0],
+            "ts_us": rows["ts_us"].astype("int64"),
+            "session_seq": out_seq,
+        }
+    )
+
+
+def sessionize_state(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: streaming row-level session-id assignment
+    via ``applyInPandasWithState`` (append mode — every event is emitted
+    exactly once, tagged with its session ordinal). The built-in
+    ``session_window`` aggregates whole sessions; tagging each ROW with
+    its session id while holding only O(1) state per user is semantics
+    only the custom-state API expresses. Batch twin: q_events_sessionize
+    (operators/events.py) — one window family over a single user_id
+    exchange."""
+    return (
+        events.select(
+            "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_update,
+            outputStructType=_SESSIONIZE_OUT_SCHEMA,
+            stateStructType=_SESSIONIZE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

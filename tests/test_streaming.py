@@ -137,3 +137,25 @@ def test_streaming_funnel_equals_batch(spark):
     assert (got["n_view"], got["n_view_click"], got["n_view_click_purchase"]) == (
         want["n_view"], want["n_view_click"], want["n_view_click_purchase"],
     )
+
+
+def test_streaming_sessionize_equals_batch(spark):
+    """The O(1)-state streaming sessionizer tags every event with exactly
+    the session ordinal the batch window query assigns."""
+    from mapreduce_framework_api_spark.streaming.pipelines import sessionize_state
+
+    run_to_memory(
+        sessionize_state(read_events_stream(spark, SF_DIR)),
+        "t_sessionize",
+        output_mode="append",
+    )
+    got = _rows(spark.table("t_sessionize"), "user_id", "ts_us", "event_id")
+    batch = load_all_queries()["q_events_sessionize"].fn(spark, SF_DIR)
+    want = _rows(
+        batch.select("event_id", "user_id", "ts_us", "session_seq"),
+        "user_id",
+        "ts_us",
+        "event_id",
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
