@@ -208,3 +208,126 @@ def test_funnel_matches_python_reference(spark, events):
         if tp is not None:
             want[2] += 1
     assert [got["n_view"], got["n_view_click"], got["n_view_click_purchase"]] == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2000), st.integers(min_value=0, max_value=400)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_chunk_overlap_tiles_every_document(spark, docs):
+    """q_pipe_chunk_overlap on arbitrary token counts: chunk starts advance
+    by exactly the stride, every chunk is non-empty and at most the chunk
+    size, the last chunk ends at the document end, and a document shorter
+    than one chunk yields exactly one chunk. Zero-token docs yield none."""
+    import tempfile
+
+    from mapreduce_framework_api_spark.operators.pipeline import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = [
+        (doc_id, " ".join(["w"] * n_tokens), "en", "s", n_tokens)
+        for doc_id, n_tokens in docs
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = (
+            load_all_queries()["q_pipe_chunk_overlap"]
+            .fn(spark, tmp)
+            .orderBy("doc_id", "chunk_idx")
+            .collect()
+        )
+    per_doc: dict[int, list] = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n_tokens in docs:
+        chunks = per_doc.pop(doc_id, [])
+        if n_tokens == 0:
+            assert chunks == []
+            continue
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for i, c in enumerate(chunks):
+            assert c["start_tok"] == i * _CHUNK_STRIDE
+            assert 0 < c["end_tok"] - c["start_tok"] <= _CHUNK_SIZE
+        assert chunks[-1]["end_tok"] == n_tokens
+        if n_tokens <= _CHUNK_SIZE:
+            assert len(chunks) == 1
+        else:
+            # the penultimate chunk must NOT already reach the end
+            assert chunks[-2]["start_tok"] + _CHUNK_SIZE < n_tokens or len(chunks) == 2
+    assert not per_doc  # no chunks for unknown docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # user_id
+            st.integers(min_value=0, max_value=200_000),    # offset seconds
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionize_matches_python_reference(spark, events):
+    """q_events_sessionize on arbitrary event logs (duplicate timestamps,
+    interleaved users, gaps straddling the threshold) equals a sequential
+    per-user Python sessionizer."""
+    import datetime
+    import tempfile
+
+    from mapreduce_framework_api_spark.operators.events import _SESSION_GAP_US
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=off), uid, "view", 1.0, "{}")
+        for i, (uid, off) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = [
+            (r["event_id"], r["user_id"], r["session_seq"])
+            for r in load_all_queries()["q_events_sessionize"].fn(spark, tmp).collect()
+        ]
+    want = []
+    by_user: dict[int, list] = {}
+    for i, (uid, off) in enumerate(events):
+        by_user.setdefault(uid, []).append((off * 1_000_000, i))
+    for uid in sorted(by_user):
+        last, seq = None, 0
+        for ts_us, event_id in sorted(by_user[uid]):
+            if last is None or ts_us - last > _SESSION_GAP_US:
+                seq += 1
+            last = ts_us
+            want.append((event_id, uid, seq))
+    assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.binary(min_size=0, max_size=12 * 12 * 3),
+)
+def test_png_codec_roundtrip_arbitrary_pixels(w, h, seed):
+    """encode→decode is the identity for arbitrary pixel bytes and
+    dimensions (pads/truncates the seed to w*h*3)."""
+    from mapreduce_framework_api_spark.functions.pngcodec import decode_png, encode_png
+
+    need = w * h * 3
+    rgb = (seed * (need // max(1, len(seed)) + 1))[:need] if seed else bytes(need)
+    assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
