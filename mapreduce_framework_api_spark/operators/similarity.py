@@ -19,6 +19,10 @@ Three tiers:
 - ``q_sim_ivf_topk``: IVF — deterministic hash-seeded coarse quantizer
   with integer-exact assignment (full differential oracle), inverted
   lists probed per query via cogroup.
+- ``q_sim_search_split``: the ASYMMETRIC variant of the exact tier — a
+  hash-split query set searched against the disjoint rest of the corpus
+  through the general ``cogroup_block_pairs`` engine (independently
+  sized block axes: thin grids for small-queries-vs-huge-index).
 
 Design note: Spark has no vector index; all tiers are DataFrame plans plus
 Arrow-batched kernels. The block-pair cogroup is the same shape a
@@ -122,20 +126,50 @@ def cogroup_index_blocks(
     (e.g. the dedup threshold kernel) need no downstream dedup."""
     block_rows = block_rows or _INDEX_BLOCK_ROWS
     n = _parquet_row_count(sf_dir, "embeddings")
-    nblocks = max(1, math.ceil(n / block_rows))
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    all_blocks = F.sequence(F.lit(0), F.lit(nblocks - 1))
-    qry = e.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int").alias("qblk"),
-        F.explode(all_blocks).alias("iblk"),
+    return cogroup_block_pairs(
+        e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
+        e,
+        score_pair,
+        schema,
+        n_query_rows=n,
+        n_index_rows=n,
+        block_rows=block_rows,
     )
-    idx = e.select(
+
+
+def cogroup_block_pairs(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    score_pair,
+    schema: str,
+    n_query_rows: int,
+    n_index_rows: int,
+    block_rows: int | None = None,
+) -> DataFrame:
+    """General asymmetric block-pair cogroup: score an arbitrary QUERY set
+    (columns ``q_id``, ``q_emb``) against an arbitrary INDEX (columns
+    ``vec_id``, ``embedding``) in one Spark job — the production search
+    shape (a stream of lookups against a big frozen corpus), of which
+    self-search (cogroup_index_blocks) is the symmetric special case.
+
+    Each side is hashed into its own block count (ceil(rows/block_rows)),
+    so a 1000-row query set against a 10^9-row index builds a 1 × 10^6
+    grid, not a square one; row counts come from caller-supplied metadata
+    (the registered queries read parquet footers — no count job)."""
+    qb = max(1, math.ceil(n_query_rows / (block_rows or _INDEX_BLOCK_ROWS)))
+    ib = max(1, math.ceil(n_index_rows / (block_rows or _INDEX_BLOCK_ROWS)))
+    qry = query_df.select(
+        "q_id",
+        "q_emb",
+        F.pmod(F.xxhash64("q_id"), F.lit(qb)).cast("int").alias("qblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(ib - 1))).alias("iblk"),
+    )
+    idx = index_df.select(
         "vec_id",
         "embedding",
-        F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int").alias("iblk"),
-        F.explode(all_blocks).alias("qblk"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(ib)).cast("int").alias("iblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(qb - 1))).alias("qblk"),
     )
     return (
         qry.groupBy("qblk", "iblk")
@@ -615,4 +649,99 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _IVF_TOP_K)
         .select("vec_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
         .orderBy("vec_id", "rk")
+    )
+
+
+_SEARCH_TOP_K = 3
+
+
+@register(
+    "q_sim_search_split",
+    group="I",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         substr(md5('qsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_query
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, is_query FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos_raw
+  FROM n q JOIN n x ON q.is_query AND NOT x.is_query
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 2) AS cosine, rk
+FROM ranked WHERE rk <= {_SEARCH_TOP_K}
+ORDER BY query_id, rk
+""",
+)
+def q_sim_search_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC exact search: a deterministic 1/8 hash-split of the
+    vectors (md5 first hex < '2') is the query set, the remaining 7/8 the
+    index; top-3 index neighbors per query — the production retrieval
+    shape (a lookup stream against a frozen corpus), exercising the
+    general cogroup_block_pairs engine with a NON-square block grid
+    (query blocks × index blocks are sized independently, so a small
+    query set against a huge index builds a thin grid, never a square
+    one). One Spark job, no driver loop; disjoint sides, so the kernel
+    needs no self-exclusion."""
+    k = _SEARCH_TOP_K
+
+    def score_pair(qs, idx):
+        import numpy as np
+        import pandas as pd
+
+        if qs.empty or idx.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_raw": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"})
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        ids = idx["vec_id"].to_numpy(dtype="int64")
+        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+        s = (q @ m.T) / (
+            np.sqrt((q * q).sum(axis=1))[:, None] * np.sqrt((m * m).sum(axis=1))[None, :]
+        )
+        out_q, out_n, out_c = [], [], []
+        for row in range(len(q_ids)):
+            order = np.lexsort((ids, -s[row]))[:k]
+            out_q.extend([q_ids[row]] * len(order))
+            out_n.extend(ids[order])
+            out_c.extend(s[row][order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_raw": out_c})
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_query = (
+        F.substring(
+            F.md5(F.concat(F.lit("qsplit#"), F.col("vec_id").cast("string")).cast("binary")),
+            1,
+            1,
+        )
+        < "2"
+    )
+    n_total = _parquet_row_count(sf_dir, "embeddings")
+    cand = cogroup_block_pairs(
+        e.filter(is_query).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        ),
+        e.filter(~is_query),
+        score_pair,
+        schema="query_id long, neighbor_id long, cos_raw double",
+        # footer metadata gives the TOTAL count; the 1/8 : 7/8 hash split is
+        # applied as an expected-rows scale on each side (block sizing only
+        # needs the right order of magnitude — the hash keeps blocks uniform)
+        n_query_rows=max(1, n_total // 8),
+        n_index_rows=max(1, n_total - n_total // 8),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
+        .orderBy("query_id", "rk")
     )
