@@ -1176,3 +1176,99 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "q_agg_string_agg",
+    group="D",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per language, the sorted
+    distinct sources joined with commas. collect_set alone is
+    NONDETERMINISTIC in element order — the sort_array before array_join
+    is what makes the result an engine-portable value (DuckDB's
+    ``string_agg(DISTINCT … ORDER BY …)`` states the same contract
+    declaratively). One hash-agg shuffle on lang; the collected set is
+    bounded by source cardinality, not corpus size."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources_csv"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_agg_corr_exact",
+    group="D",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                              e -> e <> '')) AS BIGINT) AS y
+  FROM documents
+), s AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM t GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+         AS corr_chars_tokens,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+         AS slope_tokens_per_char
+FROM s ORDER BY lang
+""",
+)
+def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + regression slope (chars vs tokens per language) from
+    EXACT integer sums: built-in corr()/regr_slope() use incremental
+    co-moment recurrences whose low-order float bits differ between
+    engines, so this computes the five exact BIGINT sums (n, Σx, Σy, Σxy,
+    Σx², Σy² — overflow-free well past fixture scale; promote to DECIMAL
+    for 100 TB corpora) and evaluates the IDENTICAL closed-form double
+    expression on both engines — the same exact-sums-then-one-division
+    trick q_agg_rollup_reuse and the multimodal stats use. One hash-agg
+    shuffle, map-side combinable."""
+    from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
+
+    t = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokens_nonempty("text")).cast("long").alias("y"),
+    )
+    s = t.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    var_x = n_d * F.col("sxx") - sx_d * F.col("sx")
+    var_y = n_d * F.col("syy") - sy_d * F.col("sy")
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(cov_num / (F.sqrt(var_x) * F.sqrt(var_y)), 4).alias("corr_chars_tokens"),
+        F.round(cov_num / var_x, 4).alias("slope_tokens_per_char"),
+    ).orderBy("lang")
