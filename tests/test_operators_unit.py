@@ -1006,5 +1006,37 @@ def test_new_event_queries_on_empty_events(spark, tmp_path):
         "q_events_gapfill",
         "q_sketch_hist_quantile",
         "q_stream_tumbling",
+        "q_events_sessionize",
+    ):
+        assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
+
+
+def test_new_pipe_queries_on_empty_documents(spark, tmp_path):
+    """Chunking / upsampling / shuffle-order on an EMPTY documents table:
+    no AnalysisException, zero rows (explodes over empty sequences and
+    windows over empty shards are all well-defined)."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    spark.createDataFrame([], schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    qs = load_all_queries()
+    for name in (
+        "q_pipe_chunk_overlap",
+        "q_pipe_upsample_epochs",
+        "q_pipe_shuffle_order",
+        "q_agg_string_agg",
+        "q_agg_corr_exact",
     ):
         assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
