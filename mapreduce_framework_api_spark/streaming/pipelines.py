@@ -87,8 +87,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{sf_dir}/events.parquet"
     ts_nanos = _events_ts_is_nanos(src)
     if os.path.isfile(src):
-        staged = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(src, os.path.join(staged, "events.parquet"))
+        # STABLE per-fixture staging path (not mkdtemp): the file-source
+        # checkpoint records the source directory, so a restarted query
+        # must list the SAME landing dir or Spark rejects the offset log
+        # (basePath mismatch) — mirroring production, where the landing
+        # directory is a fixed location files arrive into.
+        import hashlib
+
+        tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+        staged = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+        os.makedirs(staged, exist_ok=True)
+        link = os.path.join(staged, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
         src = staged
     if ts_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -391,3 +402,24 @@ def sessionize_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+):
+    """Drain the (finite) stream into a PARQUET directory sink with a real
+    checkpoint location — the production file-sink path (exactly-once via
+    the sink's commit log + the checkpoint's offset log; a restarted query
+    resumes from the last committed batch instead of reprocessing).
+    ``availableNow`` bounds the drain for tests; a live deployment drops
+    the trigger and keeps the same sink/checkpoint contract."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -159,3 +159,36 @@ def test_streaming_sessionize_equals_batch(spark):
     )
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_streaming_parquet_sink_checkpointed(spark, tmp_path):
+    """The production file-sink path: drain the sessionizer to a parquet
+    sink with a checkpoint, read the files back, equal the batch twin; a
+    SECOND start on the same checkpoint is a no-op (exactly-once — the
+    offset log says everything is committed, so no duplicate rows)."""
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        run_to_parquet,
+        sessionize_state,
+    )
+
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    run_to_parquet(
+        sessionize_state(read_events_stream(spark, SF_DIR)), out, ckpt
+    )
+    got = _rows(spark.read.parquet(out), "user_id", "ts_us", "event_id")
+    batch = load_all_queries()["q_events_sessionize"].fn(spark, SF_DIR)
+    want = _rows(
+        batch.select("event_id", "user_id", "ts_us", "session_seq"),
+        "user_id",
+        "ts_us",
+        "event_id",
+    )
+    # parquet sink column order follows the stream schema
+    got = [tuple(r) for r in got]
+    assert len(got) == len(want) > 0
+    assert sorted(got) == sorted(tuple(r) for r in want)
+    # restart on the same checkpoint: nothing new to process, no duplicates
+    run_to_parquet(
+        sessionize_state(read_events_stream(spark, SF_DIR)), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == len(want)
