@@ -130,22 +130,25 @@ ORDER BY tf.doc_id, tf.token
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, term): tf * ln(N / df), rounded.
 
-    The doc-count N joins in via a broadcast of a 1-row aggregate (no
-    driver-side ``count()``), and df(term) is a second hash-agg reusing the
-    (doc_id, token) grouping — both shuffles are on already-reduced data.
-    The tf⋈df join strategy is left to the planner: at fixture scale the
-    term dictionary broadcasts (under the threshold); at web scale the
-    vocabulary outgrows a broadcast (Heaps' law) and the planner's
-    shuffle join on token — both sides already partitioned by token from
-    their aggregates — is the right call, so no hint is forced.
-    """
+    df(term) is a WINDOW count over the tf rows (PARTITION BY token, no
+    ordering — no sort), not a second aggregate joined back: deriving df
+    from tf as a separate lineage made Catalyst plan the dominant
+    scan → explode → (doc, token) aggregate pipeline TWICE (the two
+    subtrees are canonically equal but sat under different exchanges, so
+    ReuseExchange never fired; measured two Generate nodes + two parquet
+    scans in the physical plan). The window form states the reuse
+    structurally: one scan, one explode, one tf shuffle, then a token
+    shuffle of already-reduced (doc, term) rows. The doc-count N joins in
+    via a broadcast of a 1-row aggregate (no driver-side ``count()``; its
+    scan is column-pruned to doc_id)."""
+    from pyspark.sql import Window as W
+
     docs = parallelized(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", explode_tokens("text"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(df_, "token")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
