@@ -311,10 +311,11 @@ def _lsh_codes_udf(g: int, d: int):
 
 def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     """(g, d) for the corpus: two metadata-cheap driver lookups (row count
-    from parquet footers, dimensionality from one row) that parameterize
-    the plan — the same index-build step a production pipeline persists."""
+    from parquet FOOTERS — no count job — and dimensionality from one row)
+    that parameterize the plan — the same index-build step a production
+    pipeline persists."""
     base = table(spark, sf_dir, "embeddings")
-    n = base.count()
+    n = _parquet_row_count(sf_dir, "embeddings")
     d = int(base.select(F.size("embedding").alias("d")).first()["d"])
     # Integer form of clamp(ceil(log2(n / occ)), MIN, MAX): the smallest b
     # with 2^b * occ >= n. Pure-integer so the SQL oracle's CASE chain
@@ -466,13 +467,27 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_cosine_batch("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
         )
     )
+    # Mirror by EXPLODE, not a union of two projections: a union gives the
+    # `once` subtree two parents, and Catalyst plans the whole candidate +
+    # scoring lineage TWICE (two codes kernels, two bucket builds, two
+    # three-way joins — measured 6 parquet scans in the physical plan).
+    # One generate of width 2 keeps a single lineage.
     scored = once.select(
-        F.col("ida").alias("vec_id"), F.col("idb").alias("neighbor_id"), "cos_raw"
-    ).unionByName(
-        once.select(
-            F.col("idb").alias("vec_id"), F.col("ida").alias("neighbor_id"), "cos_raw"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ida").alias("vec_id"),
+                    F.col("idb").alias("neighbor_id"),
+                    F.col("cos_raw"),
+                ),
+                F.struct(
+                    F.col("idb").alias("vec_id"),
+                    F.col("ida").alias("neighbor_id"),
+                    F.col("cos_raw"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.vec_id", "m.neighbor_id", "m.cos_raw")
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
