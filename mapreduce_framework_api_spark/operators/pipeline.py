@@ -301,12 +301,19 @@ def q_pipe_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the per-language counts and the grand total are
     broadcast-sized BY CONSTRUCTION (languages are a bounded set; the
     totals are one row per language), so the only per-row work is a
-    row-local hash filter — no corpus shuffle at any size. At extreme
-    corpus sizes (N ≳ 10^12) promote the comparison to DECIMAL to keep
-    the products inside 64 bits."""
+    row-local hash filter — no corpus shuffle at any size. The grand
+    total is a WINDOW SUM over the (bounded, post-aggregate) stats frame,
+    not a second corpus aggregate: a separate total branch would give the
+    documents scan a third parent and Catalyst would run the full scan +
+    count again (the whole-frame window touches one row per language).
+    At extreme corpus sizes (N ≳ 10^12) promote the comparison to DECIMAL
+    to keep the products inside 64 bits."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    stats = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
-    tot = d.agg(F.count("*").alias("n_total"))
+    stats = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_lang"))
+        .withColumn("n_total", F.sum("n_lang").over(W.partitionBy()))
+    )
     weights = F.create_map(
         *[F.lit(x) for kv in sorted(_MIX_PERMILLE.items()) for x in kv]
     )
@@ -317,7 +324,6 @@ def q_pipe_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         d.join(F.broadcast(stats), "lang")
-        .crossJoin(F.broadcast(tot))
         .withColumn("permille", weights[F.col("lang")])
         .filter(
             u16 * F.col("n_lang") * 1000

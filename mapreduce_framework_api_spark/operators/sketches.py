@@ -366,10 +366,17 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_HIST_BINS - 1),
         )
     )
+    # b's columns RIDE ALONG the counters pipeline (they are functionally
+    # dependent on event_type, so grouping by them changes nothing):
+    # referencing b again for the threshold and the final projection would
+    # give its subtree three parents, and Catalyst would plan the full
+    # events scan + stats aggregate three times. This shape is ONE
+    # broadcast join and two events scans total — the minimum, since the
+    # bin width needs the finished min/max before the binning pass.
     counters = (
-        ev.join(F.broadcast(b.select("event_type", "vmin", "vmax")), "event_type")
-        .select("event_type", bin_.alias("bin"))
-        .groupBy("event_type", "bin")
+        ev.join(F.broadcast(b), "event_type")
+        .select("event_type", bin_.alias("bin"), "vmin", "vmax", "n", "exact_p50")
+        .groupBy("event_type", "bin", "vmin", "vmax", "n", "exact_p50")
         .agg(F.count("*").alias("c"))
     )
     cum_w = (
@@ -379,24 +386,20 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = counters.withColumn("cc", F.sum("c").over(cum_w))
     med = (
-        cum.join(F.broadcast(b.select("event_type", "n")), "event_type")
+        cum
         # integer floor division to match the oracle's (n + 1) // 2 — the
         # double-division form (n + 1) / 2 picks rank n/2 + 1 on even counts,
         # which diverges whenever the two middle ranks straddle a bin edge
         .filter(F.col("cc") >= F.expr("(n + 1) div 2"))
-        .groupBy("event_type")
+        .groupBy("event_type", "vmin", "vmax", "n", "exact_p50")
         .agg(F.min("bin").alias("med_bin"))
     )
-    return (
-        b.join(med, "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n"),
-            F.round(
-                F.col("vmin") + F.col("med_bin") * ((F.col("vmax") - F.col("vmin")) / _HIST_BINS),
-                2,
-            ).alias("est_p50"),
-            "exact_p50",
-        )
-        .orderBy("event_type")
-    )
+    return med.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("vmin") + F.col("med_bin") * ((F.col("vmax") - F.col("vmin")) / _HIST_BINS),
+            2,
+        ).alias("est_p50"),
+        "exact_p50",
+    ).orderBy("event_type")
