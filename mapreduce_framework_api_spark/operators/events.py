@@ -495,3 +495,95 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+_ANOM_TRAIL_HOURS = 24  # trailing window width
+_ANOM_MIN_HOURS = 12  # warm-up: hours required before scoring
+
+
+@register(
+    "q_events_anomaly",
+    group="H",
+    oracle=f"""
+WITH hourly AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US}) * {_HOUR_US} AS hour_us,
+         event_type,
+         -- cast back: DuckDB SUM(BIGINT) yields HUGEINT, Spark stays int64
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+  FROM events GROUP BY hour_us, event_type
+), trail AS (
+  SELECT hour_us, event_type, m,
+         COUNT(*)     OVER w AS cnt,
+         SUM(m)       OVER w AS sm,
+         SUM(m * m)   OVER w AS sm2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               RANGE BETWEEN {_ANOM_TRAIL_HOURS * _HOUR_US} PRECEDING
+                         AND {_HOUR_US} PRECEDING)
+)
+SELECT hour_us, event_type, m AS m_cents, CAST(cnt AS BIGINT) AS n_trailing,
+       ROUND((m * cnt - sm) / sqrt(CAST(cnt * sm2 - sm * sm AS DOUBLE)), 2) AS z
+FROM trail
+WHERE cnt >= {_ANOM_MIN_HOURS}
+  AND cnt * sm2 - sm * sm > 0
+  AND (m * cnt - sm) * (m * cnt - sm) > 4 * (cnt * sm2 - sm * sm)
+ORDER BY event_type, hour_us
+""",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection (the monitoring query of the
+    event-analytics family): an hour is anomalous for a type when its
+    total deviates from the trailing-24h mean by more than 2 population
+    sigmas, after a 12-hour warm-up.
+
+    Engine-exactness: values go to integer CENTS first (floor(v*100+0.5)
+    of the same double on both engines), so every windowed statistic
+    (count, Σm, Σm²) is integer-exact, the 2σ test is the PURE-INTEGER
+    comparison (m·cnt − Σm)² > 4(cnt·Σm² − Σm²), and the reported z-score
+    is one identical closed-form double expression — no accumulated-FP
+    ordering anywhere (same discipline as q_agg_corr_exact). At extreme
+    volumes promote the products to DECIMAL.
+
+    Plan shape: one hash-agg shuffle onto the (hour, type) rollup, then
+    RANGE-frame windows (gap-correct: the frame is wall-clock hours, not
+    row counts) over the ROLLUP — hours × types rows, trivially small at
+    any corpus size; the raw event table is touched exactly once."""
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        e.select(
+            ((F.unix_micros("ts") / _HOUR_US).cast("long") * _HOUR_US).alias("hour_us"),
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupBy("hour_us", "event_type")
+        .agg(F.sum("cents").alias("m"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rangeBetween(-_ANOM_TRAIL_HOURS * _HOUR_US, -_HOUR_US)
+    )
+    trail = hourly.select(
+        "hour_us",
+        "event_type",
+        "m",
+        F.count("*").over(w).alias("cnt"),
+        F.sum("m").over(w).alias("sm"),
+        F.sum(F.col("m") * F.col("m")).over(w).alias("sm2"),
+    )
+    dev = F.col("m") * F.col("cnt") - F.col("sm")
+    var_n2 = F.col("cnt") * F.col("sm2") - F.col("sm") * F.col("sm")
+    return (
+        trail.filter(
+            (F.col("cnt") >= _ANOM_MIN_HOURS) & (var_n2 > 0) & (dev * dev > 4 * var_n2)
+        )
+        .select(
+            "hour_us",
+            "event_type",
+            F.col("m").alias("m_cents"),
+            F.col("cnt").cast("long").alias("n_trailing"),
+            F.round(dev / F.sqrt(var_n2.cast("double")), 2).alias("z"),
+        )
+        .orderBy("event_type", "hour_us")
+    )

@@ -66,20 +66,19 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-5 window, by the standing policy: (1) the seven queries NEW this
-# round (search_split / string_agg / corr_exact / chunk_overlap /
-# upsample_epochs / shuffle_order / sessionize — no driver row yet) lead; (2) code changed this round:
+# Round-5 window, by the standing policy: (1) the eight queries NEW this
+# round (anomaly / search_split / string_agg / corr_exact / chunk_overlap
+# / upsample_epochs / shuffle_order / sessionize — no driver row yet) lead; (2) code changed this round:
 # q_pipe_pack_chunks (oracle HUGEINT cast — the one r4-red row, needs its
 # green receipt) and q_sketch_hist_quantile (median-rank div fix), with
 # the block-pair-cogroup rework's consumers q_sim_cosine_topk /
 # q_dedup_embedding already inside (3); (3) the 40 queries that sat out
 # r4 (last driver-checked r02/r03 — the staleness window the r4 verdict
-# flagged); the remaining slot goes to the r4-green flagship riding the
-# changed parallelized() gate (q_text_wordcount). Sitting out (47): the rest of the
-# r4-checked set — hash-green in r4 on code untouched this round — all
+# flagged); Sitting out (48): the rest of the r4-checked set — hash-green in r4 on code untouched this round — all
 # covered by the committed full-surface local receipt in BASELINE.md.
 _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
+    "q_events_anomaly",
     "q_agg_string_agg",
     "q_agg_corr_exact",
     "q_sim_search_split",
@@ -131,8 +130,6 @@ _WINDOW: tuple[str, ...] = (
     "q_text_repetition",
     "q_text_surprisal",
     "q_text_tokens",
-    # (3b) r4-green on shared changed code + perf-watch
-    "q_text_wordcount",
 )
 
 
