@@ -1272,3 +1272,52 @@ def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov_num / (F.sqrt(var_x) * F.sqrt(var_y)), 4).alias("corr_chars_tokens"),
         F.round(cov_num / var_x, 4).alias("slope_tokens_per_char"),
     ).orderBy("lang")
+
+
+@register(
+    "q_set_ops_all",
+    group="C",
+    oracle="""
+WITH big AS (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+), urgent AS (
+  SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
+), fallback AS (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+), tagged AS (
+  SELECT 'union_all' AS src, o_custkey
+  FROM (SELECT o_custkey FROM big UNION ALL SELECT o_custkey FROM urgent)
+  UNION ALL
+  SELECT 'inter_all' AS src, o_custkey
+  FROM (SELECT o_custkey FROM big INTERSECT ALL SELECT o_custkey FROM urgent)
+  UNION ALL
+  SELECT 'except_all' AS src, o_custkey
+  FROM (SELECT o_custkey FROM big EXCEPT ALL SELECT o_custkey FROM fallback)
+)
+SELECT src, o_custkey FROM tagged ORDER BY src, o_custkey
+""",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (the ALL variants q_set_ops omits):
+    UNION ALL concatenates multiplicities, INTERSECT ALL keeps
+    min(count_left, count_right) copies per key, EXCEPT ALL keeps
+    max(0, count_left − count_right). Multiplicity is part of the result
+    multiset, so the order-insensitive value hash verifies the bag
+    arithmetic itself — a duplicate-count bug cannot hash-green.
+
+    Plan: Spark rewrites intersectAll/exceptAll into a count-aggregate +
+    generate (replicate min/diff copies) — one shuffle per operand pair,
+    no join of raw rows; UNION ALL is a zero-shuffle concat."""
+    o = table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000.0).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority").like("1%")).select("o_custkey")
+    fallback = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    u = big.unionAll(urgent).withColumn("src", F.lit("union_all"))
+    i = big.intersectAll(urgent).withColumn("src", F.lit("inter_all"))
+    e = big.exceptAll(fallback).withColumn("src", F.lit("except_all"))
+    return (
+        u.unionByName(i)
+        .unionByName(e)
+        .select("src", "o_custkey")
+        .orderBy("src", "o_custkey")
+    )
