@@ -587,3 +587,86 @@ def q_pipe_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+_BUDGET_TOKENS = 25_000  # per-language token budget
+_BUDGET_BLOCKS = 256  # hash-prefix blocks per language for the two-level scan
+
+
+@register(
+    "q_pipe_token_budget",
+    group="I",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         md5('budget#' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+ORDER BY lang, cum_tokens
+""",
+)
+def q_pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget fill: take documents in seeded-hash order
+    (a reproducible random order — same seed, same corpus subset on any
+    engine or rerun) until each language's cumulative token count reaches
+    the budget — "give me 25k tokens of each language", the
+    fixed-token-count sampling step of a mixture build.
+
+    The per-language prefix sum is a TWO-LEVEL distributed scan — the
+    q_pipe_pack_chunks pattern generalized per group: the md5 hex prefix
+    splits each language's hash order into {_BUDGET_BLOCKS} contiguous
+    blocks, (1) parallel windows compute running sums within (lang,
+    block), (2) block totals are prefix-summed over ONE ROW PER (lang,
+    block) — bounded by languages × {_BUDGET_BLOCKS}, never corpus rows —
+    and broadcast back as offsets. The oracle's flat per-language window
+    is the single-partition sort this plan avoids: at 100 TB the dominant
+    language IS most of the corpus, so a per-lang window without the
+    block level would funnel it through one task. Integer arithmetic
+    throughout, so the two scans agree bit-for-bit."""
+    from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
+
+    h = F.md5(F.concat(F.lit("budget#"), F.col("doc_id").cast("string")).cast("binary"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens_nonempty("text")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    )
+    # hex prefix = block id; blocks sort identically to h itself, so
+    # (blk, h) order within a language equals plain h order.
+    d = d.withColumn(
+        "blk", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+    )
+    in_blk = (
+        W.partitionBy("lang", "blk")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = d.withColumn("cum_in_blk", F.sum("n_tokens").over(in_blk))
+    blk_tot = local.groupBy("lang", "blk").agg(F.max("cum_in_blk").alias("blk_sum"))
+    over_blks = (
+        W.partitionBy("lang").orderBy("blk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = blk_tot.withColumn(
+        "blk_offset", F.sum("blk_sum").over(over_blks) - F.col("blk_sum")
+    ).select("lang", "blk", "blk_offset")
+    return (
+        local.join(F.broadcast(offsets), ["lang", "blk"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("blk_offset") + F.col("cum_in_blk")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .orderBy("lang", "cum_tokens")
+    )

@@ -66,19 +66,20 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-5 window, by the standing policy: (1) the nine queries NEW this
-# round (set_ops_all / anomaly / search_split / string_agg / corr_exact /
-# chunk_overlap / upsample_epochs / shuffle_order / sessionize — no
-# driver row yet) lead; (2) code changed this round:
+# Round-5 window, by the standing policy: (1) the ten queries NEW this
+# round (token_budget / set_ops_all / anomaly / search_split / string_agg
+# / corr_exact / chunk_overlap / upsample_epochs / shuffle_order /
+# sessionize — no driver row yet) lead; (2) code changed this round:
 # q_pipe_pack_chunks (oracle HUGEINT cast — the one r4-red row, needs its
 # green receipt) and q_sketch_hist_quantile (median-rank div fix), with
 # the block-pair-cogroup rework's consumers q_sim_cosine_topk /
 # q_dedup_embedding already inside (3); (3) the 40 queries that sat out
 # r4 (last driver-checked r02/r03 — the staleness window the r4 verdict
-# flagged); Sitting out (49, incl. q_text_tokens — row-local and twice green, yields its slot as in r4): the rest of the r4-checked set — hash-green in r4 on code untouched this round — all
+# flagged); Sitting out (50, incl. q_text_tokens and q_text_fingerprint — row-local and twice green, yielding their slots as in r4): the rest of the r4-checked set — hash-green in r4 on code untouched this round — all
 # covered by the committed full-surface local receipt in BASELINE.md.
 _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
+    "q_pipe_token_budget",
     "q_set_ops_all",
     "q_events_anomaly",
     "q_agg_string_agg",
@@ -128,7 +129,6 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_split_assign",
     "q_sim_ann_lsh",
     "q_sim_cosine_topk",
-    "q_text_fingerprint",
     "q_text_repetition",
     "q_text_surprisal",
 )
