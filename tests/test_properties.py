@@ -331,3 +331,52 @@ def test_png_codec_roundtrip_arbitrary_pixels(w, h, seed):
     need = w * h * 3
     rgb = (seed * (need // max(1, len(seed)) + 1))[:need] if seed else bytes(need)
     assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3000),   # doc_id
+            st.sampled_from(["en", "de", "zh"]),        # lang
+            st.integers(min_value=0, max_value=60),     # n_tokens
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_token_budget_matches_sequential_scan(spark, docs):
+    """q_pipe_token_budget's per-language two-level scan must equal a
+    sequential per-language scan in md5 order for arbitrary doc sets —
+    including hash-prefix block boundaries, zero-token docs, and budgets
+    hit mid-language."""
+    import hashlib
+    import tempfile
+
+    from mapreduce_framework_api_spark.operators.pipeline import _BUDGET_TOKENS
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = [
+        (doc_id, " ".join(["w"] * n), lang, "s", n) for doc_id, lang, n in docs
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = [
+            tuple(r)
+            for r in load_all_queries()["q_pipe_token_budget"].fn(spark, tmp).collect()
+        ]
+    want = []
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, n in docs:
+        h = hashlib.md5(f"budget#{doc_id}".encode()).hexdigest()
+        by_lang.setdefault(lang, []).append((h, doc_id, n))
+    for lang in by_lang:
+        cum = 0
+        for _h, doc_id, n in sorted(by_lang[lang]):
+            cum += n
+            if cum <= _BUDGET_TOKENS:
+                want.append((doc_id, lang, n, cum))
+    assert sorted(got) == sorted(want)
