@@ -587,3 +587,154 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_us")
     )
+
+
+@register(
+    "q_events_ohlc",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US}) * {_HOUR_US} AS hour_us,
+         event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_id, value
+  FROM events
+), f AS (
+  SELECT hour_us, event_type, value,
+         FIRST_VALUE(value) OVER (PARTITION BY hour_us, event_type
+             ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+         LAST_VALUE(value) OVER (PARTITION BY hour_us, event_type
+             ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+  FROM e
+)
+SELECT hour_us, event_type,
+       ROUND(MAX(open), 2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(MAX(close), 2) AS close,
+       COUNT(*) AS n_events
+FROM f
+GROUP BY hour_us, event_type
+ORDER BY hour_us, event_type
+""",
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour OHLC bars (open/high/low/close) per event_type — the
+    candlestick rollup every metrics/feature store derives from a raw
+    event stream (the reference's key->value aggregation generalized to
+    ordered-pick aggregates; cf. SURVEY.md §2.3 "aggregation" row).
+
+    Engine-exactness: all four outputs are row PICKS (first/last by the
+    total order (ts_us, event_id), min/max) — no FP accumulation exists
+    anywhere, so doubles cross engines bit-identically; ROUND(x,2) is
+    presentation only.
+
+    Plan shape: ONE hash exchange on the bar key. The window partitions
+    by exactly the (hour_us, event_type) the aggregation groups on, so
+    Catalyst reuses the window's hashpartitioning for the final agg —
+    no second shuffle (asserted by the plan-hygiene suite's partial/final
+    agg check). first/last over the full frame replaces a self-join
+    against per-bar argmin/argmax — at 100 TB the bar count is
+    hours x types, trivially small, and the heavy input passes through
+    exactly once."""
+    e = table(spark, sf_dir, "events").select(
+        ((F.unix_micros("ts") / _HOUR_US).cast("long") * _HOUR_US).alias("hour_us"),
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    w = (
+        W.partitionBy("hour_us", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "hour_us",
+            "event_type",
+            "value",
+            F.first("value").over(w).alias("open"),
+            F.last("value").over(w).alias("close"),
+        )
+        .groupBy("hour_us", "event_type")
+        .agg(
+            F.round(F.max("open"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max("close"), 2).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
+
+
+@register(
+    "q_events_timeweighted",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), d AS (
+  SELECT event_type, cents,
+         LEAD(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id)
+           - ts_us AS dt_us
+  FROM e
+)
+SELECT event_type,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT) * dt_us) AS DOUBLE)
+             / CAST(SUM(dt_us) AS DOUBLE) / 100.0, 2) AS twa
+FROM d
+WHERE dt_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_events_timeweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per event_type over irregular
+    samples (the TimescaleDB `time_weight('LOCF', ...)` analogue): each
+    observation holds until the next one of the same type, so its weight
+    is that interval's duration; the last observation is open-ended and
+    excluded.
+
+    Engine-exactness: values go to integer cents, durations stay integer
+    microseconds, and the weighted sum Σ(cents·dt) runs in EXACT integer
+    arithmetic on both engines — decimal(38,0) on Spark, HUGEINT on
+    DuckDB — so no FP accumulation order can drift; the single final
+    division happens once in double and rounds identically.
+
+    Plan shape: one hash exchange on event_type serving both the LEAD
+    window and the final aggregate (same key), then a 5-row result. At
+    100 TB the per-type ordering is the real cost; for a production
+    hypertable this window would ride the time-bucketed sort order the
+    ingest already maintains, and the partial aggregation is map-side."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts_us", "event_id")
+    d = e.select(
+        "event_type",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    wsum = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dt_us"))
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt_us").cast("long").alias("span_us"),
+            F.round(
+                wsum.cast("double") / F.sum("dt_us").cast("double") / F.lit(100.0), 2
+            ).alias("twa"),
+        )
+        .orderBy("event_type")
+    )

@@ -79,6 +79,8 @@ _LOADED = False
 # covered by the committed full-surface local receipt in BASELINE.md.
 _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
+    "q_events_ohlc",
+    "q_events_timeweighted",
     "q_pipe_token_budget",
     "q_set_ops_all",
     "q_events_anomaly",
@@ -129,9 +131,12 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_split_assign",
     "q_sim_ann_lsh",
     "q_sim_cosine_topk",
-    "q_text_repetition",
-    "q_text_surprisal",
 )
+# q_text_repetition / q_text_surprisal yielded their round-5 slots to the
+# two new timeseries queries (q_events_ohlc / q_events_timeweighted): both
+# are row-local expression pipelines, green on their last driver check, on
+# code untouched since, and covered by the committed full-surface local
+# receipt — the standing policy's lowest-risk sit-outs.
 
 
 def load_all_queries() -> dict[str, Query]:

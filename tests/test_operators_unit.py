@@ -1007,8 +1007,72 @@ def test_new_event_queries_on_empty_events(spark, tmp_path):
         "q_sketch_hist_quantile",
         "q_stream_tumbling",
         "q_events_sessionize",
+        "q_events_ohlc",
+        "q_events_timeweighted",
     ):
         assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
+
+
+def _write_events(spark, tmp_path, rows):
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    data = [
+        (i, datetime(2024, 1, 1, 0, 0, s), 1, t, v, "{}")
+        for i, (s, t, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(data, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+
+
+def test_ohlc_picks_by_time_then_event_id(spark, tmp_path):
+    """OHLC on a hand-built hour: open is the earliest event's value,
+    close the latest (event_id breaks the ts tie), high/low the extremes."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    # seconds-offset, type, value; two events share second 40 — the later
+    # event_id (4) must win the close.
+    _write_events(
+        spark,
+        tmp_path,
+        [(10, "click", 5.0), (20, "click", 9.0), (40, "click", 1.0), (40, "click", 7.0)],
+    )
+    (bar,) = load_all_queries()["q_events_ohlc"].fn(spark, str(tmp_path)).collect()
+    assert (bar["open"], bar["high"], bar["low"], bar["close"], bar["n_events"]) == (
+        5.0,
+        9.0,
+        1.0,
+        7.0,
+        4,
+    )
+
+
+def test_timeweighted_average_hand_computed(spark, tmp_path):
+    """TWA on a hand-built series: 10.0 held 10 s then 20.0 held 30 s
+    (last event open-ended, excluded) -> (10*10 + 20*30) / 40 = 17.5."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    _write_events(
+        spark,
+        tmp_path,
+        [(0, "click", 10.0), (10, "click", 20.0), (40, "click", 99.0)],
+    )
+    (r,) = load_all_queries()["q_events_timeweighted"].fn(spark, str(tmp_path)).collect()
+    assert r["n_intervals"] == 2
+    assert r["span_us"] == 40_000_000
+    assert r["twa"] == 17.5
 
 
 def test_new_pipe_queries_on_empty_documents(spark, tmp_path):
