@@ -670,3 +670,91 @@ def q_pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .orderBy("lang", "cum_tokens")
     )
+
+
+# Cascade thresholds, integer-scaled so every stage test is pure-integer
+# cross-multiplication (no FP comparison can drift across engines):
+#   stage 1: n_tokens <  20              (too short to train on)
+#   stage 2: alpha_chars/chars  < 0.815  -> alpha*1000 < 815*chars
+#   stage 3: unique_toks/tokens < 0.35   -> uniq*100   < 35*tokens
+_CASCADE_MIN_TOKENS = 20
+_CASCADE_ALPHA_PERMILLE = 815
+_CASCADE_UNIQ_PCT = 35
+
+
+@register(
+    "q_pipe_filter_cascade",
+    group="I",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+             t -> t <> '')) AS n_toks,
+         len(list_distinct(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+             t -> t <> ''))) AS n_uniq
+  FROM documents
+), verdict AS (
+  SELECT CASE
+           WHEN n_toks < {_CASCADE_MIN_TOKENS} THEN 1
+           WHEN n_alpha * 1000 < {_CASCADE_ALPHA_PERMILLE} * n_chars THEN 2
+           WHEN n_uniq * 100 < {_CASCADE_UNIQ_PCT} * n_toks THEN 3
+           ELSE 4
+         END AS stage_no
+  FROM m
+)
+SELECT stage_no,
+       CASE stage_no WHEN 1 THEN 'too_short' WHEN 2 THEN 'low_alpha'
+                     WHEN 3 THEN 'repetitive' ELSE 'pass' END AS stage,
+       COUNT(*) AS n_docs
+FROM verdict
+GROUP BY stage_no
+ORDER BY stage_no
+""",
+)
+def q_pipe_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade accounting: every document is charged to the
+    FIRST stage that rejects it (cheapest predicate first — the standard
+    corpus-cleaning funnel report: how many docs each rule removes, and
+    how many survive the whole cascade).
+
+    Engine-exactness: every stage test is integer cross-multiplication
+    (alpha*1000 < 815*chars instead of a double ratio), so no FP
+    comparison exists anywhere in the verdict.
+
+    Plan shape — the 100 TB funnel report: per-doc metrics are row-local
+    JVM expressions fused into the scan (one pass over text, no UDF), the
+    verdict is a CASE over those metrics, and the only exchange moves
+    <= 4 partial-agg rows per task. A naive implementation filters the
+    corpus once PER STAGE (k scans) or materializes per-stage frames;
+    first-fail attribution in one pass is both cheaper and the number a
+    data-quality dashboard actually wants (stage counts sum to the corpus
+    row count by construction)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^A-Za-z0-9]+"), lambda t: t != F.lit(""))
+    m = docs.select(
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    stage_no = (
+        F.when(F.col("n_toks") < _CASCADE_MIN_TOKENS, F.lit(1))
+        .when(F.col("n_alpha") * 1000 < _CASCADE_ALPHA_PERMILLE * F.col("n_chars"), F.lit(2))
+        .when(F.col("n_uniq") * 100 < _CASCADE_UNIQ_PCT * F.col("n_toks"), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    stage_name = (
+        F.when(F.col("stage_no") == 1, F.lit("too_short"))
+        .when(F.col("stage_no") == 2, F.lit("low_alpha"))
+        .when(F.col("stage_no") == 3, F.lit("repetitive"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        m.select(stage_no.alias("stage_no"))
+        .groupBy("stage_no")
+        .agg(F.count("*").alias("n_docs"))
+        .select("stage_no", stage_name.alias("stage"), "n_docs")
+        .orderBy("stage_no")
+    )

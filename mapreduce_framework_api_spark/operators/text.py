@@ -22,7 +22,7 @@ aggregate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_framework_api_spark.functions.textfns import (
@@ -446,4 +446,78 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_bucket_x100"),
         )
         .orderBy("doc_id")
+    )
+
+
+_VOCAB_TOP_K = 100
+
+
+@register(
+    "q_text_vocab_coverage",
+    group="I",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_ORACLE_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf
+), top AS (
+  SELECT token, cnt FROM tf ORDER BY cnt DESC, token LIMIT {_VOCAB_TOP_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+       token,
+       cnt,
+       CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+       ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            * 100.0 / total, 2) AS cov_pct
+FROM top, tot
+ORDER BY rank
+""",
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build with cumulative corpus coverage: the top-K tokens
+    by frequency, each tagged with how much of the whole token stream the
+    vocabulary covers up to and including it (the curve a tokenizer-
+    vocabulary or stopword-list decision is read off of).
+
+    Engine-exactness: counts and the running sum are exact integers; the
+    single coverage division happens once in double on identical operands
+    and rounds identically (the running SUM is cast from DuckDB's HUGEINT
+    back to int64, the q_pipe_pack_chunks lesson).
+
+    Plan shape — why this scales to a 100 TB corpus:
+    - token counts: one explode + partial/final hash-agg (map-side combine
+      absorbs the Zipf head before the only wide shuffle);
+    - the corpus total rides a 1-row aggregate over the vocab, broadcast
+      back (BroadcastNestedLoopJoin with a single-row build side — the
+      sanctioned scalar-broadcast shape, cf. q_subquery_scalar);
+    - top-K is TakeOrderedAndProject: per-partition heaps + one K-row
+      merge, NEVER a global sort of the vocabulary;
+    - rank + running sum run a window over exactly K rows on one
+      partition — bounded by construction, not by data volume."""
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(explode_tokens("text").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = tf.agg(F.sum("cnt").cast("long").alias("total"))
+    top = tf.orderBy(F.desc("cnt"), "token").limit(_VOCAB_TOP_K)
+    w = W.orderBy(F.desc("cnt"), "token")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "token",
+            "cnt",
+            F.sum("cnt").over(cum).cast("long").alias("cum_cnt"),
+            F.round(
+                F.sum("cnt").over(cum).cast("double") * 100.0 / F.col("total"), 2
+            ).alias("cov_pct"),
+        )
+        .orderBy("rank")
     )

@@ -81,6 +81,8 @@ _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
     "q_events_ohlc",
     "q_events_timeweighted",
+    "q_text_vocab_coverage",
+    "q_pipe_filter_cascade",
     "q_pipe_token_budget",
     "q_set_ops_all",
     "q_events_anomaly",
@@ -109,8 +111,6 @@ _WINDOW: tuple[str, ...] = (
     "q_fn_array",
     "q_fn_conditional",
     "q_fn_date",
-    "q_fn_math",
-    "q_fn_string",
     "q_join_anti",
     "q_join_broadcast",
     "q_join_inner",
@@ -132,11 +132,12 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_ann_lsh",
     "q_sim_cosine_topk",
 )
-# q_text_repetition / q_text_surprisal yielded their round-5 slots to the
-# two new timeseries queries (q_events_ohlc / q_events_timeweighted): both
-# are row-local expression pipelines, green on their last driver check, on
-# code untouched since, and covered by the committed full-surface local
-# receipt — the standing policy's lowest-risk sit-outs.
+# q_text_repetition / q_text_surprisal / q_fn_math / q_fn_string yielded
+# their round-5 slots to the four queries new this round (q_events_ohlc /
+# q_events_timeweighted / q_text_vocab_coverage / q_pipe_filter_cascade):
+# all four sit-outs are row-local expression pipelines, green on their
+# last driver check, on code untouched since, and covered by the committed
+# full-surface local receipt — the standing policy's lowest-risk yields.
 
 
 def load_all_queries() -> dict[str, Query]:

@@ -1102,5 +1102,68 @@ def test_new_pipe_queries_on_empty_documents(spark, tmp_path):
         "q_pipe_shuffle_order",
         "q_agg_string_agg",
         "q_agg_corr_exact",
+        "q_text_vocab_coverage",
+        "q_pipe_filter_cascade",
     ):
         assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
+
+
+def _write_documents(spark, tmp_path, texts):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    data = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(data, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+
+def test_vocab_coverage_hand_computed(spark, tmp_path):
+    """Top-K vocabulary coverage on a hand-built corpus: 'a a a b b c' ->
+    a covers 50%, a+b 83.33%, a+b+c 100%; count-desc-then-token order."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    _write_documents(spark, tmp_path, ["a a a b b", "c"])
+    rows = (
+        load_all_queries()["q_text_vocab_coverage"].fn(spark, str(tmp_path)).collect()
+    )
+    got = [(r["rank"], r["token"], r["cnt"], r["cum_cnt"], r["cov_pct"]) for r in rows]
+    assert got == [(1, "a", 3, 3, 50.0), (2, "b", 2, 5, 83.33), (3, "c", 1, 6, 100.0)]
+
+
+def test_filter_cascade_first_fail_attribution(spark, tmp_path):
+    """A doc that is BOTH too short and repetitive is charged to the
+    earlier stage (too_short); stage counts sum to the corpus size."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    # 30 distinct 5-letter words: alpha ratio 150/179 ~ 0.838 > 0.815,
+    # unique ratio 1.0 — passes every stage.
+    long_clean = " ".join(
+        "w" + a + b + c + "z"
+        for a in "abc"
+        for b in "de"
+        for c in "fghij"
+    )
+    short_and_repetitive = "x x x x x"  # stage 1 wins over stage 3
+    # 10-letter word repeated: alpha ratio 250/274 ~ 0.912 passes stage 2,
+    # unique ratio 1/25 < 0.35 -> stage 3.
+    repetitive = " ".join(["duplicated"] * 25)
+    _write_documents(
+        spark, tmp_path, [long_clean, short_and_repetitive, repetitive]
+    )
+    rows = (
+        load_all_queries()["q_pipe_filter_cascade"].fn(spark, str(tmp_path)).collect()
+    )
+    by_stage = {r["stage"]: r["n_docs"] for r in rows}
+    assert by_stage.get("too_short") == 1
+    assert by_stage.get("repetitive") == 1
+    assert by_stage.get("pass") == 1
+    assert sum(by_stage.values()) == 3
