@@ -738,3 +738,133 @@ def q_events_timeweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TOPK_PER_WINDOW = 3
+
+
+@register(
+    "q_stream_topk_windowed",
+    group="H",
+    oracle=f"""
+WITH hourly AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US}) * {_HOUR_US} AS win_start_us,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY win_start_us, event_type
+), r AS (
+  SELECT win_start_us, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY win_start_us
+                            ORDER BY n_events DESC, event_type) AS rk
+  FROM hourly
+)
+SELECT win_start_us, event_type, n_events, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_TOPK_PER_WINDOW}
+ORDER BY win_start_us, rk
+""",
+)
+def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-N per window: the top-3 event types of every tumbling hour by
+    event count (the trending-items query; in the streaming runtime the
+    same rollup feeds a per-window rank on window close).
+
+    Plan shape: the raw stream collapses onto the (hour, type) rollup
+    first (partial/final hash-agg — the ONLY pass over the big table),
+    then row_number runs over at most |types| rows per hour and Spark's
+    WindowGroupLimit pushes rk <= 3 below the sort. Counts and ranks are
+    all integers — nothing to drift."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            ((F.unix_micros("ts") / _HOUR_US).cast("long") * _HOUR_US).alias(
+                "win_start_us"
+            ),
+            "event_type",
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = W.partitionBy("win_start_us").orderBy(F.desc("n_events"), "event_type")
+    return (
+        hourly.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TOPK_PER_WINDOW)
+        .orderBy("win_start_us", "rk")
+    )
+
+
+@register(
+    "q_events_cdc_compact",
+    group="H",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+), tomb AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'error' THEN ts_us END) AS tomb_ts
+  FROM e GROUP BY user_id
+), live AS (
+  SELECT e.event_id, e.user_id, e.event_type, e.value, e.ts_us,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts_us DESC, e.event_id DESC) AS rk,
+         COUNT(*) OVER (PARTITION BY e.user_id) AS n_live
+  FROM e JOIN tomb t ON e.user_id = t.user_id
+  WHERE e.event_type <> 'error'
+    AND (t.tomb_ts IS NULL OR e.ts_us > t.tomb_ts)
+)
+SELECT user_id, event_type AS final_type, ROUND(value, 2) AS final_value,
+       ts_us AS final_ts_us, CAST(n_live AS BIGINT) AS n_live
+FROM live WHERE rk = 1
+ORDER BY user_id
+""",
+)
+def q_events_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction with tombstones (the lakehouse MERGE/upsert
+    read path): treating events as a per-user CDC stream where 'error'
+    is a delete marker, emit each user's final state — the latest
+    surviving event after their last tombstone — plus how many live
+    changes that state compacted. Users whose stream ends in a tombstone
+    vanish (the delete contract).
+
+    Engine-exactness: everything is a row pick or an integer count under
+    the total order (ts_us desc, event_id desc); ROUND on the carried
+    value is presentation only.
+
+    Plan shape: tombstone watermarks pre-aggregate per user (map-side
+    combine over the delete markers only), then ONE hash exchange on
+    user_id serves the join, the survivor filter, the top-1 window
+    (WindowGroupLimit — no per-user sort materialized) and the live
+    count. At 100 TB this is the standard log-compaction shape: the
+    changelog is touched once, state is one row per surviving key."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    tomb = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "error", F.col("ts_us"))).alias("tomb_ts")
+    )
+    live = (
+        e.filter(F.col("event_type") != "error")
+        .join(tomb, "user_id")
+        .filter(F.col("tomb_ts").isNull() | (F.col("ts_us") > F.col("tomb_ts")))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    wn = W.partitionBy("user_id")
+    return (
+        live.select(
+            "user_id",
+            "event_type",
+            "value",
+            "ts_us",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wn).cast("long").alias("n_live"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("final_type"),
+            F.round("value", 2).alias("final_value"),
+            F.col("ts_us").alias("final_ts_us"),
+            "n_live",
+        )
+        .orderBy("user_id")
+    )

@@ -1321,3 +1321,72 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "o_custkey")
         .orderBy("src", "o_custkey")
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    group="D",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wgt
+  FROM lineitem GROUP BY flag, price
+), c AS (
+  SELECT flag, price, wgt,
+         CAST(SUM(wgt) OVER (PARTITION BY flag ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+         CAST(SUM(wgt) OVER (PARTITION BY flag) AS BIGINT) AS total
+  FROM g
+)
+SELECT flag, CAST(MAX(total) AS BIGINT) AS total_weight,
+       ROUND(MIN(price), 2) AS wmedian
+FROM c WHERE 2 * cumw >= total
+GROUP BY flag ORDER BY flag
+""",
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted l_extendedprice per returnflag):
+    the smallest price at which the running weight reaches half the total
+    — the order-statistic Spark has no builtin for (percentile_approx is
+    unweighted and approximate).
+
+    Engine-exactness: weights collapse to exact integers, the running and
+    total sums are integer window sums, and the 2*cumw >= total test plus
+    the MIN(price) pick involve no FP accumulation at all — the median is
+    a row PICK, bit-identical across engines.
+
+    Plan shape — why this scales where the textbook form doesn't: the
+    naive plan windows over EVERY lineitem row with a per-group unique
+    tie-break, concentrating a 100 TB fact table onto (few-groups)
+    partitions. Here weights pre-aggregate onto DISTINCT (flag, price)
+    first — map-side partial agg absorbs the fact table, and the windows
+    run over the collapsed value domain (bounded by price cardinality,
+    not corpus size). Both windows share one (flag) exchange; the final
+    filter+agg is a few rows per group."""
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("flag", "price")
+        .agg(F.sum("w").alias("wgt"))
+    )
+    run = W.partitionBy("flag").orderBy("price").rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = W.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "price",
+        F.sum("wgt").over(run).alias("cumw"),
+        F.sum("wgt").over(full).alias("total"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.max("total").cast("long").alias("total_weight"),
+            F.round(F.min("price"), 2).alias("wmedian"),
+        )
+        .orderBy("flag")
+    )

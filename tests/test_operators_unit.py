@@ -1009,6 +1009,8 @@ def test_new_event_queries_on_empty_events(spark, tmp_path):
         "q_events_sessionize",
         "q_events_ohlc",
         "q_events_timeweighted",
+        "q_stream_topk_windowed",
+        "q_events_cdc_compact",
     ):
         assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
 
@@ -1057,6 +1059,50 @@ def test_ohlc_picks_by_time_then_event_id(spark, tmp_path):
         7.0,
         4,
     )
+
+
+def test_cdc_compact_tombstone_semantics(spark, tmp_path):
+    """Hand-built changelog: user keeps only events after their last
+    'error' tombstone; a stream ENDING in a tombstone erases the user."""
+    from pyspark.sql import types as T
+    from datetime import datetime
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: view, ERROR, click, purchase -> final purchase, n_live=2
+        (1, ts(1), 1, "view", 1.0, "{}"),
+        (2, ts(2), 1, "error", 0.0, "{}"),
+        (3, ts(3), 1, "click", 2.0, "{}"),
+        (4, ts(4), 1, "purchase", 3.5, "{}"),
+        # user 2: click then trailing ERROR -> erased
+        (5, ts(1), 2, "click", 9.0, "{}"),
+        (6, ts(2), 2, "error", 0.0, "{}"),
+        # user 3: no tombstone -> latest wins, n_live=2
+        (7, ts(1), 3, "signup", 4.0, "{}"),
+        (8, ts(2), 3, "view", 5.0, "{}"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r["user_id"]: (r["final_type"], r["final_value"], r["n_live"])
+        for r in load_all_queries()["q_events_cdc_compact"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: ("purchase", 3.5, 2), 3: ("view", 5.0, 2)}
 
 
 def test_timeweighted_average_hand_computed(spark, tmp_path):
