@@ -1390,3 +1390,83 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+_ASOF_NEAREST_TOL_US = 30 * 60 * 1_000_000  # +/- 30 minutes
+
+
+@register(
+    "q_join_asof_nearest",
+    group="C",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ct
+  FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.event_id, p.user_id, c.click_id,
+         abs(p.pt - c.ct) AS dist_us,
+         CASE WHEN c.ct <= p.pt THEN 0 ELSE 1 END AS fwd
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE abs(p.pt - c.ct) <= {_ASOF_NEAREST_TOL_US}
+), r AS (
+  SELECT event_id, user_id, click_id, dist_us, fwd,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY dist_us, fwd, click_id DESC) AS rk
+  FROM cand
+)
+SELECT event_id, user_id, click_id AS nearest_click_id,
+       CAST(dist_us AS BIGINT) AS dist_us
+FROM r WHERE rk = 1
+ORDER BY event_id
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join with tolerance: each purchase matches the
+    SAME-USER click closest in time within +/- 30 minutes, whichever
+    direction — the bidirectional variant of q_join_asof (backward-only)
+    and the matching step behind ad-attribution and feature-alignment
+    pipelines. Ties: equal distance prefers the backward match (the click
+    that had already happened), then the highest click event_id
+    (q_join_asof's rule).
+
+    Engine-exactness: distances are integer microseconds; the verdict is
+    pure integer ordering.
+
+    Plan shape: an EQUI-join on the user key (hash exchange both sides,
+    AQE-balanced) with the tolerance band as a residual filter — the
+    banded-candidate shape of q_join_range_binned rather than
+    q_join_asof's union-then-window, showing both scale-safe asof
+    techniques. Both sides are type-pruned BEFORE the join (pushed-down
+    event_type filters), candidate fan-out is bounded by same-user clicks
+    inside the +/-30 min band, and WindowGroupLimit keeps only rk=1 per
+    purchase below the sort. No nested loop, no cartesian anywhere."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("pt")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros("ts").alias("ct"),
+    )
+    cand = (
+        p.join(c, p.user_id == c.c_user_id)
+        .withColumn("dist_us", F.abs(F.col("pt") - F.col("ct")))
+        .filter(F.col("dist_us") <= _ASOF_NEAREST_TOL_US)
+        .withColumn("fwd", F.when(F.col("ct") <= F.col("pt"), 0).otherwise(1))
+    )
+    w = W.partitionBy("event_id").orderBy("dist_us", "fwd", F.desc("click_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("click_id").alias("nearest_click_id"),
+            F.col("dist_us").cast("long").alias("dist_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -231,6 +231,36 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Per-hour OHLC bars per event_type, watermarked — the streaming twin
+    of the batch q_events_ohlc. Open/close are ``min_by``/``max_by`` with
+    a (ts, event_id) struct ordering key, so the picks are incremental
+    aggregates (no window-function pass, which streaming cannot do): state
+    per (window, type) is a fixed-size tuple of four running picks and a
+    count, evicted once the watermark closes the window."""
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", ordkey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ordkey), 2).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("hour_us"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Streaming exact deduplication within the watermark horizon:
     ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts the

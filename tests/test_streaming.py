@@ -192,3 +192,14 @@ def test_streaming_parquet_sink_checkpointed(spark, tmp_path):
         sessionize_state(read_events_stream(spark, SF_DIR)), out, ckpt
     )
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_streaming_ohlc_equals_batch(spark):
+    from mapreduce_framework_api_spark.streaming.pipelines import ohlc_bars
+
+    stream = ohlc_bars(read_events_stream(spark, SF_DIR))
+    run_to_memory(stream, "t_ohlc", output_mode="complete")
+    got = _rows(spark.table("t_ohlc"), "hour_us", "event_type")
+    batch = load_all_queries()["q_events_ohlc"].fn(spark, SF_DIR)
+    assert got == _rows(batch, "hour_us", "event_type")
+    assert len(got) > 0
