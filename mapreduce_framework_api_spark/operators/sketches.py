@@ -403,3 +403,80 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_p50"),
         "exact_p50",
     ).orderBy("event_type")
+
+
+@register(
+    "q_sketch_hll_merge",
+    group="I",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM d),
+r AS (SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % {_HLL_M} AS bucket,
+             CAST(('0x' || substr(hx, 3, 13)) AS BIGINT) AS w
+      FROM h),
+b AS (SELECT event_type, bucket,
+             MAX(LEAST(CASE WHEN w > 0 THEN 53 - length(bin(w)) ELSE 53 END, 52)) AS m_rho
+      FROM r GROUP BY event_type, bucket),
+merged AS (SELECT bucket, MAX(m_rho) AS m_rho, COUNT(*) AS n_sketches
+           FROM b GROUP BY bucket),
+s AS (SELECT CAST(SUM(1::BIGINT << (52 - m_rho)) AS DOUBLE) AS reg_sum,
+             COUNT(*) AS nb
+      FROM merged),
+exact AS (SELECT COUNT(DISTINCT user_id) AS n_users,
+                 COUNT(DISTINCT (event_type, user_id)) AS n_pairs,
+                 COUNT(DISTINCT event_type) AS n_types
+          FROM events)
+SELECT e.n_users, e.n_pairs, CAST(e.n_types AS BIGINT) AS n_types,
+       CAST(FLOOR(CAST({_HLL_ALPHA_M2} AS DOUBLE)
+                  / (s.reg_sum / {_POW52!r} + CAST({_HLL_M} - s.nb AS DOUBLE))
+                  * 100.0 + 0.5) AS BIGINT) AS hll_est_x100
+FROM s, exact e
+""",
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE: the per-event_type register sets of q_sketch_hll
+    are unioned into ONE sketch by per-bucket MAX — estimating the
+    distinct-user count of the union without ever touching the raw keys
+    again. Output: exact distinct users, exact (type,user) pairs (>
+    n_users exactly when users overlap types — the overlap a naive
+    sum-of-sketches would double-count), the type count, and the merged
+    estimate.
+
+    Mergeability is the property that makes sketches THE 100 TB
+    distinct-count path: registers combine associatively, so partial
+    sketches built map-side (or per partition / per day / per tenant)
+    union by a 64-row MAX with no re-scan — exactly what this query's
+    second aggregation performs. Estimator discipline is q_sketch_hll's:
+    integer registers, one fixed-order double expression, x100 BIGINT."""
+    d = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    hx = F.md5(F.col("user_id").cast("string").cast("binary"))
+    bucket = F.pmod(F.conv(F.substring(hx, 1, 2), 16, 10).cast("long"), F.lit(_HLL_M))
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rho = F.least(
+        F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53)), F.lit(52)
+    )
+    per_type = (
+        d.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    merged = per_type.groupBy("bucket").agg(F.max("m_rho").alias("m_rho"))
+    s = merged.agg(
+        F.sum(F.expr("shiftleft(1L, 52 - m_rho)")).cast("double").alias("reg_sum"),
+        F.count("*").alias("nb"),
+    )
+    exact = table(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type", "user_id").alias("n_pairs"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+    )
+    est = F.lit(_HLL_ALPHA_M2).cast("double") / (
+        F.col("reg_sum") / F.lit(_POW52) + (F.lit(_HLL_M) - F.col("nb")).cast("double")
+    )
+    return exact.crossJoin(F.broadcast(s)).select(
+        "n_users",
+        "n_pairs",
+        "n_types",
+        F.floor(est * 100.0 + 0.5).cast("long").alias("hll_est_x100"),
+    )

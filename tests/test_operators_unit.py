@@ -1213,3 +1213,36 @@ def test_filter_cascade_first_fail_attribution(spark, tmp_path):
     assert by_stage.get("repetitive") == 1
     assert by_stage.get("pass") == 1
     assert sum(by_stage.values()) == 3
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Mergeability proof: per-type sketches unioned by per-bucket MAX
+    must give EXACTLY the estimate of one sketch built directly over all
+    distinct users (max-of-partition-maxes == global max)."""
+    import hashlib
+
+    from conftest import SF_DIR
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+    from mapreduce_framework_api_spark.sources import table
+
+    users = [
+        r["user_id"]
+        for r in table(spark, SF_DIR, "events").select("user_id").distinct().collect()
+    ]
+    m, regs = 64, {}
+    for u in users:
+        hx = hashlib.md5(str(u).encode()).hexdigest()
+        bucket = int(hx[:2], 16) % m
+        w = int(hx[2:15], 16)
+        rho = min(53 - w.bit_length() if w > 0 else 53, 52)
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    reg_sum = float(sum(1 << (52 - r) for r in regs.values()))
+    est = 2904.064 / (reg_sum / float(1 << 52) + (m - len(regs)))
+    import math
+
+    expect = math.floor(est * 100.0 + 0.5)
+    (row,) = load_all_queries()["q_sketch_hll_merge"].fn(spark, SF_DIR).collect()
+    assert row["hll_est_x100"] == expect
+    assert row["n_users"] == len(users)
+    assert row["n_pairs"] >= row["n_users"]
