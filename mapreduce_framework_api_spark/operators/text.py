@@ -461,7 +461,9 @@ WITH toks AS (
 ), tf AS (
   SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
 ), tot AS (
-  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf
+  -- corpus token total straight off the doc rows (len(toks) is row-local)
+  -- rather than re-aggregating tf: same number, no second token rollup
+  SELECT CAST(SUM(len({_ORACLE_TOKS})) AS BIGINT) AS total FROM documents
 ), top AS (
   SELECT token, cnt FROM tf ORDER BY cnt DESC, token LIMIT {_VOCAB_TOP_K}
 )
@@ -504,7 +506,13 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    total = tf.agg(F.sum("cnt").cast("long").alias("total"))
+    # Corpus total WITHOUT a second token rollup: size(tokens) is row-local,
+    # so this lineage is scan -> project -> partial/final agg — no explode,
+    # no wide exchange (the tf re-aggregation would shuffle the vocabulary
+    # a second time just to add it up).
+    total = docs.select(F.size(tokens_nonempty("text")).alias("n")).agg(
+        F.sum("n").cast("long").alias("total")
+    )
     top = tf.orderBy(F.desc("cnt"), "token").limit(_VOCAB_TOP_K)
     w = W.orderBy(F.desc("cnt"), "token")
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
