@@ -1113,3 +1113,85 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+_CHUNK_TOKENS = 10
+
+
+@register(
+    "q_dedup_repeated_chunks",
+    group="I",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_slice(toks, ci * {_CHUNK_TOKENS} + 1, ci * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}),
+             ' ')) AS chunk_hash
+  FROM t, unnest(range(len(toks) // {_CHUNK_TOKENS})) AS u(ci)
+)
+SELECT chunk_hash,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc_id
+FROM c
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash
+""",
+)
+def q_dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-chunk detection — the C4/RefinedWeb
+    "remove spans duplicated across the corpus" step at fixed 10-token
+    chunk granularity: every chunk whose exact token sequence appears in
+    two or more documents, with its occurrence and document counts and
+    the earliest containing doc (the canonical keeper). Complements the
+    doc-LEVEL near-dup tiers (MinHash/SimHash/Jaccard score whole
+    documents; this finds boilerplate repeated INSIDE otherwise-distinct
+    documents — headers, license blocks, navigation chrome).
+
+    Engine-exactness: chunk identity is md5 of the space-joined token
+    slice — identical bytes on both engines; everything downstream is
+    integer counts.
+
+    Plan shape: chunking is a row-local explode of len/10 slices (no
+    self-join — the naive "join docs on sharing a chunk" explodes
+    quadratically in hot chunks); the ONLY exchange is the hash-agg on
+    chunk_hash, and map-side partial aggregation absorbs within-partition
+    duplicates of hot boilerplate before the wire. Shuffled payload is
+    (16-byte hash, doc_id) — never text. At 100 TB this is the standard
+    inverted-index build, bounded by total chunk count."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_nonempty("text")
+    # integer chunk count; guard the no-full-chunk case (F.sequence(0, -1)
+    # would generate a DESCENDING [0, -1], not an empty list)
+    n_chunks = F.floor(F.size(toks) / F.lit(_CHUNK_TOKENS)).cast("int")
+    indices = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    c = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                indices,
+                lambda ci: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(toks, ci * _CHUNK_TOKENS + 1, _CHUNK_TOKENS)
+                    ).cast("binary")
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        c.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )

@@ -1246,3 +1246,29 @@ def test_hll_merge_equals_direct_sketch(spark):
     assert row["hll_est_x100"] == expect
     assert row["n_users"] == len(users)
     assert row["n_pairs"] >= row["n_users"]
+
+
+def test_repeated_chunks_detects_cross_doc_boilerplate(spark, tmp_path):
+    """Two docs share one exact 10-token span (different offsets are NOT
+    detected — chunking is fixed-grid, documented); a 9-token doc
+    exercises the empty-sequence guard; within-doc repeats alone do not
+    qualify (n_docs >= 2)."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    span = " ".join(f"boiler{i}" for i in range(10))
+    _write_documents(
+        spark,
+        tmp_path,
+        [
+            span + " " + " ".join(f"ua{i}" for i in range(10)),
+            span + " " + " ".join(f"ub{i}" for i in range(10)),
+            "short doc under ten tokens here now ok",  # 7 toks -> 0 chunks
+            " ".join(f"uc{i}" for i in range(10)) * 1,  # unique chunk
+        ],
+    )
+    rows = (
+        load_all_queries()["q_dedup_repeated_chunks"].fn(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["n_occurrences"], r["n_docs"], r["first_doc_id"]) == (2, 2, 0)
