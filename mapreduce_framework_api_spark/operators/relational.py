@@ -1350,39 +1350,68 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the order-statistic Spark has no builtin for (percentile_approx is
     unweighted and approximate).
 
-    Engine-exactness: weights collapse to exact integers, the running and
-    total sums are integer window sums, and the 2*cumw >= total test plus
-    the MIN(price) pick involve no FP accumulation at all — the median is
-    a row PICK, bit-identical across engines.
+    Engine-exactness: weights collapse to exact integers, every running
+    and total sum is an integer sum, and the 2*cum >= total tests plus the
+    MIN(price) pick involve no FP accumulation at all — the median is a
+    row PICK, bit-identical across engines (price -> integer cents via the
+    one fixed floor(p*100+0.5) expression, used only for BINNING; ordering
+    by bin then price equals ordering by price because the map is
+    monotone).
 
-    Plan shape — why this scales where the textbook form doesn't: the
-    naive plan windows over EVERY lineitem row with a per-group unique
-    tie-break, concentrating a 100 TB fact table onto (few-groups)
-    partitions. Here weights pre-aggregate onto DISTINCT (flag, price)
-    first — map-side partial agg absorbs the fact table, and the windows
-    run over the collapsed value domain (bounded by price cardinality,
-    not corpus size). Both windows share one (flag) exchange; the final
-    filter+agg is a few rows per group."""
+    Plan shape — a two-level bin-then-refine scan (the pack_chunks prefix
+    -scan idea applied to an order statistic), because the textbook form
+    concentrates the corpus onto |groups| window partitions:
+    1. pass 1 aggregates weight per (flag, 1024-cent price BIN) — a frame
+       of flags x ~bins rows; a tiny per-flag window over it locates the
+       bin containing the half-weight point and its preceding cumulative
+       weight;
+    2. pass 2 re-scans the fact table, BROADCAST-joins the 3-row target-
+       bin frame on (flag, bin) — pruning every row outside the median
+       bin before any shuffle — pre-aggregates the survivors onto
+       (flag, price), and runs the refinement window over ONE BIN's value
+       domain per flag, bounded by bin width, not corpus or domain size.
+    Two scans of the base table beat one scan + an unbounded per-group
+    window at any real scale; both aggregations are map-side partial."""
     li = table(spark, sf_dir, "lineitem")
-    g = (
-        li.select(
-            F.col("l_returnflag").alias("flag"),
-            F.col("l_extendedprice").alias("price"),
-            F.col("l_quantity").cast("long").alias("w"),
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+    binned = rows.withColumn("bin", F.floor(cents / F.lit(1024)).cast("long"))
+
+    # pass 1: per-(flag, bin) weights -> locate the median bin + prev cum
+    binagg = binned.groupBy("flag", "bin").agg(F.sum("w").alias("bw"))
+    wrun = W.partitionBy("flag").orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy("flag")
+    located = binagg.select(
+        "flag",
+        "bin",
+        F.sum("bw").over(wrun).alias("cum_bw"),
+        (F.sum("bw").over(wrun) - F.col("bw")).alias("prev_cum"),
+        F.sum("bw").over(wall).alias("total"),
+    )
+    target = (
+        located.filter(2 * F.col("cum_bw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.min_by("prev_cum", "bin").alias("prev_cum"),
+            F.max("total").alias("total"),
         )
-        .groupBy("flag", "price")
+    )
+
+    # pass 2: only the median bin's rows survive the broadcast join
+    refine = (
+        binned.join(F.broadcast(target), ["flag", "bin"])
+        .groupBy("flag", "price", "prev_cum", "total")
         .agg(F.sum("w").alias("wgt"))
     )
-    run = W.partitionBy("flag").orderBy("price").rowsBetween(W.unboundedPreceding, W.currentRow)
-    full = W.partitionBy("flag")
-    c = g.select(
-        "flag",
-        "price",
-        F.sum("wgt").over(run).alias("cumw"),
-        F.sum("wgt").over(full).alias("total"),
-    )
+    wref = W.partitionBy("flag").orderBy("price").rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        c.filter(2 * F.col("cumw") >= F.col("total"))
+        refine.withColumn("cum", F.col("prev_cum") + F.sum("wgt").over(wref))
+        .filter(2 * F.col("cum") >= F.col("total"))
         .groupBy("flag")
         .agg(
             F.max("total").cast("long").alias("total_weight"),
