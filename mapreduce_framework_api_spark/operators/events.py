@@ -868,3 +868,73 @@ def q_events_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_events_transitions",
+    group="H",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+  FROM events
+), t AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS to_type
+  FROM e
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM t WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(FLOOR(CAST(n AS DOUBLE)
+                  / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                  * 10000.0 + 0.5) AS BIGINT) AS p_x10000
+FROM c
+ORDER BY from_type, to_type
+""",
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov-chain build
+    behind next-action prediction and funnel diagnostics): for every
+    consecutive same-user event pair, count from_type -> to_type and emit
+    each row's share of its from_type's outgoing transitions as an
+    x10000-scaled integer.
+
+    Engine-exactness: counts are integers; the one probability division
+    happens once in double on identical operands and floors to an
+    integer — the engine-portable rate discipline of q_dedup_report.
+
+    Plan shape: ONE hash exchange on user_id for the LEAD window (the
+    only pass over the raw stream), then the transition rollup collapses
+    to at most |types|² rows — the per-from_type normalizing window runs
+    over that trivially bounded matrix, not the corpus. At 100 TB this
+    is the standard sequence-featurization shape: per-entity ordering
+    work rides one partition-by-key exchange, everything after is
+    matrix-sized."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    c = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wnorm = W.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.floor(
+            F.col("n").cast("double") / F.sum("n").over(wnorm).cast("double") * 10000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("p_x10000"),
+    ).orderBy("from_type", "to_type")

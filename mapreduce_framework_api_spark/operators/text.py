@@ -529,3 +529,74 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+_KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "q_text_keywords",
+    group="I",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), d AS (
+  SELECT doc_id, token, tf,
+         COUNT(*) OVER (PARTITION BY token) AS df
+  FROM tf
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), r AS (
+  SELECT doc_id, token, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, token ASC) AS rk
+  FROM d
+)
+SELECT r.doc_id, r.token, r.tf, CAST(r.df AS BIGINT) AS df,
+       CAST(r.rk AS BIGINT) AS rk,
+       ROUND(r.tf * ln(CAST(n.n_docs AS DOUBLE) / r.df), 2) AS tfidf
+FROM r, n WHERE r.rk <= {_KEYWORDS_PER_DOC}
+ORDER BY r.doc_id, r.rk
+""",
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 terms of every doc by
+    (term frequency DESC, document frequency ASC, token) — highest-count
+    rarest-first, the integer-deterministic proxy for tf-idf ranking (the
+    rank key is PURE INTEGER, so no cross-engine ln() ulp drift can ever
+    flip an ordering; the tf-idf score itself rides along rounded, under
+    the repo's ROUND(x,2) FP-stability convention).
+
+    Plan shape: one (doc, token) tf rollup (the only corpus-sized
+    shuffle), df as a sort-free window count over the reduced tf rows
+    (q_text_tfidf's single-lineage structure), the 1-row doc count
+    broadcast, and WindowGroupLimit keeps 3 rows per doc below the
+    per-doc rank sort. Keyword extraction at 100 TB is exactly the
+    tf-idf pipeline plus a bounded top-k — no new scale surface."""
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", explode_tokens("text"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    d = tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
+    rk = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (
+        d.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= _KEYWORDS_PER_DOC)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.col("df").cast("long").alias("df"),
+            "rk",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 2
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )

@@ -66,17 +66,17 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-5 window, by the standing policy: (1) the twenty queries NEW
+# Round-5 window, by the standing policy: (1) the 22 queries NEW
 # this round (ohlc / timeweighted / vocab_coverage / filter_cascade /
 # weighted_median / topk_windowed / cdc_compact / asof_nearest /
-# hll_merge / repeated_chunks / token_budget /
+# hll_merge / repeated_chunks / transitions / keywords / token_budget /
 # set_ops_all / anomaly / string_agg / corr_exact / search_split /
 # chunk_overlap / upsample_epochs / shuffle_order / sessionize — no
 # driver row yet) lead; (2) code changed this round: q_pipe_pack_chunks
 # (oracle HUGEINT cast — the one r4-red row, needs its green receipt) and
 # q_sketch_hist_quantile (median-rank div fix), with the
 # block-pair-cogroup rework's consumers q_sim_cosine_topk /
-# q_dedup_embedding already inside (3); (3) 28 of the queries that sat
+# q_dedup_embedding already inside (3); (3) 26 of the queries that sat
 # out r4 (last driver-checked r02/r03 — the staleness window the r4
 # verdict flagged). Everything sitting out is hash-green on its latest
 # driver check, on code untouched since, and covered by the committed
@@ -93,6 +93,8 @@ _WINDOW: tuple[str, ...] = (
     "q_join_asof_nearest",
     "q_sketch_hll_merge",
     "q_dedup_repeated_chunks",
+    "q_events_transitions",
+    "q_text_keywords",
     "q_pipe_token_budget",
     "q_set_ops_all",
     "q_events_anomaly",
@@ -127,21 +129,20 @@ _WINDOW: tuple[str, ...] = (
     "q_join_skew_salted",
     "q_join_star",
     "q_join_theta_range",
-    "q_multimodal_meta",
     "q_multimodal_stats",
     "q_pipe_keep_first",
-    "q_pipe_length_hist",
     "q_pipe_pii_scrub",
     "q_pipe_quota_cap",
     "q_sim_ann_lsh",
     "q_sim_cosine_topk",
 )
 # q_text_repetition / q_text_surprisal / q_filter_pred /
-# q_pipe_sample_hash / q_pipe_split_assign and the five q_fn_* scalar
-# queries yielded their round-5 slots to the ten queries new this
-# continuation (ohlc / timeweighted / vocab_coverage / filter_cascade /
-# weighted_median / topk_windowed / cdc_compact / asof_nearest /
-# hll_merge / repeated_chunks): every sit-out is a row-local expression
+# q_pipe_sample_hash / q_pipe_split_assign / q_pipe_length_hist /
+# q_multimodal_meta and the five q_fn_* scalar queries yielded their
+# round-5 slots to the twelve queries new this continuation (ohlc /
+# timeweighted / vocab_coverage / filter_cascade / weighted_median /
+# topk_windowed / cdc_compact / asof_nearest / hll_merge /
+# repeated_chunks / transitions / keywords): every sit-out is a row-local expression
 # pipeline, green on its last driver check, on code untouched since, and
 # covered by the committed full-surface local receipt — the standing
 # policy's lowest-risk yields.
