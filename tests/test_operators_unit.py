@@ -1272,3 +1272,63 @@ def test_repeated_chunks_detects_cross_doc_boilerplate(spark, tmp_path):
     assert len(rows) == 1
     (r,) = rows
     assert (r["n_occurrences"], r["n_docs"], r["first_doc_id"]) == (2, 2, 0)
+
+
+def test_weighted_median_hand_computed_and_cross_bin(spark, tmp_path):
+    """Two-level bin-then-refine weighted median on hand-built lineitem:
+    half-weight point in a different 1024-cent bin than the cheap rows;
+    even-total lower-median convention (first price with 2*cum >= total)."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    rows = [
+        # flag A: prices span bins (100c -> bin 0; 10000c -> bin 9;
+        # 20000c -> bin 19); weights 1 each -> median = 100.00
+        ("A", 1.00, 1.0),
+        ("A", 100.00, 1.0),
+        ("A", 200.00, 1.0),
+        # flag B: even total weight, lower-median -> 5.00
+        ("B", 5.00, 1.0),
+        ("B", 6.00, 1.0),
+        # flag C: weight skew -> heavy row wins despite higher price
+        ("C", 2.00, 1.0),
+        ("C", 9.00, 5.0),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    got = {
+        r["flag"]: (r["total_weight"], r["wmedian"])
+        for r in load_all_queries()["q_agg_weighted_median"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {"A": (3, 100.0), "B": (2, 5.0), "C": (6, 9.0)}
+
+
+def test_transitions_hand_computed(spark, tmp_path):
+    """Markov transition counts on a hand-built changelog: per-user
+    consecutive pairs only, probabilities normalized per from_type."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    _write_events(
+        spark,
+        tmp_path,
+        # user 1 (all same user in helper): view->click->view->purchase
+        [(1, "view", 0.0), (2, "click", 0.0), (3, "view", 0.0), (4, "purchase", 0.0)],
+    )
+    rows = load_all_queries()["q_events_transitions"].fn(spark, str(tmp_path)).collect()
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p_x10000"]) for r in rows}
+    assert got == {
+        ("view", "click"): (1, 5000),
+        ("view", "purchase"): (1, 5000),
+        ("click", "view"): (1, 10000),
+    }
