@@ -453,3 +453,45 @@ def run_to_parquet(
     )
     q.awaitTermination()
     return q
+
+
+def run_topk_foreachbatch(events: DataFrame, out_dir: str, k: int = 3) -> None:
+    """Streaming hot-N per tumbling hour via ``foreachBatch`` — the
+    micro-batch post-processing pattern for logic Structured Streaming
+    cannot express incrementally (window-function RANK over an
+    aggregate). The streaming side maintains only the (window, type)
+    counts (bounded state, watermark-evicted in a live run); each
+    micro-batch's snapshot is then ranked with a plain BATCH window
+    function inside the callback and published as a FULL REFRESH
+    (overwrite) — idempotent under micro-batch retries, which is the
+    foreachBatch exactly-once contract. Batch twin:
+    q_stream_topk_windowed (operators/events.py)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"), "event_type", "n_events"
+        )
+    )
+
+    def _rank_and_publish(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("win_start_us").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        (
+            batch_df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(_rank_and_publish)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

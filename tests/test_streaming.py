@@ -203,3 +203,16 @@ def test_streaming_ohlc_equals_batch(spark):
     batch = load_all_queries()["q_events_ohlc"].fn(spark, SF_DIR)
     assert got == _rows(batch, "hour_us", "event_type")
     assert len(got) > 0
+
+
+def test_streaming_topk_foreachbatch_equals_batch(spark, tmp_path):
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        run_topk_foreachbatch,
+    )
+
+    out = f"{tmp_path}/topk_fb"
+    run_topk_foreachbatch(read_events_stream(spark, SF_DIR), out)
+    got = _rows(spark.read.parquet(out), "win_start_us", "rk")
+    batch = load_all_queries()["q_stream_topk_windowed"].fn(spark, SF_DIR)
+    assert got == _rows(batch, "win_start_us", "rk")
+    assert len(got) > 0
