@@ -380,3 +380,51 @@ def test_token_budget_matches_sequential_scan(spark, docs):
             if cum <= _BUDGET_TOKENS:
                 want.append((doc_id, lang, n, cum))
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),                 # flag
+            st.integers(min_value=1, max_value=30_000),  # price cents
+            st.integers(min_value=1, max_value=9),       # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_median_matches_sequential_reference(spark, rows):
+    """The two-level bin-then-refine weighted median must equal the
+    sequential definition — smallest price with 2*cum_weight >= total —
+    for arbitrary (flag, price, weight) sets: duplicate prices, weights
+    straddling the half point, values crossing 1024-cent bin boundaries."""
+    import tempfile
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    data = [(f, c / 100.0, float(w)) for f, c, w in rows]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            data, "l_returnflag string, l_extendedprice double, l_quantity double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        got = {
+            r["flag"]: (r["total_weight"], r["wmedian"])
+            for r in load_all_queries()["q_agg_weighted_median"]
+            .fn(spark, tmp)
+            .collect()
+        }
+    # sequential reference
+    from collections import defaultdict
+
+    per_flag = defaultdict(lambda: defaultdict(int))
+    for f, c, w in rows:
+        per_flag[f][c] += w
+    for f, by_price in per_flag.items():
+        total = sum(by_price.values())
+        cum = 0
+        for c in sorted(by_price):
+            cum += by_price[c]
+            if 2 * cum >= total:
+                assert got[f] == (total, round(c / 100.0, 2)), (f, rows)
+                break
