@@ -758,3 +758,95 @@ def q_pipe_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("stage_no", stage_name.alias("stage"), "n_docs")
         .orderBy("stage_no")
     )
+
+
+@register(
+    "q_pipe_end_to_end",
+    group="I",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+             t -> t <> '')) AS BIGINT) AS n_toks,
+         len(list_distinct(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+             t -> t <> ''))) AS n_uniq
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+), q AS (
+  SELECT doc_id, lang, n_toks, md5(text) AS h
+  FROM m
+  WHERE n_toks >= {_CASCADE_MIN_TOKENS}
+    AND n_alpha * 1000 >= {_CASCADE_ALPHA_PERMILLE} * n_chars
+    AND n_uniq * 100 >= {_CASCADE_UNIQ_PCT} * n_toks
+), c AS (
+  SELECT doc_id, lang, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM q
+), train AS (
+  SELECT doc_id, lang, n_toks FROM c
+  WHERE rn = 1 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM train
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep pipeline as ONE declarative plan — the
+    engine's actual use case, composed from the primitives the individual
+    queries prove: 50% hash sample -> quality-cascade pass (the
+    q_pipe_filter_cascade predicates) -> keep-first exact dedup (before
+    the split, so exact duplicates can never leak across train/val) ->
+    hash train-split -> per-language accounting of the final training
+    set.
+
+    Engine-exactness: every decision is an md5 hex comparison or an
+    integer cross-multiplication; outputs are integer counts and id
+    picks.
+
+    Plan shape: the three hash/quality/metric gates are ROW-LOCAL and
+    fused into the scan, so at 100 TB the single exchange of the whole
+    pipeline is the content-hash dedup shuffle — carrying only
+    already-thinned (hash, id, lang, n_toks) rows, never text — followed
+    by a WindowGroupLimit top-1, the row-local split gate, and a
+    languages-sized aggregate. Catalyst composes the steps into one pass
+    end-to-end: this is why declaring the pipeline beats materializing
+    each stage (k scans, k intermediate datasets)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^A-Za-z0-9]+"), lambda t: t != F.lit(""))
+    m = d.filter(F.substring(_md5_of("doc_id"), 1, 2) < "80").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    q = m.filter(
+        (F.col("n_toks") >= _CASCADE_MIN_TOKENS)
+        & (F.col("n_alpha") * 1000 >= _CASCADE_ALPHA_PERMILLE * F.col("n_chars"))
+        & (F.col("n_uniq") * 100 >= _CASCADE_UNIQ_PCT * F.col("n_toks"))
+    ).select("doc_id", "lang", "n_toks", F.md5(F.col("text").cast("binary")).alias("h"))
+    w = W.partitionBy("h").orderBy("doc_id")
+    train = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.substring(_md5_of("doc_id"), 1, 1) < "c"))
+    )
+    return (
+        train.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
