@@ -1332,3 +1332,34 @@ def test_transitions_hand_computed(spark, tmp_path):
         ("view", "purchase"): (1, 5000),
         ("click", "view"): (1, 10000),
     }
+
+
+def test_latest_queries_on_empty_tables(spark, tmp_path):
+    """Transitions / keywords / end-to-end / repeated-chunks / vocab on
+    EMPTY inputs: no AnalysisException, zero rows."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    _write_documents(spark, tmp_path, [])
+    eschema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame([], eschema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    qs = load_all_queries()
+    for name in (
+        "q_events_transitions",
+        "q_text_keywords",
+        "q_pipe_end_to_end",
+        "q_dedup_repeated_chunks",
+    ):
+        assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
