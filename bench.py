@@ -70,6 +70,12 @@ def main() -> None:
             "q_sim_ann_lsh",
             "q_sim_ivf_topk",  # quantizer + cogroup scoring plans
             "q_sketch_cms",  # 4x256 counter expression tree
+            # round-5 continuation queries with their own heavy codegen
+            "q_agg_weighted_median",  # bin windows + refine join
+            "q_dedup_repeated_chunks",  # HOF md5 chunk transform
+            "q_text_keywords",  # tf->df->rank window stack
+            "q_text_vocab_coverage",
+            "q_pipe_end_to_end",  # fused cascade + dedup + split
         ):
             _, err = _safe_count(registry[wq].fn, spark, warm_sf)
             if err:
