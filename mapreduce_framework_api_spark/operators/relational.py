@@ -1499,3 +1499,103 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_agg_mad",
+    group="D",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY flag, qty
+), m AS (
+  SELECT flag, qty, n,
+         CAST(SUM(n) OVER (PARTITION BY flag ORDER BY qty
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY flag) AS BIGINT) AS total
+  FROM c
+), med AS (
+  SELECT flag, MIN(qty) AS med, MAX(total) AS total
+  FROM m WHERE 2 * cum >= total GROUP BY flag
+), dev AS (
+  SELECT c.flag, abs(c.qty - med.med) AS adev, CAST(SUM(c.n) AS BIGINT) AS n,
+         MAX(med.med) AS med
+  FROM c JOIN med ON c.flag = med.flag
+  GROUP BY c.flag, abs(c.qty - med.med)
+), d AS (
+  SELECT flag, adev, med,
+         CAST(SUM(n) OVER (PARTITION BY flag ORDER BY adev
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY flag) AS BIGINT) AS total
+  FROM dev
+)
+SELECT flag, MAX(med) AS median_qty, MIN(adev) AS mad_qty,
+       CAST(MAX(total) AS BIGINT) AS n_rows
+FROM d WHERE 2 * cum >= total
+GROUP BY flag ORDER BY flag
+""",
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of l_quantity per returnflag — the
+    robust dispersion statistic (outlier-insensitive, unlike stddev):
+    MAD = median(|x - median(x)|), both medians under the lower-median
+    convention (smallest value with 2*cum >= total).
+
+    Engine-exactness: quantities are integers, every cumulative sum is an
+    integer window sum, and both medians are row PICKS — zero FP anywhere
+    in the query.
+
+    Plan shape: the corpus collapses onto the (flag, qty) VALUE-DOMAIN
+    rollup first (l_quantity has ≲50 distinct values, so the frame is
+    flags x 50 regardless of corpus size); both median passes are windows
+    over that bounded frame, and the deviation re-aggregation joins the
+    3-row median table broadcast-style. One corpus-sized partial/final
+    aggregate, everything else domain-sized — the same
+    collapse-to-domain-first discipline as q_agg_weighted_median, without
+    even needing its bin refinement because the domain is already tiny."""
+    li = table(spark, sf_dir, "lineitem")
+    c = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("flag", "qty")
+        .agg(F.count("*").alias("n"))
+    )
+    run = W.partitionBy("flag").orderBy("qty").rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = W.partitionBy("flag")
+    m = c.select(
+        "flag",
+        "qty",
+        F.sum("n").over(run).alias("cum"),
+        F.sum("n").over(full).alias("total"),
+    )
+    med = (
+        m.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("flag")
+        .agg(F.min("qty").alias("med"), F.max("total").alias("total"))
+    )
+    dev = (
+        c.join(F.broadcast(med), "flag")
+        .groupBy("flag", F.abs(F.col("qty") - F.col("med")).alias("adev"))
+        .agg(F.sum("n").alias("n"), F.max("med").alias("med"))
+    )
+    drun = W.partitionBy("flag").orderBy("adev").rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = dev.select(
+        "flag",
+        "adev",
+        "med",
+        F.sum("n").over(drun).alias("cum"),
+        F.sum("n").over(W.partitionBy("flag")).alias("total"),
+    )
+    return (
+        d.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.max("med").alias("median_qty"),
+            F.min("adev").alias("mad_qty"),
+            F.max("total").cast("long").alias("n_rows"),
+        )
+        .orderBy("flag")
+    )

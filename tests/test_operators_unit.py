@@ -1363,3 +1363,24 @@ def test_latest_queries_on_empty_tables(spark, tmp_path):
         "q_dedup_repeated_chunks",
     ):
         assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
+
+
+def test_mad_hand_computed(spark, tmp_path):
+    """MAD on hand-built quantities: [1,2,3,8] -> median 2 (lower), devs
+    [1,0,1,6] -> MAD 1; outlier 8 moves stddev but not MAD."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 8.0)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    (r,) = load_all_queries()["q_agg_mad"].fn(spark, str(tmp_path)).collect()
+    assert (r["median_qty"], r["mad_qty"], r["n_rows"]) == (2, 1, 4)
