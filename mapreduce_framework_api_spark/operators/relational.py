@@ -1599,3 +1599,48 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "q_join_lateral_topn",
+    group="C",
+    oracle="""
+SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+FROM nation n,
+     LATERAL (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey
+              LIMIT 2) c
+ORDER BY n.n_name, acctbal DESC, c_custkey
+""",
+)
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation via a LATERAL
+    correlated subquery — run through the raw SQL lane (`spark.sql`),
+    proving the engine's surface is reachable from SQL text, not only
+    the DataFrame builders (every other declared query): a user of the
+    reference migrating ANSI SQL runs it verbatim.
+
+    Engine-exactness: balance is a row pick; the tie-break on c_custkey
+    makes the LIMIT deterministic.
+
+    Plan shape: Catalyst DECORRELATES the lateral subquery — the
+    physical plan is the same WindowGroupLimit-over-join shape as the
+    DataFrame top-k-per-group (q_win_topk_group), NOT a per-nation
+    re-execution: one customer shuffle on nationkey, per-group limit
+    pushed below the sort, 25-row broadcast of nation. Declarative SQL
+    and the DataFrame API meet in the same physical space — the reason
+    the engine needs no separate SQL executor."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM nation n,
+             LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) c
+        ORDER BY n.n_name, acctbal DESC, c_custkey
+        """
+    )

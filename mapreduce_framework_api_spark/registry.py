@@ -66,11 +66,11 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-5 window, by the standing policy: (1) the 24 queries NEW
+# Round-5 window, by the standing policy: (1) the 25 queries NEW
 # this round (ohlc / timeweighted / vocab_coverage / filter_cascade /
 # weighted_median / topk_windowed / cdc_compact / asof_nearest /
 # hll_merge / repeated_chunks / transitions / keywords / end_to_end /
-# mad /
+# mad / lateral_topn /
 # token_budget /
 # set_ops_all / anomaly / string_agg / corr_exact / search_split /
 # chunk_overlap / upsample_epochs / shuffle_order / sessionize — no
@@ -78,7 +78,7 @@ _LOADED = False
 # (oracle HUGEINT cast — the one r4-red row, needs its green receipt) and
 # q_sketch_hist_quantile (median-rank div fix), with the
 # block-pair-cogroup rework's consumers q_sim_cosine_topk /
-# q_dedup_embedding already inside (3); (3) 24 of the queries that sat
+# q_dedup_embedding already inside (3); (3) 23 of the queries that sat
 # out r4 (last driver-checked r02/r03 — the staleness window the r4
 # verdict flagged). Everything sitting out is hash-green on its latest
 # driver check, on code untouched since, and covered by the committed
@@ -99,6 +99,7 @@ _WINDOW: tuple[str, ...] = (
     "q_text_keywords",
     "q_pipe_end_to_end",
     "q_agg_mad",
+    "q_join_lateral_topn",
     "q_pipe_token_budget",
     "q_set_ops_all",
     "q_events_anomaly",
@@ -113,7 +114,6 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_pack_chunks",
     "q_sketch_hist_quantile",
     # (3) sat out r4 (incl. the two cogroup-rework consumers)
-    "q_agg_stats",
     "q_dedup_canonical",
     "q_dedup_clusters",
     "q_dedup_decontaminate",
@@ -140,7 +140,8 @@ _WINDOW: tuple[str, ...] = (
 )
 # q_text_repetition / q_text_surprisal / q_filter_pred /
 # q_pipe_sample_hash / q_pipe_split_assign / q_pipe_length_hist /
-# q_multimodal_meta / q_pipe_quota_cap / q_agg_percentile and the five
+# q_multimodal_meta / q_pipe_quota_cap / q_agg_percentile / q_agg_stats
+# and the five
 # q_fn_* scalar queries yielded their
 # round-5 slots to the twelve queries new this continuation (ohlc /
 # timeweighted / vocab_coverage / filter_cascade / weighted_median /
