@@ -938,3 +938,69 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_x10000"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "q_events_streaks",
+    group="H",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day
+  FROM events
+), r AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM d
+), s AS (
+  SELECT user_id, island, COUNT(*) AS len,
+         MIN(day) AS start_day
+  FROM r GROUP BY user_id, island
+), best AS (
+  SELECT user_id, len, start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS rk
+  FROM s
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
+       CAST(start_day AS BIGINT) AS streak_start_day
+FROM best WHERE rk = 1
+ORDER BY user_id
+""",
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands):
+    distinct active days collapse into runs via the day − row_number
+    fingerprint (consecutive days share it, any gap breaks it); the
+    longest run wins, earliest start on ties.
+
+    Engine-exactness: days are integer epoch-day ordinals; islands,
+    lengths and tie-breaks are all integer — nothing can drift.
+
+    Plan shape: the raw stream collapses to DISTINCT (user, day) first —
+    the only corpus-sized aggregate — then islands, run-lengths and the
+    top-1 pick all ride windows/aggregates PARTITIONED BY user_id on the
+    days-per-user frame (bounded by the calendar, not event volume).
+    Catalyst chains rn-window → island-agg → best-window on one user_id
+    exchange; WindowGroupLimit prunes the final pick."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", (F.unix_micros("ts") / _DAY_US).cast("long").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    s = (
+        d.withColumn("island", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("len"), F.min("day").alias("start_day"))
+    )
+    best = W.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+    return (
+        s.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("longest_streak_days"),
+            F.col("start_day").cast("long").alias("streak_start_day"),
+        )
+        .orderBy("user_id")
+    )

@@ -1384,3 +1384,43 @@ def test_mad_hand_computed(spark, tmp_path):
     )
     (r,) = load_all_queries()["q_agg_mad"].fn(spark, str(tmp_path)).collect()
     assert (r["median_qty"], r["mad_qty"], r["n_rows"]) == (2, 1, 4)
+
+
+def test_streaks_gaps_and_islands(spark, tmp_path):
+    """Days {0,1,2, 6,7} -> longest streak 3 starting day 0; multiple
+    events on one day collapse; tie prefers the earliest start."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    rows = [
+        (i, datetime(2024, 1, 1 + d, h, 0, 0), 1, "view", 0.0, "{}")
+        for i, (d, h) in enumerate([(0, 1), (0, 9), (1, 2), (2, 3), (6, 4), (7, 5)])
+    ]
+    # user 2: two equal-length streaks {0,1} and {3,4} -> earliest wins
+    rows += [
+        (100 + i, datetime(2024, 1, 1 + d, 0, 0, 0), 2, "view", 0.0, "{}")
+        for i, d in enumerate([0, 1, 3, 4])
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r["user_id"]: (r["longest_streak_days"], r["streak_start_day"])
+        for r in load_all_queries()["q_events_streaks"].fn(spark, str(tmp_path)).collect()
+    }
+    base_day = got[1][1]  # epoch-day of 2024-01-01
+    assert got[1] == (3, base_day)
+    assert got[2] == (2, base_day)
