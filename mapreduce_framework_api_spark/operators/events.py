@@ -1004,3 +1004,84 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_events_cooccurrence",
+    group="H",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day,
+         event_type
+  FROM events
+), baskets AS (
+  SELECT COUNT(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM d)
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+)
+SELECT type_a, type_b, COUNT(*) AS n_together,
+       CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                  / CAST((SELECT n_baskets FROM baskets) AS DOUBLE)
+                  * 10000.0 + 0.5) AS BIGINT) AS support_x10000
+FROM p
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+""",
+)
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence within daily per-user baskets (the
+    market-basket support table, the input to association-rule mining):
+    for every unordered type pair, how many (user, day) baskets contain
+    both, and that count as an x10000 share of all baskets.
+
+    Engine-exactness: counts are integers; the one support division is a
+    single floored double expression (the q_dedup_report rate
+    discipline).
+
+    Plan shape: the stream collapses to DISTINCT (user, day, type) — the
+    only corpus-sized exchange — then each basket's sorted type-set
+    expands to pairs ARRAY-SIDE via the capped-bucket pair generator
+    (types per basket is bounded by the type vocabulary, so a basket
+    costs at most C(|types|,2) pairs and the self-equi-join shuffle a
+    naive plan would run never exists). The basket total rides a
+    row-local second aggregate of the same distinct frame, broadcast as
+    one row. The pair rollup is |types|²-bounded."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        "event_type",
+    ).distinct()
+    from mapreduce_framework_api_spark.operators.dedup import _pairs_within
+
+    baskets = d.groupBy("user_id", "day").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
+    pairs = baskets.select(F.explode(_pairs_within(F.col("ts"))).alias("p")).select(
+        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_together"))
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "type_a",
+            "type_b",
+            "n_together",
+            F.floor(
+                F.col("n_together").cast("double")
+                / F.col("n_baskets").cast("double")
+                * 10000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("support_x10000"),
+        )
+        .orderBy("type_a", "type_b")
+    )
