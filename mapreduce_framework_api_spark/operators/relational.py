@@ -1644,3 +1644,52 @@ def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, acctbal DESC, c_custkey
         """
     )
+
+
+@register(
+    "q_agg_unpivot",
+    group="D",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag AS flag,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+  FROM lineitem GROUP BY flag
+)
+SELECT flag, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (sum_qty, n_rows, n_parts))
+ORDER BY flag, metric
+""",
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-flag metrics table flipped to long
+    (flag, metric, value) rows — the inverse of q_agg_pivot and the shape
+    metric stores and chart layers consume.
+
+    Engine-exactness: all three metrics are exact integers, so the
+    unpivoted value column is BIGINT on both engines — no union of mixed
+    numeric types (the classic unpivot trap: one double metric silently
+    promotes every row).
+
+    Plan shape: unpivot is a row-local Expand of the ALREADY-AGGREGATED
+    wide frame (|flags| rows), so the generated row count is rows x
+    metrics on a group-sized input — the corpus is touched once by the
+    aggregation. Spark's native `DataFrame.unpivot` compiles to the same
+    Expand as the SQL UNPIVOT clause."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+    )
+    return (
+        wide.unpivot(
+            ids=["flag"],
+            values=["sum_qty", "n_rows", "n_parts"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("flag", "metric")
+    )
