@@ -35,7 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omitted entries (LSH banding,
-    SimHash, ANN) are approximate/bit-level pipelines with no clean SQL
-    form — the driver records the weaker rows-only check for those."""
+    """DuckDB-equivalent SQL per query. EVERY registered query carries a
+    full oracle — including the approximate tiers (MinHash/SimHash
+    banding, sign-LSH and IVF ANN, the HLL/CMS/Bloom sketches), whose
+    md5/integer primitives replay bit-exactly in SQL — so the driver
+    records zero rows-only checks."""
     return {name: q.oracle for name, q in load_all_queries().items() if q.oracle is not None}
