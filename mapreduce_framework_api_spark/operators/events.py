@@ -1085,3 +1085,81 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "q_events_latency_bands",
+    group="H",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, cents
+), m AS (
+  SELECT event_type, cents, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM c
+)
+SELECT event_type,
+       CAST(MAX(total) AS BIGINT) AS n_rows,
+       MIN(CASE WHEN cum * 100 >= total * 50 THEN cents END) AS p50_cents,
+       MIN(CASE WHEN cum * 100 >= total * 95 THEN cents END) AS p95_cents,
+       MIN(CASE WHEN cum * 100 >= total * 99 THEN cents END) AS p99_cents
+FROM m
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_events_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 of `value` per event_type (the latency-band
+    dashboard row), by the discrete-percentile rule: the smallest value
+    whose cumulative count reaches ceil(q·n) — evaluated as the pure
+    integer test cum·100 >= total·q, no FP anywhere (values go to cents
+    once via the fixed floor(v·100+0.5) expression).
+
+    Plan shape: the corpus collapses to the (type, cents) VALUE-DOMAIN
+    rollup first (map-side combinable; domain-bounded, not row-bounded),
+    one running-count window per type over that rollup serves ALL three
+    percentiles simultaneously (conditional MIN aggregation — a naive
+    plan sorts or re-windows once per quantile), and the result is one
+    row per type. The same collapse-to-domain discipline as q_agg_mad;
+    exact percentiles without percentile_approx's error bounds or its
+    per-group sorted-buffer state."""
+    e = table(spark, sf_dir, "events")
+    c = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("n"))
+    )
+    run = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = c.select(
+        "event_type",
+        "cents",
+        F.sum("n").over(run).alias("cum"),
+        F.sum("n").over(W.partitionBy("event_type")).alias("total"),
+    )
+
+    def pick(q: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * q, F.col("cents"))
+        ).alias(f"p{q}_cents")
+
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.max("total").cast("long").alias("n_rows"),
+            pick(50),
+            pick(95),
+            pick(99),
+        )
+        .orderBy("event_type")
+    )
