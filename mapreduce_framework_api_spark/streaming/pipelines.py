@@ -495,3 +495,32 @@ def run_topk_foreachbatch(events: DataFrame, out_dir: str, k: int = 3) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_segment_counts(
+    spark: SparkSession, events: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed rollup: the streaming
+    events join the static customer dimension (user_id -> c_custkey) and
+    aggregate per (hour, market segment). The static side is planned as
+    a broadcast into every micro-batch — no stream-stream state, no
+    watermark bookkeeping for the dimension (the standard way reference
+    data meets a stream; state exists only for the windowed counts).
+    Batch twin asserted in tests: the same join + rollup built on the
+    batch reader."""
+    from mapreduce_framework_api_spark.sources import table
+
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "c_mktsegment",
+            "n_events",
+        )
+    )

@@ -216,3 +216,29 @@ def test_streaming_topk_foreachbatch_equals_batch(spark, tmp_path):
     batch = load_all_queries()["q_stream_topk_windowed"].fn(spark, SF_DIR)
     assert got == _rows(batch, "win_start_us", "rk")
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    from mapreduce_framework_api_spark.sources import table
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        enriched_segment_counts,
+    )
+
+    stream = enriched_segment_counts(spark, read_events_stream(spark, SF_DIR), SF_DIR)
+    run_to_memory(stream, "t_enriched", output_mode="complete")
+    got = _rows(spark.table("t_enriched"), "win_start_us", "c_mktsegment")
+
+    e = table(spark, SF_DIR, "events")
+    dim = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        e.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"), "c_mktsegment", "n_events"
+        )
+    )
+    assert got == _rows(batch, "win_start_us", "c_mktsegment")
+    assert len(got) > 0
