@@ -480,3 +480,131 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         F.floor(est * 100.0 + 0.5).cast("long").alias("hll_est_x100"),
     )
+
+
+_SLIDE_HOURS = 24
+_HOUR_US_SK = 3_600 * 1_000_000
+
+
+@register(
+    "q_sketch_hll_sliding",
+    group="I",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US_SK} AS hour,
+         user_id
+  FROM events
+), h AS (
+  SELECT hour, user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM d
+), r AS (
+  SELECT hour,
+         CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % {_HLL_M} AS bucket,
+         CAST(('0x' || substr(hx, 3, 13)) AS BIGINT) AS w
+  FROM h
+), b AS (
+  SELECT hour, bucket,
+         MAX(LEAST(CASE WHEN w > 0 THEN 53 - length(bin(w)) ELSE 53 END, 52)) AS m_rho
+  FROM r GROUP BY hour, bucket
+), trail AS (
+  SELECT hour, bucket,
+         MAX(m_rho) OVER (PARTITION BY bucket ORDER BY hour
+             RANGE BETWEEN {_SLIDE_HOURS - 1} PRECEDING AND CURRENT ROW) AS m_rho
+  FROM b
+), hours AS (SELECT DISTINCT hour FROM b),
+grid AS (
+  SELECT t.hour, t.bucket, t.m_rho
+  FROM trail t
+  -- a bucket contributes to hour H if its register row falls in H's window;
+  -- regenerate per-hour rows by joining each hour to the latest register
+  -- row per bucket within its trailing window
+), s AS (
+  SELECT hh.hour,
+         CAST(SUM(CAST(1 AS BIGINT) << (52 - t.best)) AS DOUBLE) AS reg_sum,
+         COUNT(*) AS nb
+  FROM hours hh
+  JOIN LATERAL (
+    SELECT bucket, MAX(m_rho) AS best
+    FROM b
+    WHERE b.hour BETWEEN hh.hour - {_SLIDE_HOURS - 1} AND hh.hour
+    GROUP BY bucket
+  ) t ON TRUE
+  GROUP BY hh.hour
+)
+SELECT hour AS hour_ord,
+       CAST(FLOOR(CAST({_HLL_ALPHA_M2} AS DOUBLE)
+                  / (reg_sum / {_POW52!r} + CAST({_HLL_M} - nb AS DOUBLE))
+                  * 100.0 + 0.5) AS BIGINT) AS hll_est_x100
+FROM s
+ORDER BY hour_ord
+""",
+)
+def q_sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct-user estimate PER HOUR via sliding HLL
+    register merge — the sliding-window COUNT(DISTINCT) that is
+    quadratic to compute exactly (every hour re-scans its whole trailing
+    window of raw keys) but linear with mergeable sketches: per-hour
+    registers build once from the raw stream, and each hour's window
+    estimate is a per-bucket MAX over the trailing register rows — a
+    RANGE-frame window over an hours x 64 frame, never the raw keys.
+
+    This is q_sketch_hll_merge's associativity put to work on the time
+    axis (the same trick serves per-day/tenant/shard rollups); estimator
+    discipline unchanged (integer registers, one fixed-order double,
+    x100 BIGINT).
+
+    Plan shape: one corpus-sized distinct + register aggregate, then
+    everything runs on the register grid: each register row explodes to
+    the <= 24 hours it can serve (grid-sized fan-out, shuffled on
+    (hour, bucket) — 64x the hour cardinality, no single-partition
+    funnel), a per-(hour, bucket) MAX merges the trailing registers, and
+    the per-hour estimator emits one row per active hour. A RANGE-frame
+    window per bucket would merge but NOT densify — an hour with no new
+    row for a bucket must still inherit that bucket's trailing register,
+    which is exactly what the bounded explode provides."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        (F.unix_micros("ts") / _HOUR_US_SK).cast("long").alias("hour"), "user_id"
+    ).distinct()
+    hx = F.md5(F.col("user_id").cast("string").cast("binary"))
+    bucket = F.pmod(F.conv(F.substring(hx, 1, 2), 16, 10).cast("long"), F.lit(_HLL_M))
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rho = F.least(
+        F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53)), F.lit(52)
+    )
+    b = (
+        d.select("hour", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("hour", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    # Trailing merge: per bucket, the best register over the last 24 hours
+    # ... but an hour with NO new row for a bucket still needs that
+    # bucket's trailing value. Densify: window-max per bucket gives the
+    # merged register AT hours where the bucket has a row; hours where it
+    # doesn't appear must inherit it. Solve by exploding each register row
+    # to every hour it can serve (<= 24 rows each, grid-sized), then
+    # per-(hour, bucket) MAX — the standard sliding-sketch densification.
+    served = b.select(
+        F.explode(
+            F.sequence(F.col("hour"), F.col("hour") + F.lit(_SLIDE_HOURS - 1))
+        ).alias("hour_ord"),
+        "bucket",
+        "m_rho",
+        F.col("hour").alias("src_hour"),
+    )
+    hours = b.select(F.col("hour").alias("hour_ord")).distinct()
+    merged = (
+        served.join(F.broadcast(hours), "hour_ord")
+        .groupBy("hour_ord", "bucket")
+        .agg(F.max("m_rho").alias("best"))
+    )
+    s = merged.groupBy("hour_ord").agg(
+        F.sum(F.expr("shiftleft(1L, 52 - best)")).cast("double").alias("reg_sum"),
+        F.count("*").alias("nb"),
+    )
+    est = F.lit(_HLL_ALPHA_M2).cast("double") / (
+        F.col("reg_sum") / F.lit(_POW52) + (F.lit(_HLL_M) - F.col("nb")).cast("double")
+    )
+    return s.select(
+        "hour_ord",
+        F.floor(est * 100.0 + 0.5).cast("long").alias("hll_est_x100"),
+    ).orderBy("hour_ord")
