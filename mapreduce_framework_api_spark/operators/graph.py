@@ -1,0 +1,147 @@
+"""Graph analytics over relationally-derived edges.
+
+The reference has no graph surface at all; this module exists because a
+corpus/product analytics engine keeps meeting graph-shaped questions
+(dup clusters — already in dedup.py as bounded label propagation — and
+influence/centrality over co-occurrence graphs, here). Everything is
+DataFrame joins + aggregates: at 100 TB a "graph engine" on Spark IS a
+sequence of equi-joins keyed on vertex id, and Catalyst/AQE handle the
+rest (cf. the label-propagation notes at dedup.py:920).
+
+Exactness discipline: PageRank is usually FP-iterative (order-dependent
+sums); here every score is an integer PPM (parts-per-million) and each
+contribution is floor(score/degree) — pure integer arithmetic, so the
+fixed 3-iteration unroll replays bit-exactly in SQL and the query
+carries a FULL differential oracle like everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+_PR_ITERS = 3
+_PR_DAMP_PPM = 850_000  # 0.85 in ppm
+_PR_BASE_PPM = 150_000  # (1 - d) in ppm
+
+
+def _pr_round(scores: DataFrame, edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """One integer PageRank round: s'(v) = base + d * Σ_u→v floor(s(u)/deg(u)),
+    all in ppm with floor division (bit-exact on any engine)."""
+    contrib = (
+        scores.join(deg, "node")
+        .withColumn("give", F.floor(F.col("s_ppm") / F.col("deg")).cast("long"))
+        .join(edges, "node")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("give").alias("gathered"))
+    )
+    return contrib.select(
+        "node",
+        (
+            F.lit(_PR_BASE_PPM)
+            + F.floor(F.lit(_PR_DAMP_PPM) * F.col("gathered") / F.lit(1_000_000)).cast(
+                "long"
+            )
+        ).alias("s_ppm"),
+    )
+
+
+_PR_ORACLE_ROUND = """
+  SELECT e.dst AS node,
+         {base} + CAST(FLOOR({damp} * CAST(SUM(
+             CAST(FLOOR(CAST(s.s_ppm AS DOUBLE) / d.deg) AS BIGINT)
+         ) AS DOUBLE) / 1000000.0) AS BIGINT) AS s_ppm
+  FROM {prev} s JOIN deg d ON s.node = d.node JOIN edges e ON s.node = e.node
+  GROUP BY e.dst
+"""
+
+
+@register(
+    "q_graph_pagerank",
+    group="I",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), pairs AS (
+  SELECT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY u, v
+), edges AS (
+  SELECT u AS node, v AS dst FROM pairs
+  UNION ALL
+  SELECT v AS node, u AS dst FROM pairs
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM edges GROUP BY node
+), s0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS s_ppm FROM deg
+), s1 AS ({_PR_ORACLE_ROUND.format(prev="s0", base=_PR_BASE_PPM, damp=_PR_DAMP_PPM)}
+), s2 AS ({_PR_ORACLE_ROUND.format(prev="s1", base=_PR_BASE_PPM, damp=_PR_DAMP_PPM)}
+), s3 AS ({_PR_ORACLE_ROUND.format(prev="s2", base=_PR_BASE_PPM, damp=_PR_DAMP_PPM)}
+), ranked AS (
+  SELECT node, s_ppm,
+         ROW_NUMBER() OVER (ORDER BY s_ppm DESC, node) AS rk
+  FROM s3
+)
+SELECT CAST(rk AS BIGINT) AS rk, node AS part_key, s_ppm
+FROM ranked WHERE rk <= 20
+ORDER BY rk
+""",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by 3-iteration PageRank over the co-purchase graph
+    (parts are linked when they appear in the same order) — the
+    influence/centrality question every recommendation pipeline asks of
+    a co-occurrence graph.
+
+    Engine-exactness: scores are integer PPM; each round gives
+    floor(score/degree) per neighbor and re-damps with one integer
+    floor — NO floating accumulation across rows, so the fixed unroll is
+    bit-identical in SQL (the iterative-FP PageRank has no such oracle).
+
+    Plan shape: edge build is a self-equi-join on l_orderkey (fan-out
+    bounded by order width — ~7 lines, never corpus-quadratic) distinct
+    to unordered pairs, mirrored by UNION. Each round is one
+    (scores ⋈ degree ⋈ edges) equi-join chain + a dst aggregate — three
+    shuffles per round on the vertex key, the canonical Pregel-on-
+    DataFrames shape. The unroll is FIXED (3 rounds, so the lineage
+    stays bounded without checkpointing; the convergence-driven variant
+    would localCheckpoint per round exactly like dedup.py's label
+    propagation). Final top-20 is TakeOrdered, not a global sort."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a = li.select("ok", F.col("pk").alias("u"))
+    b = li.select("ok", F.col("pk").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = pairs.select(F.col("u").alias("node"), F.col("v").alias("dst")).unionAll(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("dst"))
+    )
+    # Materialize the (small) edge list once: every round re-reads it, and
+    # without this the round-k lineage would re-plan the self-join k times
+    # (same reasoning as the label-propagation checkpoint, dedup.py:931).
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("node").agg(F.count("*").alias("deg"))
+    scores = deg.select("node", F.lit(1_000_000).cast("long").alias("s_ppm"))
+    for _ in range(_PR_ITERS):
+        scores = _pr_round(scores, edges, deg)
+    return (
+        scores.orderBy(F.desc("s_ppm"), "node")
+        .limit(20)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("s_ppm"), "node"))
+            .cast("long")
+            .alias("rk"),
+            F.col("node").alias("part_key"),
+            "s_ppm",
+        )
+        .orderBy("rk")
+    )

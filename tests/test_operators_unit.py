@@ -1424,3 +1424,40 @@ def test_streaks_gaps_and_islands(spark, tmp_path):
     base_day = got[1][1]  # epoch-day of 2024-01-01
     assert got[1] == (3, base_day)
     assert got[2] == (2, base_day)
+
+
+def test_pagerank_integer_rounds_hand_computed(spark, tmp_path):
+    """3-round integer PageRank on a hand-built 3-node path graph
+    (orders {1,2} and {2,3} -> edges 1-2, 2-3): the center node must
+    outrank the leaves, and scores must equal the sequential integer
+    recurrence exactly."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+        ]
+    )
+    rows = [(100, 1), (100, 2), (200, 2), (200, 3)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    got = {
+        r["part_key"]: (r["rk"], r["s_ppm"])
+        for r in load_all_queries()["q_graph_pagerank"].fn(spark, str(tmp_path)).collect()
+    }
+    # sequential reference: edges 1<->2, 2<->3; deg = {1:1, 2:2, 3:1}
+    deg = {1: 1, 2: 2, 3: 1}
+    nbrs = {1: [2], 2: [1, 3], 3: [2]}
+    s = {n: 1_000_000 for n in deg}
+    for _ in range(3):
+        give = {n: s[n] // deg[n] for n in deg}
+        s = {
+            n: 150_000 + (850_000 * sum(give[u] for u in nbrs[n])) // 1_000_000
+            for n in deg
+        }
+    assert got[2][1] == s[2] and got[1][1] == s[1] and got[3][1] == s[3]
+    assert got[2][0] == 1  # center node ranks first
