@@ -145,3 +145,69 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "q_graph_triangles",
+    group="I",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY u, v
+), wedges AS (
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+), tri AS (
+  SELECT wg.u, wg.v, wg.w
+  FROM wedges wg JOIN e e3 ON wg.u = e3.u AND wg.w = e3.v
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (the clustering/
+    community-density statistic): ordered-edge wedge join + closure
+    check — every triangle u<v<w is counted exactly once because the
+    edge list is kept in canonical u<v orientation throughout.
+
+    Engine-exactness: pure joins and counts — integers end to end.
+
+    Plan shape: the canonical distributed triangle algorithm — edges in
+    one orientation only (halves the join inputs AND removes duplicate
+    counting), wedge = equi-join of the edge list with itself on the
+    middle vertex, closure = semi-shaped equi-join of wedges against
+    edges on (u, w). Three equi-joins keyed on vertex ids; wedge fan-out
+    is Σ deg(v)² — the known hot spot, which at real scale is tamed by
+    the standard degree-ordering refinement (orient edges from
+    low-degree to high-degree endpoint instead of by id; same plan
+    shape, smaller wedge set — documented, not needed at fixture
+    scale). Never an all-pairs product anywhere."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a = li.select("ok", F.col("pk").alias("u"))
+    b = li.select("ok", F.col("pk").alias("v"))
+    e = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    ).localCheckpoint()
+    e1 = e.select(F.col("u"), F.col("v").alias("mid"))
+    e2 = e.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    wedges = e1.join(e2, "mid").select("u", "w")
+    tri = wedges.join(e, (wedges.u == e.u) & (wedges.w == e.v), "inner")
+    # One row out, fully declarative (no driver-side counts): three 1-row
+    # aggregates cross-joined; e is checkpoint-materialized above, so its
+    # three consumers read the materialized blocks, not three re-plans.
+    return (
+        e.agg(F.count("*").cast("long").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(wedges.agg(F.count("*").cast("long").alias("n_wedges")))
+        )
+        .crossJoin(
+            F.broadcast(tri.agg(F.count("*").cast("long").alias("n_triangles")))
+        )
+    )

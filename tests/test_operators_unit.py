@@ -1461,3 +1461,31 @@ def test_pagerank_integer_rounds_hand_computed(spark, tmp_path):
         }
     assert got[2][1] == s[2] and got[1][1] == s[1] and got[3][1] == s[3]
     assert got[2][0] == 1  # center node ranks first
+
+
+def test_triangles_hand_computed(spark, tmp_path):
+    """K4 minus one edge on parts {1,2,3,4}: edges {12,13,14,23,24} ->
+    wedges over middles, exactly 2 triangles (123, 124)."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+        ]
+    )
+    # orders realize exactly the edge set {12,13,14,23,24} (no 34)
+    rows = (
+        [(1, 1), (1, 2)]  # 12
+        + [(2, 1), (2, 3)]  # 13
+        + [(3, 1), (3, 4)]  # 14
+        + [(4, 2), (4, 3)]  # 23
+        + [(5, 2), (5, 4)]  # 24
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    (r,) = load_all_queries()["q_graph_triangles"].fn(spark, str(tmp_path)).collect()
+    assert (r["n_edges"], r["n_triangles"]) == (5, 2)
