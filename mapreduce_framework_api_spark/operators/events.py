@@ -1163,3 +1163,93 @@ def q_events_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_events_rfm",
+    group="H",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), anchor AS (
+  SELECT MAX(ts_us) AS max_ts FROM p
+), per_user AS (
+  SELECT user_id,
+         CAST((a.max_ts - MAX(ts_us)) // {_DAY_US} AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(cents) AS BIGINT) AS monetary_cents
+  FROM p, anchor a
+  GROUP BY user_id, a.max_ts
+), scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score
+  FROM per_user
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+FROM scored
+ORDER BY user_id
+""",
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) per purchasing
+    user: days since last purchase against the corpus max-time anchor,
+    purchase count, cents total, and the classic 3-digit RFM code from
+    NTILE(5) quintiles (1 = best in each dimension: most recent, most
+    frequent, highest spend).
+
+    Engine-exactness: recency is integer day arithmetic off one MAX
+    anchor, money is integer cents, and every NTILE runs over a TOTAL
+    order (explicit user_id tie-break — without it NTILE boundaries are
+    nondeterministic on ties, the classic RFM reproducibility bug).
+
+    Plan shape: purchases collapse to one row per user (partial/final
+    agg — the only corpus-sized pass; the scalar anchor is a 1-row
+    broadcast riding the same pre-filtered scan), then three NTILE
+    windows run over the per-user frame. The windows are global-order
+    (single partition) by NTILE's nature — bounded by |users|, and at
+    true 100 TB user counts the quintile boundaries would come from the
+    percentile machinery (q_events_latency_bands' domain rollup) instead
+    of a global sort; NTILE here is the faithful small-frame form."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    anchor = p.agg(F.max("ts_us").alias("max_ts"))
+    per_user = (
+        p.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "max_ts")
+        .agg(
+            F.max("ts_us").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+        .select(
+            "user_id",
+            ((F.col("max_ts") - F.col("last_ts")) / _DAY_US)
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(5).over(W.orderBy(F.asc("recency_days"), "user_id"))
+    f = F.ntile(5).over(W.orderBy(F.desc("frequency"), "user_id"))
+    m = F.ntile(5).over(W.orderBy(F.desc("monetary_cents"), "user_id"))
+    return (
+        per_user.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            (r * 100 + f * 10 + m).cast("long").alias("rfm_code"),
+        )
+        .orderBy("user_id")
+    )
