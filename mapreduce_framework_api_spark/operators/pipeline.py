@@ -850,3 +850,78 @@ def q_pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_pipe_dataset_card",
+    group="I",
+    oracle="""
+WITH wide AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+             t -> t <> ''))) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+         CAST(MIN(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+             t -> t <> ''))) AS BIGINT) AS min_tokens,
+         CAST(MAX(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+             t -> t <> ''))) AS BIGINT) AS max_tokens
+  FROM documents
+)
+SELECT metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_docs, n_tokens, n_chars, n_langs,
+                              n_sources, n_distinct_texts, min_tokens,
+                              max_tokens))
+ORDER BY metric
+""",
+)
+def q_pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card (datasheet) summary block: corpus size, token and
+    character volume, language/source diversity, exact-dup headroom
+    (n_docs - n_distinct_texts duplicates), and the token-length range —
+    the numbers every corpus release publishes, as a (metric, value)
+    long table ready for a docs page.
+
+    Engine-exactness: every metric is an integer count/sum/pick; the
+    long layout is all-BIGINT (the q_agg_unpivot discipline).
+
+    Plan shape: ONE scan, ONE global aggregate (token counts are
+    row-local array sizes fused into the scan projection; the three
+    DISTINCT counts expand the single aggregate, Catalyst's standard
+    multi-distinct Expand), then a row-local unpivot of the 1-row wide
+    frame. The whole datasheet costs one pass at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^A-Za-z0-9]+"), lambda t: t != F.lit(""))
+    wide = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct(F.md5(F.col("text").cast("binary")))
+        .cast("long")
+        .alias("n_distinct_texts"),
+        F.min(F.size(toks)).cast("long").alias("min_tokens"),
+        F.max(F.size(toks)).cast("long").alias("max_tokens"),
+    )
+    return (
+        wide.unpivot(
+            ids=[],
+            values=[
+                "n_docs",
+                "n_tokens",
+                "n_chars",
+                "n_langs",
+                "n_sources",
+                "n_distinct_texts",
+                "min_tokens",
+                "max_tokens",
+            ],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("metric")
+    )

@@ -66,12 +66,13 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-5 window, by the standing policy: (1) the 33 queries NEW
+# Round-5 window, by the standing policy: (1) the 34 queries NEW
 # this round (ohlc / timeweighted / vocab_coverage / filter_cascade /
 # weighted_median / topk_windowed / cdc_compact / asof_nearest /
 # hll_merge / repeated_chunks / transitions / keywords / end_to_end /
 # mad / lateral_topn / streaks / cooccurrence / unpivot /
 # latency_bands / hll_sliding / pagerank / triangles / rfm /
+# dataset_card /
 # token_budget /
 # set_ops_all / anomaly / string_agg / corr_exact / search_split /
 # chunk_overlap / upsample_epochs / shuffle_order / sessionize — no
@@ -79,7 +80,7 @@ _LOADED = False
 # (oracle HUGEINT cast — the one r4-red row, needs its green receipt) and
 # q_sketch_hist_quantile (median-rank div fix), with the
 # block-pair-cogroup rework's consumers q_sim_cosine_topk /
-# q_dedup_embedding already inside (3); (3) 15 of the queries that sat
+# q_dedup_embedding already inside (3); (3) 14 of the queries that sat
 # out r4 (last driver-checked r02/r03 — the staleness window the r4
 # verdict flagged). Everything sitting out is hash-green on its latest
 # driver check, on code untouched since, and covered by the committed
@@ -109,6 +110,7 @@ _WINDOW: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_graph_triangles",
     "q_events_rfm",
+    "q_pipe_dataset_card",
     "q_pipe_token_budget",
     "q_set_ops_all",
     "q_events_anomaly",
@@ -131,7 +133,6 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_ngram_jaccard",
     "q_dedup_report",
     "q_dedup_simhash",
-    "q_join_anti",
     "q_join_multi",
     "q_join_range_binned",
     "q_join_skew_salted",
@@ -144,8 +145,8 @@ _WINDOW: tuple[str, ...] = (
 # q_multimodal_meta / q_pipe_quota_cap / q_agg_percentile / q_agg_stats
 # / q_pipe_pii_scrub / q_pipe_keep_first / q_multimodal_stats /
 # q_join_theta_range (its scale-safe sibling range_binned stays in) /
-# q_join_broadcast / q_join_inner / q_join_left / q_join_semi
-# (two-table broadcast joins, thrice green)
+# q_join_broadcast / q_join_inner / q_join_left / q_join_semi /
+# q_join_anti (two-table broadcast joins, thrice green)
 # and the five
 # q_fn_* scalar queries yielded their
 # round-5 slots to the twelve queries new this continuation (ohlc /
