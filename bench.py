@@ -76,6 +76,8 @@ def main() -> None:
             "q_text_keywords",  # tf->df->rank window stack
             "q_text_vocab_coverage",
             "q_pipe_end_to_end",  # fused cascade + dedup + split
+            "q_graph_pagerank",  # iterative join-chain codegen
+            "q_graph_triangles",  # adjacency build + array_intersect kernel
         ):
             _, err = _safe_count(registry[wq].fn, spark, warm_sf)
             if err:
