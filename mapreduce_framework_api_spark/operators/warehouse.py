@@ -1,0 +1,287 @@
+"""Warehouse-maintenance operators: SCD2 dimension build, MERGE-style
+upsert/delete apply, and column profiling (SURVEY.md §2.4-ter).
+
+The reference (a 2-file educational MapReduce framework, `mapreduce.c:1`)
+has no table-maintenance surface; these exist because a production corpus
+pipeline spends much of its life maintaining dimensions and snapshots, and
+all three are classic MapReduce-era jobs re-expressed as declarative plans:
+SCD2 is "sessionize by value change", MERGE is "reduce by key, latest op
+wins", profiling is "one combinable aggregate per column".
+
+Scale notes (100 TB):
+- SCD2 and MERGE each shuffle ONCE on their natural key (user_id /
+  c_custkey); every window and the change-collapse ride that single
+  exchange. No driver loops, no collects.
+- MERGE broadcasts nothing by default — the change batch is usually a
+  few percent of the snapshot but unbounded; Catalyst/AQE picks broadcast
+  when the batch is genuinely small.
+- Profiling computes several exact COUNT(DISTINCT)s in one pass via
+  Spark's expand; at 100 TB swap the exact distincts for
+  approx_count_distinct (documented inline) — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_framework_api_spark.registry import register
+from mapreduce_framework_api_spark.sources import table
+
+
+@register(
+    "q_dim_scd2",
+    group="I",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM seq
+), grp AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flagged
+), runs AS (
+  SELECT user_id, event_type AS state, g,
+         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM grp GROUP BY user_id, event_type, g
+)
+SELECT user_id, state,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+       valid_from_us,
+       LEAD(valid_from_us) OVER w2 AS valid_to_us,
+       CASE WHEN LEAD(valid_from_us) OVER w2 IS NULL THEN TRUE ELSE FALSE END
+         AS is_current,
+       n_events
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY g)
+ORDER BY user_id, version
+""",
+)
+def q_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each user's event_type
+    stream is treated as a mutating attribute; consecutive equal values
+    collapse into one versioned row with [valid_from, valid_to) validity
+    and an is_current flag — the standard warehouse dimension-history
+    load, as one declarative plan.
+
+    Plan: ONE user_id exchange serves everything — the change-flag lag,
+    the run-id prefix sum, the per-run aggregate, and the version /
+    valid_to windows all reuse that partitioning (same discipline as the
+    funnel's chained windows, events.py:238). Timestamps travel as epoch
+    µs per the events-table convention. Ordering is total (ts, event_id
+    tiebreak), so runs are engine-deterministic."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = (
+        flagged.withColumn("g", F.sum("chg").over(cum))
+        .groupBy("user_id", F.col("event_type").alias("state"), "g")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("valid_from_us"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("g")
+    return (
+        runs.withColumn("version", F.row_number().over(w2).cast("long"))
+        .withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .select(
+            "user_id", "state", "version", "valid_from_us", "valid_to_us",
+            "is_current", "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+@register(
+    "q_merge_upsert",
+    group="I",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey AS k, o_totalprice, o_orderstatus,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+  FROM orders
+), changes AS (
+  SELECT k,
+         CASE WHEN o_orderstatus = 'F'
+                   AND substr(md5('merge#' || CAST(k AS VARCHAR)), 1, 1) = '0'
+              THEN 'D' ELSE 'U' END AS op,
+         ROUND(o_totalprice, 2) AS new_bal
+  FROM latest WHERE rk = 1
+), merged AS (
+  SELECT b.c_custkey,
+         b.c_name,
+         b.c_mktsegment,
+         CASE WHEN c.op = 'U' THEN c.new_bal
+              ELSE ROUND(b.c_acctbal, 2) END AS c_acctbal,
+         CASE WHEN c.k IS NULL THEN 'kept'
+              WHEN c.op = 'U' THEN 'updated' END AS merge_action
+  FROM customer b LEFT JOIN changes c ON b.c_custkey = c.k
+  WHERE c.k IS NULL OR c.op <> 'D'
+)
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal, merge_action
+FROM merged ORDER BY c_custkey
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert-and-delete apply)
+    as a pure DataFrame plan: the change batch is each customer's latest
+    order (update the balance to its total price), except a deterministic
+    1/16 hash-slice of finalized customers which become DELETEs; unmatched
+    snapshot rows are kept.
+
+    Plan: change derivation is one orders shuffle (WindowGroupLimit
+    top-1 per customer — same shape as dedup's canonical election,
+    dedup.py:1001); the apply is ONE left join on the snapshot key plus a
+    row-local CASE — exactly what a lakehouse MERGE compiles to before
+    file rewriting. No broadcast is forced: the change batch is
+    snapshot-sized here, and AQE picks broadcast when a real batch is
+    small."""
+    w = W.partitionBy("k").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    latest = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("k"), "o_totalprice", "o_orderstatus",
+            "o_orderdate", "o_orderkey",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    changes = latest.select(
+        "k",
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & (F.substring(F.md5(F.concat(F.lit("merge#"), F.col("k").cast("string"))), 1, 1) == "0"),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round("o_totalprice", 2).alias("new_bal"),
+    )
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    return (
+        base.join(changes, base.c_custkey == changes.k, "left")
+        .filter(F.col("k").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("c_acctbal"),
+            F.when(F.col("k").isNull(), F.lit("kept"))
+            .when(F.col("op") == "U", F.lit("updated"))
+            .alias("merge_action"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_profile_columns",
+    group="I",
+    oracle="""
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_name,
+         CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+         printf('%.2f', MIN(l_quantity)) AS vmin,
+         printf('%.2f', MAX(l_quantity)) AS vmax
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice',
+         CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+         CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+         printf('%.2f', MIN(l_extendedprice)),
+         printf('%.2f', MAX(l_extendedprice))
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount',
+         CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+         CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+         printf('%.2f', MIN(l_discount)),
+         printf('%.2f', MAX(l_discount))
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag',
+         CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+         MIN(l_returnflag),
+         MAX(l_returnflag)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate',
+         CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+         CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+         strftime(MIN(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S'),
+         strftime(MAX(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+  FROM lineitem
+) ORDER BY col_name
+""",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the schema-inference / data-quality pass every
+    ingestion pipeline runs first): per-column null count, exact distinct
+    count, and min/max rendered as strings so numeric, string, and
+    timestamp columns share one long-format report.
+
+    Plan: ONE lineitem scan, one aggregate node — the five COUNT
+    (DISTINCT)s go through Spark's expand (5× row replication inside the
+    map side, still a single shuffle, still combinable). At 100 TB swap
+    exact distincts for approx_count_distinct(col, 0.01) — same plan
+    minus the expand; exact is kept here because the oracle must match
+    bit-for-bit. Min/max formatting is printf-pinned on both engines so
+    the string render can't drift."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[
+            x
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+            for x in (
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"null_{c}"),
+                F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
+                F.format_string("%.2f", F.min(c)).alias(f"min_{c}"),
+                F.format_string("%.2f", F.max(c)).alias(f"max_{c}"),
+            )
+        ],
+        (F.count(F.lit(1)) - F.count("l_returnflag")).cast("long").alias("null_l_returnflag"),
+        F.count_distinct(F.col("l_returnflag")).cast("long").alias("nd_l_returnflag"),
+        F.min("l_returnflag").alias("min_l_returnflag"),
+        F.max("l_returnflag").alias("max_l_returnflag"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).cast("long").alias("null_l_shipdate"),
+        F.count_distinct(F.col("l_shipdate")).cast("long").alias("nd_l_shipdate"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("min_l_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("max_l_shipdate"),
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"]
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS (col_name, n_null, n_distinct, vmin, vmax)"
+        )
+    ).orderBy("col_name")

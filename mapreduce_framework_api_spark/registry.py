@@ -177,6 +177,7 @@ def load_all_queries() -> dict[str, Query]:
             skew,
             stream_join,
             text,
+            warehouse,
             windows,
         )
         from mapreduce_framework_api_spark.compat import rdd_queries  # noqa: F401
