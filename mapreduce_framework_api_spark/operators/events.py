@@ -1253,3 +1253,140 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_events_interpolate",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US} AS hix,
+         event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), hourly AS (
+  SELECT hix, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         -- fixed-point average in 1e-6 currency units: exact integer
+         -- floor division (all inputs non-negative), engine-portable
+         CAST(SUM(cents) AS BIGINT) * 10000 // COUNT(*) AS avg_micro
+  FROM e GROUP BY hix, event_type
+), bounds AS (
+  SELECT MIN(hix) AS lo, MAX(hix) AS hi FROM e
+), spine AS (
+  SELECT unnest(range(lo, hi + 1)) AS hix FROM bounds
+), grid AS (
+  SELECT s.hix, t.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+), joined AS (
+  SELECT g.hix, g.event_type, h.n, h.avg_micro,
+         CASE WHEN h.n IS NOT NULL THEN g.hix END AS hv
+  FROM grid g LEFT JOIN hourly h
+    ON g.hix = h.hix AND g.event_type = h.event_type
+), ctx AS (
+  SELECT hix, event_type, n, avg_micro,
+         LAST_VALUE(hv IGNORE NULLS) OVER wb AS ph,
+         LAST_VALUE(avg_micro IGNORE NULLS) OVER wb AS pv,
+         FIRST_VALUE(hv IGNORE NULLS) OVER wf AS nh,
+         FIRST_VALUE(avg_micro IGNORE NULLS) OVER wf AS nv
+  FROM joined
+  WINDOW wb AS (PARTITION BY event_type ORDER BY hix
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hix
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT hix * {_HOUR_US} AS hour_us, event_type,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       CASE
+         WHEN n IS NOT NULL THEN CAST(avg_micro AS DOUBLE) / 1000000
+         WHEN ph IS NULL THEN CAST(nv AS DOUBLE) / 1000000
+         WHEN nh IS NULL THEN CAST(pv AS DOUBLE) / 1000000
+         ELSE (CAST(pv AS DOUBLE)
+               + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                 * CAST(hix - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+              / 1000000
+       END AS avg_filled,
+       CASE WHEN n IS NOT NULL THEN 'obs'
+            WHEN ph IS NULL THEN 'lead_edge'
+            WHEN nh IS NULL THEN 'trail_edge'
+            ELSE 'interp' END AS fill_kind
+FROM ctx ORDER BY hour_us, event_type
+""",
+)
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense hourly spine — the densification
+    mode q_events_gapfill's LOCF can't express: silent hours get the
+    straight line between the neighboring observed hourly averages
+    (edges clamp to the nearest observation), which is what feature
+    pipelines feed to models that can't see missingness.
+
+    Scale shape: identical to gapfill — the spine is GENERATED from a
+    broadcast 1-row bound aggregate (O(hours × types), independent of
+    event count), the left join hashes against the pre-aggregated hourly
+    table, and BOTH direction-fills (previous/next observed hour + value)
+    ride one event_type window each over the spine-sized frame.
+
+    Exactness discipline: hourly averages are fixed-point integers
+    (cents·1e4 floor-divided by count — exact, non-negative inputs so
+    Spark's truncating ``div`` equals DuckDB's flooring ``//``); the line
+    formula promotes those exact integers to doubles and evaluates a
+    token-identical IEEE expression on both engines, so the output needs
+    NO round — the usual ROUND(double) half-even/half-up divergence never
+    enters (the first cut of this query failed the oracle on exactly
+    that: obs rows whose decimal average landed on a .xx5 boundary)."""
+    e = table(spark, sf_dir, "events").select(
+        (F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"),
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    hourly = e.groupBy("hix", "event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("sum(cents) * 10000 div count(*)").alias("avg_micro"),
+    )
+    bounds = e.agg(F.min("hix").alias("lo"), F.max("hix").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hix"))
+    grid = spine.crossJoin(F.broadcast(e.select("event_type").distinct()))
+    joined = grid.join(hourly, ["hix", "event_type"], "left").withColumn(
+        "hv", F.when(F.col("n").isNotNull(), F.col("hix"))
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("hix")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("hix")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "hix",
+        "event_type",
+        "n",
+        "avg_micro",
+        F.last("hv", ignorenulls=True).over(wb).alias("ph"),
+        F.last("avg_micro", ignorenulls=True).over(wb).alias("pv"),
+        F.first("hv", ignorenulls=True).over(wf).alias("nh"),
+        F.first("avg_micro", ignorenulls=True).over(wf).alias("nv"),
+    )
+    pv_d, nv_d = F.col("pv").cast("double"), F.col("nv").cast("double")
+    interp = (
+        pv_d
+        + (nv_d - pv_d)
+        * (F.col("hix") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    ) / 1000000
+    return ctx.select(
+        (F.col("hix") * _HOUR_US).alias("hour_us"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNotNull(), F.col("avg_micro").cast("double") / 1000000)
+        .when(F.col("ph").isNull(), nv_d / 1000000)
+        .when(F.col("nh").isNull(), pv_d / 1000000)
+        .otherwise(interp)
+        .alias("avg_filled"),
+        F.when(F.col("n").isNotNull(), F.lit("obs"))
+        .when(F.col("ph").isNull(), F.lit("lead_edge"))
+        .when(F.col("nh").isNull(), F.lit("trail_edge"))
+        .otherwise(F.lit("interp"))
+        .alias("fill_kind"),
+    ).orderBy("hour_us", "event_type")

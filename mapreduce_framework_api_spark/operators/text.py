@@ -600,3 +600,70 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rk")
     )
+
+
+_INDEX_DF_MIN = 5
+_INDEX_POSTING_CAP = 32
+
+
+@register(
+    "q_text_inverted_index",
+    group="I",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                          x -> x <> '')) AS t(token)
+), capped AS (
+  SELECT doc_id, token,
+         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+  FROM tok
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) FILTER (rk <= {_INDEX_POSTING_CAP})
+         AS postings
+FROM capped
+GROUP BY token
+HAVING COUNT(*) >= {_INDEX_DF_MIN}
+ORDER BY token
+""",
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the IR/search core): token → document
+    frequency + the first {_INDEX_POSTING_CAP} doc_ids of its sorted
+    posting list; sub-{_INDEX_DF_MIN}-df hapaxes are dropped.
+
+    Scale shape: explode → per-(token, doc) distinct → per-token
+    WindowGroupLimit (rank ≤ cap) → ONE token-keyed aggregate. The cap is
+    what makes the build skew-proof: stopword-frequency tokens would
+    otherwise produce corpus-sized posting ROWS — the classic index-build
+    killer — but here no output array exceeds {_INDEX_POSTING_CAP} ids
+    regardless of corpus size, while df still reports the true frequency
+    (the same viral-bucket discipline as MinHash's capped_bucket,
+    dedup.py:276). sort_array(collect_list(...)) matches the oracle's
+    list(... ORDER BY ...) without a sort exchange: ordering happens
+    inside each already-grouped array."""
+    from mapreduce_framework_api_spark.functions.textfns import explode_tokens
+
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", explode_tokens("text"))
+        .distinct()
+    )
+    w = W.partitionBy("token").orderBy("doc_id")
+    return (
+        tok.withColumn("rk", F.row_number().over(w))
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rk") <= _INDEX_POSTING_CAP, F.col("doc_id"))
+                )
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= _INDEX_DF_MIN)
+        .orderBy("token")
+    )
