@@ -228,3 +228,97 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_edges", "n_wedges", "n_triangles")
     )
+
+
+_BFS_MAX_HOPS = 3
+
+
+@register(
+    "q_graph_bfs",
+    group="I",
+    oracle=f"""
+WITH RECURSIVE li AS (
+  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk FROM lineitem
+), pairs AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.pk <> b.pk
+), edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION
+  SELECT v AS src, u AS dst FROM pairs
+), seeds AS (
+  SELECT p_partkey AS node FROM part
+  WHERE substr(md5('bfs#' || CAST(p_partkey AS VARCHAR)), 1, 1) = '0'
+), reach(node, lvl) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN edges e ON r.node = e.src
+  WHERE r.lvl < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(lvl) AS BIGINT) AS level
+FROM reach GROUP BY node ORDER BY node
+""",
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance (≤{_BFS_MAX_HOPS}) from a
+    deterministic 1/16 hash-slice of parts, over the SPARSE
+    adjacent-lineitem graph (parts on consecutive line numbers of the
+    same order — unlike the dense co-purchase clique graph pagerank
+    uses, this one has bounded degree, so BFS levels stay interesting).
+
+    Spark-first iterative shape: level k's frontier joins the edge list
+    once (an equi-join keyed on vertex id), new nodes are the left-anti
+    against everything already visited, and each level is
+    localCheckpoint'ed — the lineage cut that keeps iteration k from
+    replaying 0..k-1 (same discipline as dedup's label propagation,
+    dedup.py:975). Hop count is the ONLY driver loop, fixed at
+    {_BFS_MAX_HOPS}; every per-level step is one shuffle. First-visit
+    level IS min level, so no min-aggregate is needed.
+
+    The oracle is DuckDB's recursive CTE (UNION-dedup'd frontier +
+    MIN(lvl)) — semantically the same frontier expansion, proving the
+    iterative DataFrame plan equals the declarative fixpoint."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+    )
+    a = li.select("ok", "ln", F.col("pk").alias("u"))
+    b = li.select("ok", (F.col("ln") - 1).alias("ln"), F.col("pk").alias("v"))
+    pairs = (
+        a.join(b, ["ok", "ln"])
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = (
+        pairs.selectExpr("u AS src", "v AS dst")
+        .union(pairs.selectExpr("v AS src", "u AS dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = (
+        table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("node"))
+        .filter(
+            F.substring(
+                F.md5(F.concat(F.lit("bfs#"), F.col("node").cast("string"))), 1, 1
+            )
+            == "0"
+        )
+    )
+    levels = seeds.withColumn("level", F.lit(0).cast("long")).localCheckpoint()
+    frontier = levels.select("node")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(levels.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(hop).cast("long"))
+            .localCheckpoint()
+        )
+        levels = levels.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return levels.orderBy("node")

@@ -760,3 +760,192 @@ def q_sim_search_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (4 × 16 = the 64-dim embedding)
+_PQ_K = 16  # codes per subspace codebook
+_PQ_SCALE = 1000  # integer quantization scale (exact in both engines)
+_PQ_TOP_K = 3
+
+
+@register(
+    "q_sim_pq_topk",
+    group="I",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS iv
+  FROM embeddings
+), sp AS (
+  SELECT vec_id, iv,
+         substr(md5('pqsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_q
+  FROM e
+), seedsel AS (
+  SELECT vec_id, iv FROM e
+  ORDER BY md5('pq#' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}
+), cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, iv FROM seedsel
+), ms AS (
+  SELECT unnest(range(0, {_PQ_M})) AS m
+), cbm AS (
+  SELECT k, m, cb.iv[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS c
+  FROM cb CROSS JOIN ms
+), xm AS (
+  SELECT vec_id, m, iv[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS x
+  FROM sp CROSS JOIN ms WHERE NOT is_q
+), d AS (
+  SELECT x.vec_id, x.m, c.k,
+         list_dot_product(x.x, x.x)
+           - 2 * list_dot_product(x.x, c.c)
+           + list_dot_product(c.c, c.c) AS d2
+  FROM xm x JOIN cbm c ON x.m = c.m
+), code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, k ASC) AS rk
+    FROM d
+  ) WHERE rk = 1
+), qm AS (
+  SELECT vec_id AS query_id, m,
+         iv[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS q
+  FROM sp CROSS JOIN ms WHERE is_q
+), adc AS (
+  SELECT qm.query_id, co.vec_id AS neighbor_id,
+         CAST(SUM(list_dot_product(qm.q, cbm.c)) AS BIGINT) AS adc_score
+  FROM qm
+  JOIN code co ON qm.m = co.m
+  JOIN cbm ON cbm.m = co.m AND cbm.k = co.k
+  GROUP BY qm.query_id, co.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_score, rk
+FROM ranked WHERE rk <= {_PQ_TOP_K}
+ORDER BY query_id, rk
+""",
+)
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FOURTH tier next to brute force,
+    sign-LSH, and IVF): the index side is compressed to {_PQ_M} one-byte
+    codes per vector ({_PQ_M} subspaces × a {_PQ_K}-entry codebook), and
+    a deterministic 1/8 hash-split of the vectors queries it by
+    asymmetric distance computation — per query, ONE {_PQ_M}×{_PQ_K}
+    lookup table of subspace dot products, then every index vector is
+    scored by {_PQ_M} table gathers instead of a 64-dim multiply. This is
+    the memory-bound regime's answer: at 100 TB the codes table is 16×
+    smaller than the vectors and the scan is table-gathers, not FLOPs.
+
+    Plan shape: codebook = the {_PQ_K} smallest-md5 seed vectors (driver
+    rows, corpus-size-independent — same engine-portable hash-sample as
+    IVF's quantizer, similarity.py:491); encoding is one Arrow-batched
+    mapInPandas argmin over integer-quantized L2 (exact: scaled int64,
+    ties to the lower code); scoring reuses the general
+    cogroup_block_pairs engine — queries × code-blocks, one numpy
+    LUT-gather per pair, per-block top-{_PQ_TOP_K} then one global
+    window re-rank (a union of per-block winners provably contains the
+    global winners). Integer end to end, so the differential oracle is
+    FULL (the SQL mirror computes the same codes and gathers via joins).
+    A production build swaps the seed codebook for k-means-trained
+    centroids (FP-iterative, so not oracle-reproducible); every plan
+    shape stays identical."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    split = F.substring(
+        F.md5(F.concat(F.lit("pqsplit#"), F.col("vec_id").cast("string"))), 1, 1
+    )
+    seed = (
+        e.withColumn(
+            "h", F.md5(F.concat(F.lit("pq#"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    cbook = (
+        np.floor(np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE)
+        .astype(np.int64)
+        .reshape(_PQ_K, _PQ_M, _PQ_SUB)
+        .transpose(1, 0, 2)  # (M, K, SUB)
+    )
+    bc = spark.sparkContext.broadcast(cbook)
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            iv = np.floor(v * _PQ_SCALE).astype(np.int64).reshape(-1, _PQ_M, _PQ_SUB)
+            codes = np.empty((len(pdf), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                x = iv[:, m, :]  # (n, SUB)
+                c = bc.value[m]  # (K, SUB)
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2 * (x @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)  # first occurrence = lowest k
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    index_codes = (
+        e.filter(~(split < "2"))
+        .mapInPandas(encode, schema="vec_id long, codes array<int>")
+        .select("vec_id", F.col("codes").alias("embedding"))
+    )
+    queries = e.filter(split < "2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def score_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
+        if qs.empty or idx.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc_score": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "adc_score": "int64"}
+            )
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        qi = np.floor(q * _PQ_SCALE).astype(np.int64).reshape(-1, _PQ_M, _PQ_SUB)
+        codes = np.stack(idx["embedding"].to_numpy()).astype(np.int64)  # (nx, M)
+        x_ids = idx["vec_id"].to_numpy(dtype="int64")
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        score = np.zeros((len(q_ids), len(x_ids)), dtype=np.int64)
+        for m in range(_PQ_M):
+            lut = qi[:, m, :] @ bc.value[m].T  # (nq, K)
+            score += lut[:, codes[:, m]]
+        k = min(_PQ_TOP_K, len(x_ids))
+        out_q, out_x, out_s = [], [], []
+        for i in range(len(q_ids)):
+            order = np.lexsort((x_ids, -score[i]))[:k]
+            out_q.extend([q_ids[i]] * k)
+            out_x.extend(x_ids[order])
+            out_s.extend(score[i][order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_x, "adc_score": out_s}
+        )
+
+    n = _parquet_row_count(sf_dir, "embeddings")
+    cand = cogroup_block_pairs(
+        queries,
+        index_codes,
+        score_pair,
+        "query_id long, neighbor_id long, adc_score long",
+        n_query_rows=max(1, n // 8),
+        n_index_rows=n,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_score", "rk")
+        .orderBy("query_id", "rk")
+    )
