@@ -66,25 +66,29 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-5 window, by the standing policy: (1) the 34 queries NEW
-# this round (ohlc / timeweighted / vocab_coverage / filter_cascade /
-# weighted_median / topk_windowed / cdc_compact / asof_nearest /
-# hll_merge / repeated_chunks / transitions / keywords / end_to_end /
-# mad / lateral_topn / streaks / cooccurrence / unpivot /
-# latency_bands / hll_sliding / pagerank / triangles / rfm /
-# dataset_card /
-# token_budget /
-# set_ops_all / anomaly / string_agg / corr_exact / search_split /
-# chunk_overlap / upsample_epochs / shuffle_order / sessionize — no
-# driver row yet) lead; (2) code changed this round: q_pipe_pack_chunks
-# (oracle HUGEINT cast — the one r4-red row, needs its green receipt) and
-# q_sketch_hist_quantile (median-rank div fix), with the
-# block-pair-cogroup rework's consumers q_sim_cosine_topk /
-# q_dedup_embedding already inside (3); (3) 14 of the queries that sat
-# out r4 (last driver-checked r02/r03 — the staleness window the r4
-# verdict flagged). Everything sitting out is hash-green on its latest
-# driver check, on code untouched since, and covered by the committed
-# full-surface local receipt in BASELINE.md.
+# Round-5 window, by the standing policy: (1) the 41 queries NEW since
+# the r4 driver snapshot — the 34 of the round-4 continuation (ohlc /
+# timeweighted / vocab_coverage / filter_cascade / weighted_median /
+# topk_windowed / cdc_compact / asof_nearest / hll_merge /
+# repeated_chunks / transitions / keywords / end_to_end / mad /
+# lateral_topn / streaks / cooccurrence / unpivot / latency_bands /
+# hll_sliding / pagerank / triangles / rfm / dataset_card /
+# token_budget / set_ops_all / anomaly / string_agg / corr_exact /
+# search_split / chunk_overlap / upsample_epochs / shuffle_order /
+# sessionize) plus the 7 of round 5 proper (dim_scd2 / merge_upsert /
+# profile_columns / events_interpolate / text_inverted_index /
+# graph_bfs / sim_pq_topk) — lead; (2) code changed since the snapshot:
+# q_pipe_pack_chunks (oracle HUGEINT cast — the one r4-red row, needs
+# its green receipt) and q_sketch_hist_quantile (median-rank div fix);
+# (3) 7 of the 14 queries that sat out r4 (last driver-checked
+# r02/r03), keeping the block-pair-cogroup rework's consumers
+# (q_sim_cosine_topk / q_dedup_embedding), the two perf-flagged plans
+# (q_join_star / q_sim_ann_lsh), and the three heaviest dedup tiers;
+# the other 7 stale sitters (canonical / decontaminate / ngram_jaccard
+# / report / simhash / join_multi / range_binned) yield their slots to
+# round 5's new queries. Everything sitting out is hash-green on its
+# latest driver check, on code untouched since, and covered by the
+# committed full-surface local receipt in BASELINE.md.
 _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
     "q_events_ohlc",
@@ -121,24 +125,25 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_upsample_epochs",
     "q_pipe_shuffle_order",
     "q_events_sessionize",
+    "q_dim_scd2",
+    "q_merge_upsert",
+    "q_profile_columns",
+    "q_events_interpolate",
+    "q_text_inverted_index",
+    "q_graph_bfs",
+    "q_sim_pq_topk",
     # (2) changed this round
     "q_pipe_pack_chunks",
     "q_sketch_hist_quantile",
-    # (3) sat out r4 (incl. the two cogroup-rework consumers)
-    "q_dedup_canonical",
-    "q_dedup_clusters",
-    "q_dedup_decontaminate",
+    # (3) sat out r4 (cogroup-rework consumers, perf-flagged plans,
+    # heaviest dedup tiers)
+    "q_sim_cosine_topk",
     "q_dedup_embedding",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_report",
-    "q_dedup_simhash",
-    "q_join_multi",
-    "q_join_range_binned",
-    "q_join_skew_salted",
     "q_join_star",
     "q_sim_ann_lsh",
-    "q_sim_cosine_topk",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_join_skew_salted",
 )
 # q_text_repetition / q_text_surprisal / q_filter_pred /
 # q_pipe_sample_hash / q_pipe_split_assign / q_pipe_length_hist /
