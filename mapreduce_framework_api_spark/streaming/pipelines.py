@@ -524,3 +524,70 @@ def enriched_segment_counts(
             "n_events",
         )
     )
+
+
+_SCD2_OUT_SCHEMA = (
+    "user_id long, state string, version long, valid_from_us long, "
+    "valid_to_us long, n_events long"
+)
+_SCD2_STATE_SCHEMA = "cur_state string, valid_from_us long, version long, n_events long"
+
+
+def _scd2_update(key, pdf_iter, state: GroupState):
+    """Per-user SCD2 maintainer: state is ONE open dimension row (current
+    attribute value, its valid_from, version counter, event count) no
+    matter how long the stream runs. An attribute change CLOSES the open
+    version — emitted exactly once with its [valid_from, valid_to)
+    interval — and opens the next. Exact under per-user in-order delivery
+    (and for any single-batch drain, which sorts the batch); the batch
+    twin q_dim_scd2 is the arbiter for out-of-order corpora — same
+    contract as the funnel/sessionize machines."""
+    import pandas as pd
+
+    if state.exists:
+        cur, vfrom, ver, nev = state.get
+    else:
+        cur, vfrom, ver, nev = None, _NO_TS, 0, 0
+    rows = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+    closed = []
+    for typ, ts in zip(rows["event_type"], rows["ts_us"]):
+        ts = int(ts)
+        if cur is None:
+            cur, vfrom, ver, nev = typ, ts, 1, 1
+        elif typ == cur:
+            nev += 1
+        else:
+            closed.append((key[0], cur, ver, vfrom, ts, nev))
+            cur, vfrom, ver, nev = typ, ts, ver + 1, 1
+    state.update((cur, vfrom, ver, nev))
+    yield pd.DataFrame(
+        closed,
+        columns=[
+            "user_id", "state", "version", "valid_from_us", "valid_to_us",
+            "n_events",
+        ],
+    )
+
+
+def scd2_state(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: streaming type-2 SCD maintenance via
+    ``applyInPandasWithState`` (append mode — each FINALIZED dimension
+    version is emitted exactly once when the attribute changes; the open
+    current version lives only in the state store until its closing
+    change arrives, which is the streaming-CDC contract: you can't emit
+    an interval before its end exists). Batch twin: q_dim_scd2
+    (operators/warehouse.py) — the closed (non-current) versions must
+    match row-for-row."""
+    return (
+        events.select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_update,
+            outputStructType=_SCD2_OUT_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -242,3 +242,28 @@ def test_stream_static_enrichment_equals_batch(spark):
     )
     assert got == _rows(batch, "win_start_us", "c_mktsegment")
     assert len(got) > 0
+
+
+def test_streaming_scd2_equals_batch(spark):
+    """The O(1)-state streaming SCD2 maintainer emits exactly the CLOSED
+    dimension versions the batch build produces (open versions stay in
+    the state store — they have no valid_to yet)."""
+    from mapreduce_framework_api_spark.streaming.pipelines import scd2_state
+
+    run_to_memory(
+        scd2_state(read_events_stream(spark, SF_DIR)),
+        "t_scd2",
+        output_mode="append",
+    )
+    got = _rows(spark.table("t_scd2"), "user_id", "version")
+    batch = load_all_queries()["q_dim_scd2"].fn(spark, SF_DIR)
+    want = _rows(
+        batch.filter(~F.col("is_current")).select(
+            "user_id", "state", "version", "valid_from_us", "valid_to_us",
+            "n_events",
+        ),
+        "user_id",
+        "version",
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
