@@ -388,3 +388,101 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.content_md5").alias("content_md5"),
         F.col("meta.source").alias("source"),
     ).orderBy("doc_id")
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak_abs", T.IntegerType(), True),
+        T.StructField("energy", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio lane of the multimodal contract: payload -> per-record PCM
+    features via Arrow-batched mapInPandas (the audio sibling of
+    ``decode_media``).
+
+    ``fake=True`` derives deterministic stand-in features from payload
+    bytes so the distributed plumbing runs codec-free. ``fake=False`` is
+    the REAL path: payloads are parsed as RIFF/PCM16 WAV by the
+    stdlib-only codec (functions/wavcodec.py — pure struct framing; a
+    production build swaps in soundfile/torchaudio behind the same
+    dataframe contract) and reduced to exact integer stats (frames,
+    duration, peak, energy). Undecodable payloads (float WAV, truncated
+    RIFF, arbitrary bytes) yield null feature rows instead of failing the
+    task — same dirty-row tolerance as the image lane.
+    """
+    if not fake:
+
+        def _audio_real(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+            import pandas as pd
+
+            from mapreduce_framework_api_spark.functions.wavcodec import (
+                decode_wav,
+                pcm_stats,
+            )
+
+            for pdf in batches:
+                rates, chans, frames, durs, peaks, energies = [], [], [], [], [], []
+                for b in pdf["payload"]:
+                    try:
+                        rate, nch, samples = decode_wav(bytes(b) if b is not None else b"")
+                    except (ValueError, TypeError):
+                        for acc in (rates, chans, frames, durs, peaks, energies):
+                            acc.append(None)
+                        continue
+                    nf, dur, peak, energy = pcm_stats(samples, nch, rate)
+                    rates.append(rate)
+                    chans.append(nch)
+                    frames.append(nf)
+                    durs.append(dur)
+                    peaks.append(peak)
+                    energies.append(energy)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "kind": pdf["kind"],
+                        "n_bytes": pdf["payload"]
+                        .map(lambda b: len(b) if b is not None else 0)
+                        .astype("int64"),
+                        "sample_rate": pd.array(rates, dtype="Int32"),
+                        "n_channels": pd.array(chans, dtype="Int32"),
+                        "n_frames": pd.array(frames, dtype="Int64"),
+                        "duration_ms": pd.array(durs, dtype="Int64"),
+                        "peak_abs": pd.array(peaks, dtype="Int32"),
+                        "energy": pd.array(energies, dtype="Int64"),
+                    }
+                )
+
+        return media.mapInPandas(_audio_real, schema=AUDIO_FEATURE_SCHEMA)
+
+    def _audio_fake(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "sample_rate": pd.array([16000] * len(pdf), dtype="Int32"),
+                    "n_channels": pd.array((n_bytes % 2 + 1).astype("int32"), dtype="Int32"),
+                    "n_frames": pd.array(n_bytes.astype("int64"), dtype="Int64"),
+                    "duration_ms": pd.array(
+                        (n_bytes.astype("int64") * 1000 // 16000), dtype="Int64"
+                    ),
+                    "peak_abs": pd.array((n_bytes % 32768).astype("int32"), dtype="Int32"),
+                    "energy": pd.array((n_bytes.astype("int64") ** 2), dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_audio_fake, schema=AUDIO_FEATURE_SCHEMA)

@@ -1489,3 +1489,63 @@ def test_triangles_hand_computed(spark, tmp_path):
     )
     (r,) = load_all_queries()["q_graph_triangles"].fn(spark, str(tmp_path)).collect()
     assert (r["n_edges"], r["n_triangles"]) == (5, 2)
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav -> decode_wav is the identity on rate/channels/samples;
+    malformed inputs raise ValueError; stats are exact integers."""
+    import pytest
+
+    from mapreduce_framework_api_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav,
+        pcm_stats,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 5, -5, 12]
+    wav = encode_wav(8000, 2, samples)
+    rate, nch, got = decode_wav(wav)
+    assert (rate, nch, got) == (8000, 2, samples)
+    nf, dur, peak, energy = pcm_stats(got, nch, rate)
+    assert nf == 4 and dur == 0 and peak == 32768
+    assert energy == sum(s * s for s in samples)
+    with pytest.raises(ValueError):
+        decode_wav(b"not riff at all")
+    with pytest.raises(ValueError):
+        decode_wav(wav[:20])  # truncated chunk
+    with pytest.raises(ValueError):
+        encode_wav(8000, 3, samples)  # not frame-aligned
+
+
+def test_multimodal_audio_real_codec_end_to_end(spark):
+    """fake=False audio lane through Spark: WAV payloads decode to exact
+    integer PCM stats; a corrupt payload degrades to nulls, not a crash."""
+    from mapreduce_framework_api_spark.functions.wavcodec import encode_wav
+    from mapreduce_framework_api_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    def mk(i):
+        samples = [((j * 37 + i * 11) % 2001) - 1000 for j in range(80 * (i + 1))]
+        return encode_wav(8000, 1, samples), samples
+
+    payloads = {i: mk(i) for i in range(3)}
+    rows = [
+        (i, "audio", payloads[i][0], (None, None, "unit")) for i in range(3)
+    ] + [(99, "audio", b"corrupt bytes", (None, None, "unit"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["doc_id"]: r for r in extract_audio_features(media).collect()}
+    assert len(feats) == 4
+    for i in range(3):
+        r, samples = feats[i], payloads[i][1]
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["n_frames"] == len(samples)
+        assert r["duration_ms"] == len(samples) * 1000 // 8000
+        assert r["peak_abs"] == max(abs(s) for s in samples)
+        assert r["energy"] == sum(s * s for s in samples)
+    assert feats[99]["sample_rate"] is None and feats[99]["energy"] is None
+    # the fake lane preserves schema and nullability without any codec
+    fake = extract_audio_features(media, fake=True)
+    assert fake.schema == extract_audio_features(media).schema
+    assert fake.count() == 4
