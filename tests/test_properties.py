@@ -428,3 +428,210 @@ def test_weighted_median_matches_sequential_reference(spark, rows):
             if 2 * cum >= total:
                 assert got[f] == (total, round(c / 100.0, 2)), (f, rows)
                 break
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),       # user_id
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=5_000),   # offset seconds
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_scd2_matches_python_reference(spark, events):
+    """q_dim_scd2 on arbitrary event logs (duplicate timestamps resolved by
+    the event_id tiebreak, interleaved users) equals a sequential Python
+    run-collapse over the same per-user total order."""
+    import datetime as dt
+    import tempfile
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (i, (t0 + dt.timedelta(seconds=sec)).replace(tzinfo=None), uid, typ, 1.0, "{}")
+        for i, (uid, typ, sec) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = [
+            tuple(r)
+            for r in load_all_queries()["q_dim_scd2"].fn(spark, tmp).collect()
+        ]
+
+    base_us = int(t0.timestamp()) * 1_000_000
+    want = []
+    for uid in sorted({u for u, _, _ in events}):
+        seq = sorted(
+            (sec, i, typ)
+            for i, (u, typ, sec) in enumerate(events)
+            if u == uid
+        )
+        runs = []
+        for sec, _, typ in seq:
+            ts_us = base_us + sec * 1_000_000
+            if runs and runs[-1][0] == typ:
+                runs[-1][2] += 1
+            else:
+                runs.append([typ, ts_us, 1])
+        for v, (typ, vfrom, nev) in enumerate(runs):
+            vto = runs[v + 1][1] if v + 1 < len(runs) else None
+            want.append((uid, typ, v + 1, vfrom, vto, vto is None, nev))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                # event_type
+            st.integers(min_value=0, max_value=30),     # hour offset
+            st.integers(min_value=0, max_value=99_999), # value in cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_interpolate_matches_python_reference(spark, events):
+    """q_events_interpolate on arbitrary sparse hourly series equals a
+    sequential Python fill: observed hours get the exact fixed-point
+    average, interior gaps the IEEE-identical line formula, edges the
+    nearest observation."""
+    import datetime as dt
+    import tempfile
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (
+            i,
+            (t0 + dt.timedelta(hours=h, minutes=i % 60)).replace(tzinfo=None),
+            1,
+            typ,
+            cents / 100.0,
+            "{}",
+        )
+        for i, (typ, h, cents) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = {
+            (r["hour_us"], r["event_type"]): (
+                r["n_events"], r["avg_filled"], r["fill_kind"]
+            )
+            for r in load_all_queries()["q_events_interpolate"].fn(spark, tmp).collect()
+        }
+
+    base_us = int(t0.timestamp()) * 1_000_000
+    hour_us = 3_600 * 1_000_000
+    hix0 = base_us // hour_us
+    # exact fixed-point hourly averages per (type, hour index)
+    agg = {}
+    for typ, h, cents in events:
+        k = (typ, hix0 + h)
+        n, s = agg.get(k, (0, 0))
+        agg[k] = (n + 1, s + cents)
+    lo = min(h for _, h in agg)
+    hi = max(h for _, h in agg)
+    types = sorted({t for t, _ in agg})
+    want = {}
+    for typ in types:
+        obs = {h: (n, s * 10_000 // n) for (t, h), (n, s) in agg.items() if t == typ}
+        hours = sorted(obs)
+        for h in range(lo, hi + 1):
+            if h in obs:
+                n, micro = obs[h]
+                want[(h * hour_us, typ)] = (n, micro / 1_000_000, "obs")
+                continue
+            prev = max((x for x in hours if x < h), default=None)
+            nxt = min((x for x in hours if x > h), default=None)
+            if prev is None:
+                want[(h * hour_us, typ)] = (0, obs[nxt][1] / 1_000_000, "lead_edge")
+            elif nxt is None:
+                want[(h * hour_us, typ)] = (0, obs[prev][1] / 1_000_000, "trail_edge")
+            else:
+                pv, nv = float(obs[prev][1]), float(obs[nxt][1])
+                v = (pv + (nv - pv) * float(h - prev) / float(nxt - prev)) / 1_000_000
+                want[(h * hour_us, typ)] = (0, v, "interp")
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # order key
+            st.integers(min_value=1, max_value=30),  # part key
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_bfs_matches_python_reference(spark, lines):
+    """q_graph_bfs on arbitrary order/part incidence equals a sequential
+    Python BFS over the same adjacent-lineitem graph and hash seed set."""
+    import hashlib
+    import tempfile
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    # assign line numbers per order in list order (1-based, unique)
+    seen, rows = {}, []
+    for ok, pk in lines:
+        ln = seen.get(ok, 0) + 1
+        seen[ok] = ln
+        rows.append((ok, pk, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     __import__("datetime").datetime(2024, 1, 1)))
+    parts = sorted({pk for _, pk in lines})
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        spark.createDataFrame(
+            [(p, "x", "b", "t", 1, 1.0) for p in parts],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
+        got = {
+            r["node"]: r["level"]
+            for r in load_all_queries()["q_graph_bfs"].fn(spark, tmp).collect()
+        }
+
+    # Python reference: adjacency from consecutive line numbers, BFS <=3 hops
+    per_order = {}
+    for ok, pk in lines:
+        per_order.setdefault(ok, []).append(pk)
+    adj = {}
+    for seq in per_order.values():
+        for a, b in zip(seq, seq[1:]):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    seeds = {
+        p for p in parts
+        if hashlib.md5(f"bfs#{p}".encode()).hexdigest()[0] == "0"
+    }
+    want = {p: 0 for p in seeds}
+    frontier = set(seeds)
+    for lvl in (1, 2, 3):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in want
+        }
+        for v in frontier:
+            want[v] = lvl
+    assert got == want
