@@ -15,9 +15,13 @@ Scale notes (100 TB):
 - MERGE broadcasts nothing by default — the change batch is usually a
   few percent of the snapshot but unbounded; Catalyst/AQE picks broadcast
   when the batch is genuinely small.
-- Profiling computes several exact COUNT(DISTINCT)s in one pass via
-  Spark's expand; at 100 TB swap the exact distincts for
-  approx_count_distinct (documented inline) — the plan shape is identical.
+- Profiling runs one PRUNED single-column hash aggregate per column
+  (the fused all-columns variant demotes to a sorted Expand — see the
+  q_profile_columns docstring); at 100 TB swap the exact distincts for
+  approx_count_distinct, which fuses back into one single-scan aggregate.
+- Incremental view maintenance merges partial aggregate states (count/+,
+  sum/+, max/max) so a refresh touches the delta and the view, never the
+  full fact history.
 """
 
 from __future__ import annotations
@@ -286,3 +290,71 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out.orderBy("col_name")
+
+
+@register(
+    "q_mv_incremental",
+    group="I",
+    oracle=f"""
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {3_600 * 1_000_000}) * {3_600 * 1_000_000}
+         AS hour_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MAX(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events
+GROUP BY hour_us, event_type
+ORDER BY hour_us, event_type
+""",
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly rollup is
+    NOT recomputed from scratch — a deterministic 7/8 hash-slice of
+    events stands in for the already-materialized base view (aggregated
+    once), the remaining 1/8 is the late-arriving delta batch (aggregated
+    alone), and the published view is the MERGE of the two partial-state
+    tables. The oracle recomputes the rollup directly over all events, so
+    the hash-green result PROVES the maintenance algebra: count merges by
+    +, sum by +, max by max — the same mergeability contract map-side
+    combine and the HLL/CMS sketch merges rely on
+    (q_sketch_hll_merge, operators/sketches.py).
+
+    Scale shape: the base aggregate is view-sized (hours × types), the
+    delta aggregate is delta-sized, and the merge shuffles ONLY those two
+    aggregated tables on the view key — at 100 TB the nightly refresh
+    touches the delta partition and the view, never the full fact
+    history. All integer cents, so the merge is bit-exact."""
+    hour_us = 3_600 * 1_000_000
+    ev = table(spark, sf_dir, "events").select(
+        ((F.unix_micros("ts") / hour_us).cast("long") * hour_us).alias("hour_us"),
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("mv#"), F.col("event_id").cast("string"))), 1, 1
+            )
+            == "0"
+        ).alias("is_delta"),
+    )
+
+    def rollup(df):
+        return df.groupBy("hour_us", "event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    base = rollup(ev.filter(~F.col("is_delta")))
+    delta = rollup(ev.filter(F.col("is_delta")))
+    return (
+        base.unionByName(delta)
+        .groupBy("hour_us", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
