@@ -358,3 +358,107 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_us", "event_type")
     )
+
+
+@register(
+    "q_join_temporal",
+    group="I",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grp AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM seq
+), dim AS (
+  SELECT user_id, state, g,
+         valid_from_us,
+         LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY g)
+           AS valid_to_us,
+         version
+  FROM (
+    SELECT user_id, event_type AS state, g,
+           MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS valid_from_us,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY g) AS BIGINT)
+             AS version
+    FROM grp GROUP BY user_id, event_type, g
+  )
+), purchases AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_us, p.cents,
+       d.state AS dim_state, d.version AS dim_version
+FROM purchases p JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts_us >= d.valid_from_us
+ AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+ORDER BY p.event_id
+""",
+)
+def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every purchase event is enriched
+    with the SCD2 dimension version that was valid AT the event's
+    timestamp — the canonical "join the fact to the dimension as of
+    transaction time" warehouse operation, composed directly on the
+    q_dim_scd2 build (versions derived from the same event stream, so
+    every purchase matches exactly one version by construction).
+
+    Plan: the dimension history and the fact side hash-join on user_id —
+    an EQUI join; the validity-interval predicate is a residual filter on
+    the joined rows, safe because a user's version count is bounded (runs
+    of the attribute), so the per-key fan-out is the version count, not
+    the fact count. This is the standard scale shape for PIT joins
+    (equi-key + interval residual); a version-count-skewed corpus would
+    move to the binned range-join shape q_join_range_binned pins down.
+    Exact integer µs and cents end to end."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ev = table(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_type", "ts", "event_id")
+    grp = base.withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(cum),
+    )
+    w2 = W.partitionBy("user_id").orderBy("g")
+    dim = (
+        grp.groupBy("user_id", F.col("event_type").alias("state"), "g")
+        .agg(F.min(F.unix_micros("ts")).alias("valid_from_us"))
+        .withColumn("version", F.row_number().over(w2).cast("long"))
+        .withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
+        .select("user_id", "state", "version", "valid_from_us", "valid_to_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    return (
+        purchases.join(dim, "user_id")
+        .filter(
+            (F.col("ts_us") >= F.col("valid_from_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us")))
+        )
+        .select(
+            "event_id", "user_id", "ts_us", "cents",
+            F.col("state").alias("dim_state"),
+            F.col("version").alias("dim_version"),
+        )
+        .orderBy("event_id")
+    )
