@@ -1390,3 +1390,92 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("interp"))
         .alias("fill_kind"),
     ).orderBy("hour_us", "event_type")
+
+
+@register(
+    "q_events_autocorr",
+    group="H",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US} AS hix, event_type
+  FROM events
+), hourly AS (
+  SELECT hix, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY hix, event_type
+), bounds AS (
+  SELECT MIN(hix) AS lo, MAX(hix) AS hi FROM e
+), grid AS (
+  SELECT s.hix, t.event_type
+  FROM (SELECT unnest(range(lo, hi + 1)) AS hix FROM bounds) s
+  CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+), series AS (
+  SELECT g.hix, g.event_type, COALESCE(h.c, 0) AS x,
+         LEAD(COALESCE(h.c, 0)) OVER (PARTITION BY g.event_type ORDER BY g.hix)
+           AS y
+  FROM grid g LEFT JOIN hourly h
+    ON g.hix = h.hix AND g.event_type = h.event_type
+), sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM series WHERE y IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+         AS autocorr_lag1
+FROM sums ORDER BY event_type
+""",
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly count series —
+    the burstiness/periodicity diagnostic a monitoring pipeline computes
+    per signal. Silent hours COUNT AS ZERO (the series rides the dense
+    generated spine, like interpolate/gapfill), because autocorrelation
+    of a sparse series without the zeros is a different and wrong
+    statistic.
+
+    Exactness: the five co-moment sums are exact BIGINTs over integer
+    counts; the final Pearson ratio is ONE closed-form double expression
+    evaluated token-identically on both engines (the q_agg_corr_exact
+    discipline — built-in corr()'s incremental recurrences drift in
+    low-order bits across engines). One events scan, one hourly rollup
+    shuffle, a spine-sized window, a types-sized aggregate."""
+    e = table(spark, sf_dir, "events").select(
+        (F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"), "event_type"
+    )
+    hourly = e.groupBy("hix", "event_type").agg(F.count("*").cast("long").alias("c"))
+    bounds = e.agg(F.min("hix").alias("lo"), F.max("hix").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hix"))
+    grid = spine.crossJoin(F.broadcast(e.select("event_type").distinct()))
+    w = W.partitionBy("event_type").orderBy("hix")
+    series = (
+        grid.join(hourly, ["hix", "event_type"], "left")
+        .withColumn("x", F.coalesce("c", F.lit(0)))
+        .withColumn("y", F.lead("x").over(w))
+        .filter(F.col("y").isNotNull())
+    )
+    s = series.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    den = F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx")) * F.sqrt(
+        n_d * F.col("syy") - sy_d * F.col("sy")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 4).alias("autocorr_lag1"),
+    ).orderBy("event_type")
