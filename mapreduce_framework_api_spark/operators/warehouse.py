@@ -462,3 +462,59 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_FUZZY_MAX_DIST = 2
+
+
+@register(
+    "q_join_fuzzy",
+    group="I",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT p_name AS name FROM part
+), keyed AS (
+  SELECT DISTINCT name, t.token
+  FROM vocab, unnest(regexp_split_to_array(name, ' ')) AS t(token)
+), cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM keyed a JOIN keyed b ON a.token = b.token AND a.name < b.name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+""",
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match of the part-name catalog: pairs of DISTINCT names
+    within Levenshtein distance {_FUZZY_MAX_DIST}, found by token
+    blocking — the entity-resolution primitive (catalog dedup, vendor
+    name matching) in its scale-correct second-order form.
+
+    Scale shape, two deliberate moves: (1) match the NAME VOCABULARY, not
+    the rows — DISTINCT first, so a 100 TB catalog with billions of rows
+    but a bounded name vocabulary does the quadratic-ish work on the
+    vocabulary only (same second-order trick as the value-domain rollups
+    in MAD/latency_bands); (2) candidates come from a shared-token
+    blocking join, never an all-pairs cross — the standard
+    recall-for-scale trade (an edit that rewrites EVERY token of a name
+    escapes the blocking; documented contract, and the oracle mirrors the
+    same blocking so the contract itself is hash-verified). Levenshtein
+    is integer dynamic programming — identical on both engines."""
+    vocab = table(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    keyed = vocab.select(
+        "name", F.explode(F.split("name", " ")).alias("token")
+    ).distinct()
+    a = keyed.select(F.col("name").alias("name_a"), "token")
+    b = keyed.select(F.col("name").alias("name_b"), "token")
+    return (
+        a.join(b, "token")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+        .orderBy("name_a", "name_b")
+    )

@@ -80,15 +80,15 @@ _LOADED = False
 # graph_bfs / sim_pq_topk) — lead; (2) code changed since the snapshot:
 # q_pipe_pack_chunks (oracle HUGEINT cast — the one r4-red row, needs
 # its green receipt) and q_sketch_hist_quantile (median-rank div fix);
-# (3) 4 of the 14 queries that sat out r4 (last driver-checked
+# (3) 3 of the 14 queries that sat out r4 (last driver-checked
 # r02/r03), keeping the block-pair-cogroup rework's consumers
-# (q_sim_cosine_topk / q_dedup_embedding) and the two perf-flagged
-# plans (q_join_star / q_sim_ann_lsh); the other 10 stale sitters
-# (canonical / decontaminate / ngram_jaccard / report / simhash /
-# join_multi / range_binned / skew_salted / clusters / minhash) yield
-# their slots to round 5's new queries — every sit-out is hash-green on
-# its latest driver check, on code untouched since, and covered by the
-# committed full-surface local receipts in BASELINE.md. Everything sitting out is hash-green on its
+# (q_sim_cosine_topk / q_dedup_embedding) and the perf-flagged
+# q_join_star; the other 11 stale sitters (canonical / decontaminate /
+# ngram_jaccard / report / simhash / join_multi / range_binned /
+# skew_salted / clusters / minhash / ann_lsh) yield their slots to
+# round 5's new queries — every sit-out is hash-green on its latest
+# driver check, on code untouched since, and covered by the committed
+# full-surface local receipts in BASELINE.md. Everything sitting out is hash-green on its
 # latest driver check, on code untouched since, and covered by the
 # committed full-surface local receipt in BASELINE.md.
 _WINDOW: tuple[str, ...] = (
@@ -137,6 +137,7 @@ _WINDOW: tuple[str, ...] = (
     "q_mv_incremental",
     "q_join_temporal",
     "q_events_autocorr",
+    "q_join_fuzzy",
     # (2) changed this round
     "q_pipe_pack_chunks",
     "q_sketch_hist_quantile",
@@ -145,7 +146,6 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_cosine_topk",
     "q_dedup_embedding",
     "q_join_star",
-    "q_sim_ann_lsh",
 )
 # q_text_repetition / q_text_surprisal / q_filter_pred /
 # q_pipe_sample_hash / q_pipe_split_assign / q_pipe_length_hist /
