@@ -667,3 +667,127 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _INDEX_DF_MIN)
         .orderBy("token")
     )
+
+
+_BPE_STEPS = 3
+_BPE_SEP = "·"  # symbol separator; cannot occur in [A-Za-z0-9]+ tokens
+
+
+def _bpe_oracle() -> str:
+    """Unrolled SQL mirror of the 3 BPE merge rounds (the q_graph_pagerank
+    fixed-unroll discipline): each round counts frequency-weighted
+    adjacent symbol pairs, picks the (count DESC, pair ASC) winner, and
+    rewrites the vocabulary by literal left-to-right replace — identical
+    semantics in both engines."""
+    sql = """
+WITH words0 AS (
+  SELECT array_to_string(regexp_extract_all(t.token, '(.)', 1), '·') AS sym,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                          x -> x <> '')) AS t(token)
+  GROUP BY sym
+)"""
+    for i in range(_BPE_STEPS):
+        sql += f""", p{i} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+                                 j -> l[j] || '·' || l[j+1])) AS pair, freq
+    FROM (SELECT string_split(sym, '·') AS l, freq FROM words{i})
+  ) GROUP BY pair
+), t{i} AS (
+  SELECT CAST({i + 1} AS BIGINT) AS step, pair AS merged_pair, c AS pair_count
+  FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1
+), words{i + 1} AS (
+  SELECT replace(sym, (SELECT merged_pair FROM t{i}),
+                 replace((SELECT merged_pair FROM t{i}), '·', '')) AS sym, freq
+  FROM words{i}
+)"""
+    selects = " UNION ALL ".join(f"SELECT * FROM t{i}" for i in range(_BPE_STEPS))
+    return sql + f"\nSELECT * FROM ({selects}) ORDER BY step"
+
+
+@register("q_text_bpe_merges", group="I", oracle=_bpe_oracle())
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge induction (the tokenizer-training primitive): {n} greedy
+    merge rounds over the corpus vocabulary — each round counts
+    frequency-weighted adjacent symbol pairs, merges the most frequent
+    (ties to the lexicographically smaller pair), and rewrites the
+    vocabulary. Emits one row per learned merge.
+
+    Scale shape — the classic two-phase BPE trainer: the ONLY
+    corpus-sized work is the initial token frequency count (one explode +
+    one hash agg); every merge round then runs on the VOCABULARY table
+    (≈100k rows for a real corpus, 64 here), with the winning pair as a
+    1-row broadcast. Rounds are a fixed driver unroll (like PageRank's
+    iterations); each round's vocabulary is localCheckpoint'ed because
+    the rewrite references the round's winner twice — without the cut,
+    lineage doubles per round (2^rounds replays of the base scan).
+    Integer counts + literal left-to-right replace keep every round
+    bit-identical across engines, so the greedy argmax chain carries a
+    FULL oracle (an FP-scored trainer could not)."""
+    from mapreduce_framework_api_spark.functions.textfns import explode_tokens
+
+    tok = table(spark, sf_dir, "documents").select(explode_tokens("text"))
+    words = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            F.array_join(
+                F.regexp_extract_all("token", F.lit("(.)"), F.lit(1)), _BPE_SEP
+            ).alias("sym"),
+            "freq",
+        )
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        pc = (
+            words.withColumn("l", F.split("sym", _BPE_SEP))
+            .filter(F.size("l") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(l)-2), "
+                        f"j -> concat(element_at(l, j+1), '{_BPE_SEP}', element_at(l, j+2)))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        top1 = (
+            pc.orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .select(
+                "pair",
+                "c",
+                F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")).alias("merged"),
+            )
+            .localCheckpoint()
+        )
+        merges.append(
+            top1.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("pair").alias("merged_pair"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(top1.select("pair", "merged")))
+            .select(
+                F.replace(F.col("sym"), F.col("pair"), F.col("merged")).alias("sym"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.orderBy("step")
+
+
+q_text_bpe_merges.__doc__ = q_text_bpe_merges.__doc__.format(n=_BPE_STEPS)

@@ -80,12 +80,13 @@ _LOADED = False
 # graph_bfs / sim_pq_topk) — lead; (2) code changed since the snapshot:
 # q_pipe_pack_chunks (oracle HUGEINT cast — the one r4-red row, needs
 # its green receipt) and q_sketch_hist_quantile (median-rank div fix);
-# (3) 3 of the 14 queries that sat out r4 (last driver-checked
-# r02/r03), keeping the block-pair-cogroup rework's consumers
-# (q_sim_cosine_topk / q_dedup_embedding) and the perf-flagged
-# q_join_star; the other 11 stale sitters (canonical / decontaminate /
-# ngram_jaccard / report / simhash / join_multi / range_binned /
-# skew_salted / clusters / minhash / ann_lsh) yield their slots to
+# (3) the block-pair-cogroup rework's two consumers (q_sim_cosine_topk
+# / q_dedup_embedding — their code changed in the round-4 continuation,
+# so they outrank staleness); the remaining 12 r4 sitters (canonical /
+# decontaminate / ngram_jaccard / report / simhash / join_multi /
+# range_binned / skew_salted / clusters / minhash / ann_lsh /
+# join_star — the last re-measured twice this round at ~1.1-1.2s with
+# an unchanged plan, closing its r4 perf flag) yield their slots to
 # round 5's new queries — every sit-out is hash-green on its latest
 # driver check, on code untouched since, and covered by the committed
 # full-surface local receipts in BASELINE.md. Everything sitting out is hash-green on its
@@ -138,6 +139,7 @@ _WINDOW: tuple[str, ...] = (
     "q_join_temporal",
     "q_events_autocorr",
     "q_join_fuzzy",
+    "q_text_bpe_merges",
     # (2) changed this round
     "q_pipe_pack_chunks",
     "q_sketch_hist_quantile",
@@ -145,7 +147,6 @@ _WINDOW: tuple[str, ...] = (
     # heaviest dedup tiers)
     "q_sim_cosine_topk",
     "q_dedup_embedding",
-    "q_join_star",
 )
 # q_text_repetition / q_text_surprisal / q_filter_pred /
 # q_pipe_sample_hash / q_pipe_split_assign / q_pipe_length_hist /
