@@ -635,3 +635,61 @@ def test_bfs_matches_python_reference(spark, lines):
         for v in frontier:
             want[v] = lvl
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=4),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_merges_match_python_reference(spark, docs):
+    """q_text_bpe_merges on arbitrary tiny corpora equals a sequential
+    Python BPE trainer: same frequency-weighted pair counts, same
+    (count DESC, pair ASC) winner, same left-to-right non-overlapping
+    replace (Python str.replace semantics == Spark/DuckDB replace())."""
+    import tempfile
+
+    from mapreduce_framework_api_spark.operators.text import _BPE_SEP, _BPE_STEPS
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    texts = [" ".join(words) for words in docs]
+    rows = [(i, t, "en", "unit", len(t)) for i, t in enumerate(texts)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = [
+            (r["step"], r["merged_pair"], r["pair_count"])
+            for r in load_all_queries()["q_text_bpe_merges"].fn(spark, tmp).collect()
+        ]
+
+    from collections import Counter
+
+    tokens = Counter(w for words in docs for w in words if w)
+    syms = Counter()
+    for w, f in tokens.items():
+        syms[_BPE_SEP.join(w)] += f
+    want = []
+    for step in range(1, _BPE_STEPS + 1):
+        pc = Counter()
+        for sym, f in syms.items():
+            parts = sym.split(_BPE_SEP)
+            for a, b in zip(parts, parts[1:]):
+                pc[a + _BPE_SEP + b] += f
+        if not pc:
+            break
+        pair, c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want.append((step, pair, c))
+        merged = pair.replace(_BPE_SEP, "")
+        nxt = Counter()
+        for sym, f in syms.items():
+            nxt[sym.replace(pair, merged)] += f
+        syms = nxt
+    assert got == want
