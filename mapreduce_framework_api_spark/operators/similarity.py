@@ -592,6 +592,12 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
         .sort_values("vec_id")
     )
+    if seed.empty:
+        # no vectors -> no quantizer; an empty index yields an empty result
+        # (np.stack on zero rows would raise instead)
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, cosine double, rk int"
+        )
     cq = np.floor(
         np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _IVF_SCALE
     ).astype(np.int64)
@@ -871,11 +877,19 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
         .sort_values("vec_id")
     )
+    if seed.empty:
+        # no vectors -> no codebook; an empty index yields an empty result
+        # (np.stack on zero rows would raise instead)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_score long, rk int"
+        )
+    # a corpus smaller than _PQ_K trains a smaller codebook (the oracle's
+    # LIMIT does the same), so the reshape uses the actual seed count
     cbook = (
         np.floor(np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE)
         .astype(np.int64)
-        .reshape(_PQ_K, _PQ_M, _PQ_SUB)
-        .transpose(1, 0, 2)  # (M, K, SUB)
+        .reshape(len(seed), _PQ_M, _PQ_SUB)
+        .transpose(1, 0, 2)  # (M, K_eff, SUB)
     )
     bc = spark.sparkContext.broadcast(cbook)
 

@@ -1549,3 +1549,54 @@ def test_multimodal_audio_real_codec_end_to_end(spark):
     fake = extract_audio_features(media, fake=True)
     assert fake.schema == extract_audio_features(media).schema
     assert fake.count() == 4
+
+
+def test_round5_queries_on_empty_tables(spark, tmp_path):
+    """Round-5 queries on EMPTY inputs: no crash, zero rows — except the
+    profiler, which still emits its 5-row report (null min/max), and the
+    ANN tiers, whose empty-seed guard returns an empty typed frame
+    (np.stack on an empty codebook/quantizer seed used to raise)."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    schemas = {
+        "events": (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ),
+        "documents": "doc_id long, text string, lang string, source string, n_chars long",
+        "lineitem": (
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp"
+        ),
+        "orders": (
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+        ),
+        "customer": (
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string"
+        ),
+        "part": (
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double"
+        ),
+        "embeddings": "vec_id long, embedding array<float>, label int",
+    }
+    for name, schema in schemas.items():
+        spark.createDataFrame([], schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/{name}.parquet"
+        )
+    qs = load_all_queries()
+    zero_rows = (
+        "q_dim_scd2", "q_merge_upsert", "q_events_interpolate",
+        "q_text_inverted_index", "q_graph_bfs", "q_sim_pq_topk",
+        "q_sim_ivf_topk", "q_mv_incremental", "q_join_temporal",
+        "q_events_autocorr", "q_join_fuzzy", "q_text_bpe_merges",
+    )
+    for name in zero_rows:
+        assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
+    assert qs["q_profile_columns"].fn(spark, str(tmp_path)).count() == 5
