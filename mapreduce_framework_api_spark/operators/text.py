@@ -670,18 +670,29 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_STEPS = 3
-_BPE_SEP = "·"  # symbol separator; cannot occur in [A-Za-z0-9]+ tokens
+_BPE_SEP = "·"  # symbol boundary marker; cannot occur in [A-Za-z0-9]+ tokens
 
 
 def _bpe_oracle() -> str:
     """Unrolled SQL mirror of the 3 BPE merge rounds (the q_graph_pagerank
     fixed-unroll discipline): each round counts frequency-weighted
     adjacent symbol pairs, picks the (count DESC, pair ASC) winner, and
-    rewrites the vocabulary by literal left-to-right replace — identical
-    semantics in both engines."""
+    merges it by literal left-to-right replace over the boundary-safe
+    encoding — identical semantics in both engines.
+
+    Encoding: a word's symbols are joined by a DOUBLE separator with a
+    single-separator pad at each end ('·a··bc·' = [a, bc]). The merge
+    pattern '·a··b·' therefore only matches where BOTH symbols end at a
+    boundary — a naive single-separator replace would substring-match
+    'u·x' against [u, xy] and fuse across the boundary — and because the
+    pattern's trailing '·' is consumed and re-emitted by the replacement,
+    consecutive overlapping pairs merge leftmost-first exactly like the
+    canonical list-walk BPE ('a a a a' -> 'aa aa'; proven equal to a
+    sequential reference in tests/test_properties.py)."""
     sql = """
 WITH words0 AS (
-  SELECT array_to_string(regexp_extract_all(t.token, '(.)', 1), '·') AS sym,
+  SELECT '·' || array_to_string(regexp_extract_all(t.token, '(.)', 1), '··')
+             || '·' AS sym,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM documents,
        unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
@@ -693,14 +704,16 @@ WITH words0 AS (
   SELECT pair, CAST(SUM(freq) AS BIGINT) AS c FROM (
     SELECT unnest(list_transform(range(1, len(l)),
                                  j -> l[j] || '·' || l[j+1])) AS pair, freq
-    FROM (SELECT string_split(sym, '·') AS l, freq FROM words{i})
+    FROM (SELECT string_split(trim(sym, '·'), '··') AS l, freq FROM words{i})
   ) GROUP BY pair
 ), t{i} AS (
   SELECT CAST({i + 1} AS BIGINT) AS step, pair AS merged_pair, c AS pair_count
   FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1
 ), words{i + 1} AS (
-  SELECT replace(sym, (SELECT merged_pair FROM t{i}),
-                 replace((SELECT merged_pair FROM t{i}), '·', '')) AS sym, freq
+  SELECT replace(sym,
+                 '·' || replace((SELECT merged_pair FROM t{i}), '·', '··') || '·',
+                 '·' || replace((SELECT merged_pair FROM t{i}), '·', '') || '·')
+           AS sym, freq
   FROM words{i}
 )"""
     selects = " UNION ALL ".join(f"SELECT * FROM t{i}" for i in range(_BPE_STEPS))
@@ -709,11 +722,17 @@ WITH words0 AS (
 
 @register("q_text_bpe_merges", group="I", oracle=_bpe_oracle())
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge induction (the tokenizer-training primitive): {n} greedy
+    """BPE merge induction (the tokenizer-training primitive): 3 greedy
     merge rounds over the corpus vocabulary — each round counts
     frequency-weighted adjacent symbol pairs, merges the most frequent
-    (ties to the lexicographically smaller pair), and rewrites the
-    vocabulary. Emits one row per learned merge.
+    (ties to the lexicographically smaller pair) leftmost-first within
+    each word, and rewrites the vocabulary. Emits one row per learned
+    merge. Merge semantics are canonical BPE: the boundary-safe
+    double-separator encoding (see _bpe_oracle) makes the literal replace
+    equal to the sequential list-walk merge — a naive single-separator
+    replace would fuse across symbol boundaries once multi-char symbols
+    exist (caught by code review; the property test now pins the true
+    semantics).
 
     Scale shape — the classic two-phase BPE trainer: the ONLY
     corpus-sized work is the initial token frequency count (one explode +
@@ -729,12 +748,17 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_framework_api_spark.functions.textfns import explode_tokens
 
     tok = table(spark, sf_dir, "documents").select(explode_tokens("text"))
+    dbl = _BPE_SEP * 2
     words = (
         tok.groupBy("token")
         .agg(F.count("*").cast("long").alias("freq"))
         .select(
-            F.array_join(
-                F.regexp_extract_all("token", F.lit("(.)"), F.lit(1)), _BPE_SEP
+            F.concat(
+                F.lit(_BPE_SEP),
+                F.array_join(
+                    F.regexp_extract_all("token", F.lit("(.)"), F.lit(1)), dbl
+                ),
+                F.lit(_BPE_SEP),
             ).alias("sym"),
             "freq",
         )
@@ -745,7 +769,9 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = []
     for step in range(1, _BPE_STEPS + 1):
         pc = (
-            words.withColumn("l", F.split("sym", _BPE_SEP))
+            words.withColumn(
+                "l", F.split(F.expr(f"trim(BOTH '{_BPE_SEP}' FROM sym)"), dbl)
+            )
             .filter(F.size("l") >= 2)
             .select(
                 F.explode(
@@ -765,7 +791,17 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "pair",
                 "c",
-                F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")).alias("merged"),
+                # '·a··b·' search / '·ab·' replacement: boundary-safe merge
+                F.concat(
+                    F.lit(_BPE_SEP),
+                    F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit(dbl)),
+                    F.lit(_BPE_SEP),
+                ).alias("search"),
+                F.concat(
+                    F.lit(_BPE_SEP),
+                    F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")),
+                    F.lit(_BPE_SEP),
+                ).alias("merged"),
             )
             .localCheckpoint()
         )
@@ -777,9 +813,9 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         words = (
-            words.crossJoin(F.broadcast(top1.select("pair", "merged")))
+            words.crossJoin(F.broadcast(top1.select("search", "merged")))
             .select(
-                F.replace(F.col("sym"), F.col("pair"), F.col("merged")).alias("sym"),
+                F.replace(F.col("sym"), F.col("search"), F.col("merged")).alias("sym"),
                 "freq",
             )
             .localCheckpoint()
@@ -788,6 +824,3 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.union(m)
     return out.orderBy("step")
-
-
-q_text_bpe_merges.__doc__ = q_text_bpe_merges.__doc__.format(n=_BPE_STEPS)

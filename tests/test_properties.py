@@ -651,9 +651,11 @@ def test_bfs_matches_python_reference(spark, lines):
 )
 def test_bpe_merges_match_python_reference(spark, docs):
     """q_text_bpe_merges on arbitrary tiny corpora equals a sequential
-    Python BPE trainer: same frequency-weighted pair counts, same
-    (count DESC, pair ASC) winner, same left-to-right non-overlapping
-    replace (Python str.replace semantics == Spark/DuckDB replace())."""
+    CANONICAL BPE trainer: same frequency-weighted pair counts, same
+    (count DESC, pair ASC) winner, and the true leftmost-first list-walk
+    merge — the reference walks symbol LISTS, so a boundary-crossing
+    string replace on the Spark side (the bug the double-separator
+    encoding fixes) would fail this test."""
     import tempfile
 
     from mapreduce_framework_api_spark.operators.text import _BPE_SEP, _BPE_STEPS
@@ -672,24 +674,35 @@ def test_bpe_merges_match_python_reference(spark, docs):
 
     from collections import Counter
 
+    def merge_leftmost(parts, pair):
+        out, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and (parts[i], parts[i + 1]) == pair:
+                out.append(parts[i] + parts[i + 1])
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        return out
+
     tokens = Counter(w for words in docs for w in words if w)
     syms = Counter()
     for w, f in tokens.items():
-        syms[_BPE_SEP.join(w)] += f
+        syms[tuple(w)] += f
     want = []
     for step in range(1, _BPE_STEPS + 1):
         pc = Counter()
-        for sym, f in syms.items():
-            parts = sym.split(_BPE_SEP)
+        for parts, f in syms.items():
             for a, b in zip(parts, parts[1:]):
-                pc[a + _BPE_SEP + b] += f
+                pc[(a, b)] += f
         if not pc:
             break
-        pair, c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        want.append((step, pair, c))
-        merged = pair.replace(_BPE_SEP, "")
+        pair, c = sorted(
+            pc.items(), key=lambda kv: (-kv[1], _BPE_SEP.join(kv[0]))
+        )[0]
+        want.append((step, _BPE_SEP.join(pair), c))
         nxt = Counter()
-        for sym, f in syms.items():
-            nxt[sym.replace(pair, merged)] += f
+        for parts, f in syms.items():
+            nxt[tuple(merge_leftmost(list(parts), pair))] += f
         syms = nxt
     assert got == want
