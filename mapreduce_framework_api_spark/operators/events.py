@@ -1326,8 +1326,9 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride one event_type window each over the spine-sized frame.
 
     Exactness discipline: hourly averages are fixed-point integers
-    (cents·1e4 floor-divided by count — exact, non-negative inputs so
-    Spark's truncating ``div`` equals DuckDB's flooring ``//``); the line
+    (cents·1e4 floor-divided by count — exact and SIGN-safe: the pmod
+    trick below makes Spark's truncating ``div`` equal DuckDB's flooring
+    ``//`` even when refunds drive an hour's sum negative); the line
     formula promotes those exact integers to doubles and evaluates a
     token-identical IEEE expression on both engines, so the output needs
     NO round — the usual ROUND(double) half-even/half-up divergence never
@@ -1340,7 +1341,13 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = e.groupBy("hix", "event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.expr("sum(cents) * 10000 div count(*)").alias("avg_micro"),
+        # FLOOR division, sign-safe: Spark's `div` truncates toward zero
+        # while DuckDB's `//` floors, so a negative cents sum (refunds)
+        # would drift by 1 micro-unit; subtracting pmod (always >= 0)
+        # makes the numerator exactly divisible, where truncation == floor
+        F.expr(
+            "(sum(cents) * 10000 - pmod(sum(cents) * 10000, count(*))) div count(*)"
+        ).alias("avg_micro"),
     )
     bounds = e.agg(F.min("hix").alias("lo"), F.max("hix").alias("hi"))
     spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hix"))

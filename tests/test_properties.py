@@ -493,7 +493,9 @@ def test_scd2_matches_python_reference(spark, events):
         st.tuples(
             st.sampled_from(["a", "b"]),                # event_type
             st.integers(min_value=0, max_value=30),     # hour offset
-            st.integers(min_value=0, max_value=99_999), # value in cents
+            # negative cents included: they force floor-vs-truncate
+            # divergence unless the query's pmod floor-division is right
+            st.integers(min_value=-99_999, max_value=99_999),  # cents
         ),
         min_size=1,
         max_size=50,
