@@ -1255,6 +1255,19 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_grid(e: DataFrame) -> DataFrame:
+    """Dense (hix, event_type) grid spanning the corpus's [min, max] hour
+    — the GENERATED spine interpolate and autocorr both densify over
+    (gapfill builds the same shape in epoch-µs units): bounds are a
+    broadcast 1-row aggregate, the spine is sequence-exploded from them
+    (O(hours × types), independent of event count), and the type set is a
+    broadcast distinct. Shared so spine semantics can't drift between the
+    fill and the statistic."""
+    bounds = e.agg(F.min("hix").alias("lo"), F.max("hix").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hix"))
+    return spine.crossJoin(F.broadcast(e.select("event_type").distinct()))
+
+
 @register(
     "q_events_interpolate",
     group="H",
@@ -1349,10 +1362,7 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(cents) * 10000 - pmod(sum(cents) * 10000, count(*))) div count(*)"
         ).alias("avg_micro"),
     )
-    bounds = e.agg(F.min("hix").alias("lo"), F.max("hix").alias("hi"))
-    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hix"))
-    grid = spine.crossJoin(F.broadcast(e.select("event_type").distinct()))
-    joined = grid.join(hourly, ["hix", "event_type"], "left").withColumn(
+    joined = _hourly_grid(e).join(hourly, ["hix", "event_type"], "left").withColumn(
         "hv", F.when(F.col("n").isNotNull(), F.col("hix"))
     )
     wb = (
@@ -1457,12 +1467,9 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"), "event_type"
     )
     hourly = e.groupBy("hix", "event_type").agg(F.count("*").cast("long").alias("c"))
-    bounds = e.agg(F.min("hix").alias("lo"), F.max("hix").alias("hi"))
-    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hix"))
-    grid = spine.crossJoin(F.broadcast(e.select("event_type").distinct()))
     w = W.partitionBy("event_type").orderBy("hix")
     series = (
-        grid.join(hourly, ["hix", "event_type"], "left")
+        _hourly_grid(e).join(hourly, ["hix", "event_type"], "left")
         .withColumn("x", F.coalesce("c", F.lit(0)))
         .withColumn("y", F.lead("x").over(w))
         .filter(F.col("y").isNotNull())

@@ -261,7 +261,7 @@ FROM reach GROUP BY node ORDER BY node
 """,
 )
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-source BFS: hop distance (≤{_BFS_MAX_HOPS}) from a
+    """Multi-source BFS: hop distance (≤3, _BFS_MAX_HOPS) from a
     deterministic 1/16 hash-slice of parts, over the SPARSE
     adjacent-lineitem graph (parts on consecutive line numbers of the
     same order — unlike the dense co-purchase clique graph pagerank
@@ -273,7 +273,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'ed — the lineage cut that keeps iteration k from
     replaying 0..k-1 (same discipline as dedup's label propagation,
     dedup.py:975). Hop count is the ONLY driver loop, fixed at
-    {_BFS_MAX_HOPS}; every per-level step is one shuffle. First-visit
+    _BFS_MAX_HOPS (3); every per-level step is one shuffle. First-visit
     level IS min level, so no min-aggregate is needed.
 
     The oracle is DuckDB's recursive CTE (UNION-dedup'd frontier +

@@ -364,7 +364,7 @@ FROM c ORDER BY doc_id
 def q_pipe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (the concat-and-split step of LLM training prep):
     documents are laid out in doc_id order into one token stream and cut
-    into fixed {budget}-token chunks; each doc reports its stream
+    into fixed 256-token (_PACK_BUDGET) chunks; each doc reports its stream
     position and chunk id.
 
     The global prefix sum is computed as a DISTRIBUTED two-level scan —

@@ -838,22 +838,22 @@ ORDER BY query_id, rk
 )
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the FOURTH tier next to brute force,
-    sign-LSH, and IVF): the index side is compressed to {_PQ_M} one-byte
-    codes per vector ({_PQ_M} subspaces × a {_PQ_K}-entry codebook), and
+    sign-LSH, and IVF): the index side is compressed to 4 one-byte
+    codes per vector (_PQ_M=4 subspaces × a _PQ_K=16-entry codebook), and
     a deterministic 1/8 hash-split of the vectors queries it by
-    asymmetric distance computation — per query, ONE {_PQ_M}×{_PQ_K}
+    asymmetric distance computation — per query, ONE 4×16
     lookup table of subspace dot products, then every index vector is
-    scored by {_PQ_M} table gathers instead of a 64-dim multiply. This is
+    scored by 4 table gathers instead of a 64-dim multiply. This is
     the memory-bound regime's answer: at 100 TB the codes table is 16×
     smaller than the vectors and the scan is table-gathers, not FLOPs.
 
-    Plan shape: codebook = the {_PQ_K} smallest-md5 seed vectors (driver
+    Plan shape: codebook = the 16 smallest-md5 seed vectors (driver
     rows, corpus-size-independent — same engine-portable hash-sample as
     IVF's quantizer, similarity.py:491); encoding is one Arrow-batched
     mapInPandas argmin over integer-quantized L2 (exact: scaled int64,
     ties to the lower code); scoring reuses the general
     cogroup_block_pairs engine — queries × code-blocks, one numpy
-    LUT-gather per pair, per-block top-{_PQ_TOP_K} then one global
+    LUT-gather per pair, per-block top-3 (_PQ_TOP_K) then one global
     window re-rank (a union of per-block winners provably contains the
     global winners). Integer end to end, so the differential oracle is
     FULL (the SQL mirror computes the same codes and gathers via joins).

@@ -632,14 +632,14 @@ ORDER BY token
 )
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (the IR/search core): token → document
-    frequency + the first {_INDEX_POSTING_CAP} doc_ids of its sorted
-    posting list; sub-{_INDEX_DF_MIN}-df hapaxes are dropped.
+    frequency + the first 32 (_INDEX_POSTING_CAP) doc_ids of its sorted
+    posting list; sub-5-df (_INDEX_DF_MIN) hapaxes are dropped.
 
     Scale shape: explode → per-(token, doc) distinct → per-token
     WindowGroupLimit (rank ≤ cap) → ONE token-keyed aggregate. The cap is
     what makes the build skew-proof: stopword-frequency tokens would
     otherwise produce corpus-sized posting ROWS — the classic index-build
-    killer — but here no output array exceeds {_INDEX_POSTING_CAP} ids
+    killer — but here no output array exceeds the 32-id cap
     regardless of corpus size, while df still reports the true frequency
     (the same viral-bucket discipline as MinHash's capped_bucket,
     dedup.py:276). sort_array(collect_list(...)) matches the oracle's

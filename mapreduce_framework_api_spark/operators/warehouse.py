@@ -33,6 +33,45 @@ from mapreduce_framework_api_spark.registry import register
 from mapreduce_framework_api_spark.sources import table
 
 
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned SCD2 dimension frame both q_dim_scd2 and
+    q_join_temporal are built on: per user, consecutive equal event_type
+    runs collapse into (state, version, valid_from_us, valid_to_us,
+    n_events) rows. One user_id exchange serves the change-flag lag, the
+    run-id prefix sum, the per-run aggregate, and the version/valid_to
+    windows. Shared so the PIT join's row-for-row composition with the
+    dimension build cannot silently diverge."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = (
+        flagged.withColumn("g", F.sum("chg").over(cum))
+        .groupBy("user_id", F.col("event_type").alias("state"), "g")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("valid_from_us"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("g")
+    return (
+        runs.withColumn("version", F.row_number().over(w2).cast("long"))
+        .withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
+        .select(
+            "user_id", "state", "version", "valid_from_us", "valid_to_us", "n_events"
+        )
+    )
+
+
 @register(
     "q_dim_scd2",
     group="I",
@@ -80,34 +119,12 @@ def q_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE user_id exchange serves everything — the change-flag lag,
     the run-id prefix sum, the per-run aggregate, and the version /
     valid_to windows all reuse that partitioning (same discipline as the
-    funnel's chained windows, events.py:238). Timestamps travel as epoch
-    µs per the events-table convention. Ordering is total (ts, event_id
+    funnel's chained windows, events.py:238; see scd2_dimension, the
+    builder shared with the PIT join). Timestamps travel as epoch µs per
+    the events-table convention. Ordering is total (ts, event_id
     tiebreak), so runs are engine-deterministic."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    flagged = ev.withColumn(
-        "chg",
-        F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    runs = (
-        flagged.withColumn("g", F.sum("chg").over(cum))
-        .groupBy("user_id", F.col("event_type").alias("state"), "g")
-        .agg(
-            F.min(F.unix_micros("ts")).alias("valid_from_us"),
-            F.count("*").cast("long").alias("n_events"),
-        )
-    )
-    w2 = W.partitionBy("user_id").orderBy("g")
     return (
-        runs.withColumn("version", F.row_number().over(w2).cast("long"))
-        .withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
+        scd2_dimension(spark, sf_dir)
         .withColumn("is_current", F.col("valid_to_us").isNull())
         .select(
             "user_id", "state", "version", "valid_from_us", "valid_to_us",
@@ -418,31 +435,13 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact count. This is the standard scale shape for PIT joins
     (equi-key + interval residual); a version-count-skewed corpus would
     move to the binned range-join shape q_join_range_binned pins down.
-    Exact integer µs and cents end to end."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    Exact integer µs and cents end to end. The dimension side IS
+    scd2_dimension — the same builder q_dim_scd2 publishes — so the
+    row-for-row composition cannot drift."""
+    dim = scd2_dimension(spark, sf_dir).select(
+        "user_id", "state", "version", "valid_from_us", "valid_to_us"
     )
     ev = table(spark, sf_dir, "events")
-    base = ev.select("user_id", "event_type", "ts", "event_id")
-    grp = base.withColumn(
-        "g",
-        F.sum(
-            F.when(
-                F.lag("event_type").over(w).isNull()
-                | (F.lag("event_type").over(w) != F.col("event_type")),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        ).over(cum),
-    )
-    w2 = W.partitionBy("user_id").orderBy("g")
-    dim = (
-        grp.groupBy("user_id", F.col("event_type").alias("state"), "g")
-        .agg(F.min(F.unix_micros("ts")).alias("valid_from_us"))
-        .withColumn("version", F.row_number().over(w2).cast("long"))
-        .withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
-        .select("user_id", "state", "version", "valid_from_us", "valid_to_us")
-    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
@@ -489,7 +488,7 @@ ORDER BY name_a, name_b
 )
 def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-match of the part-name catalog: pairs of DISTINCT names
-    within Levenshtein distance {_FUZZY_MAX_DIST}, found by token
+    within Levenshtein distance 2 (_FUZZY_MAX_DIST), found by token
     blocking — the entity-resolution primitive (catalog dedup, vendor
     name matching) in its scale-correct second-order form.
 

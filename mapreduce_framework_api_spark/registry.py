@@ -66,7 +66,7 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-5 window, by the standing policy: (1) the 41 queries NEW since
+# Round-5 window, by the standing policy: (1) the 46 queries NEW since
 # the r4 driver snapshot — the 34 of the round-4 continuation (ohlc /
 # timeweighted / vocab_coverage / filter_cascade / weighted_median /
 # topk_windowed / cdc_compact / asof_nearest / hll_merge /
@@ -75,9 +75,11 @@ _LOADED = False
 # hll_sliding / pagerank / triangles / rfm / dataset_card /
 # token_budget / set_ops_all / anomaly / string_agg / corr_exact /
 # search_split / chunk_overlap / upsample_epochs / shuffle_order /
-# sessionize) plus the 7 of round 5 proper (dim_scd2 / merge_upsert /
+# sessionize) plus the 12 of round 5 proper (dim_scd2 / merge_upsert /
 # profile_columns / events_interpolate / text_inverted_index /
-# graph_bfs / sim_pq_topk) — lead; (2) code changed since the snapshot:
+# graph_bfs / sim_pq_topk / mv_incremental / join_temporal /
+# events_autocorr / join_fuzzy / text_bpe_merges) — lead;
+# (2) code changed since the snapshot:
 # q_pipe_pack_chunks (oracle HUGEINT cast — the one r4-red row, needs
 # its green receipt) and q_sketch_hist_quantile (median-rank div fix);
 # (3) the block-pair-cogroup rework's two consumers (q_sim_cosine_topk
@@ -89,9 +91,7 @@ _LOADED = False
 # an unchanged plan, closing its r4 perf flag) yield their slots to
 # round 5's new queries — every sit-out is hash-green on its latest
 # driver check, on code untouched since, and covered by the committed
-# full-surface local receipts in BASELINE.md. Everything sitting out is hash-green on its
-# latest driver check, on code untouched since, and covered by the
-# committed full-surface local receipt in BASELINE.md.
+# full-surface local receipts in BASELINE.md.
 _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
     "q_events_ohlc",
