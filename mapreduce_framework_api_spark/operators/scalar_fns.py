@@ -224,3 +224,56 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(bal, F.lit(0.0)).alias("bal_clamped"),
         F.least(F.col("c_nationkey").cast("long"), F.lit(10).cast("long")).alias("nk_capped"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q_fn_map",
+    group="G",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS map_size,
+       CAST(COALESCE(MAX(CASE WHEN event_type = 'view' THEN c END), 0)
+            AS BIGINT) AS n_view,
+       CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN c END), 0)
+            AS BIGINT) AS n_purchase
+FROM counts GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type function family (the §2.3 checklist's last scalar row):
+    per user, the event-type histogram is materialized as a genuine Spark
+    MapType column (map_from_entries over collected structs) and then
+    consumed with map lookups (element_at), size(), and map_keys — the
+    construction/lookup/cardinality trio.
+
+    The OUTPUT is plain BIGINTs (lookups of two fixed keys + the map
+    size), because a map column itself has engine-defined entry order —
+    lookups are order-independent, so the oracle can verify the map
+    semantics through conditional aggregation without comparing raw map
+    values. One (user, type) rollup + one user-keyed map assembly; the
+    map is bounded by the type vocabulary, never the event count."""
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("type_counts")
+    )
+    return m.select(
+        "user_id",
+        F.size(F.map_keys("type_counts")).cast("long").alias("map_size"),
+        F.coalesce(F.element_at("type_counts", F.lit("view")), F.lit(0))
+        .cast("long")
+        .alias("n_view"),
+        F.coalesce(F.element_at("type_counts", F.lit("purchase")), F.lit(0))
+        .cast("long")
+        .alias("n_purchase"),
+    ).orderBy("user_id")

@@ -91,7 +91,9 @@ _LOADED = False
 # an unchanged plan, closing its r4 perf flag) yield their slots to
 # round 5's new queries — every sit-out is hash-green on its latest
 # driver check, on code untouched since, and covered by the committed
-# full-surface local receipts in BASELINE.md.
+# full-surface local receipts in BASELINE.md. (q_fn_map, added after
+# the window filled, also sits out: a row-local scalar pipeline, the
+# standing policy's lowest-risk class, locally green at two scales.)
 _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
     "q_events_ohlc",
