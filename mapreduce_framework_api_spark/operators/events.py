@@ -1348,7 +1348,11 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     enters (the first cut of this query failed the oracle on exactly
     that: obs rows whose decimal average landed on a .xx5 boundary)."""
     e = table(spark, sf_dir, "events").select(
-        (F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"),
+        # floor(), not divide-then-cast: cast truncates toward zero, so a
+        # pre-epoch timestamp (negative epoch-µs) would land one hour high
+        # vs the oracle's flooring // — same truncate-vs-floor class as the
+        # cents fix above
+        F.floor(F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"),
         "event_type",
         (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
@@ -1464,7 +1468,8 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-order bits across engines). One events scan, one hourly rollup
     shuffle, a spine-sized window, a types-sized aggregate."""
     e = table(spark, sf_dir, "events").select(
-        (F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"), "event_type"
+        F.floor(F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"),
+        "event_type",
     )
     hourly = e.groupBy("hix", "event_type").agg(F.count("*").cast("long").alias("c"))
     w = W.partitionBy("event_type").orderBy("hix")

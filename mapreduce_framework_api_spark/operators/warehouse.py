@@ -345,7 +345,8 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. All integer cents, so the merge is bit-exact."""
     hour_us = 3_600 * 1_000_000
     ev = table(spark, sf_dir, "events").select(
-        ((F.unix_micros("ts") / hour_us).cast("long") * hour_us).alias("hour_us"),
+        # floor-safe bucketing (matches the oracle's //, incl. pre-epoch ts)
+        (F.floor(F.unix_micros("ts") / hour_us).cast("long") * hour_us).alias("hour_us"),
         "event_type",
         (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
         (

@@ -145,8 +145,7 @@ _WINDOW: tuple[str, ...] = (
     # (2) changed this round
     "q_pipe_pack_chunks",
     "q_sketch_hist_quantile",
-    # (3) sat out r4 (cogroup-rework consumers, perf-flagged plans,
-    # heaviest dedup tiers)
+    # (3) the block-pair-cogroup rework's two consumers
     "q_sim_cosine_topk",
     "q_dedup_embedding",
 )
