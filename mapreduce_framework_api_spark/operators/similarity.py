@@ -1,6 +1,6 @@
 """Similarity search over the embeddings table (north-star surface).
 
-Three tiers:
+Six tiers (exact / ANN / multi-vector):
 
 - ``q_sim_cosine_topk``: exact brute-force top-k — the correctness
   baseline. Both sides are hashed into bounded blocks and cogrouped on
@@ -23,6 +23,12 @@ Three tiers:
   hash-split query set searched against the disjoint rest of the corpus
   through the general ``cogroup_block_pairs`` engine (independently
   sized block axes: thin grids for small-queries-vs-huge-index).
+- ``q_sim_pq_topk``: product quantization — the memory-bound tier; the
+  index is 4 one-byte codes per vector, scoring is ADC lookup-table
+  gathers through the same block grid.
+- ``q_sim_maxsim_topk``: late interaction (ColBERT-style MaxSim) — the
+  multi-vector semantics: per query token, the best-aligned index token;
+  one matmul + max/sum reductions per block pair.
 
 Design note: Spark has no vector index; all tiers are DataFrame plans plus
 Arrow-batched kernels. The block-pair cogroup is the same shape a
@@ -961,5 +967,130 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_score", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+_MS_M = 4  # "token vectors" per record (the 64-dim embedding as 4×16)
+_MS_SUB = 16
+_MS_SCALE = 1000
+_MS_TOP_K = 3
+
+
+@register(
+    "q_sim_maxsim_topk",
+    group="I",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_MS_SCALE}) AS BIGINT)) AS iv,
+         substr(md5('maxsim#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_q
+  FROM embeddings
+), ms AS (
+  SELECT unnest(range(0, {_MS_M})) AS m
+), qm AS (
+  SELECT vec_id AS query_id, m,
+         iv[m * {_MS_SUB} + 1 : m * {_MS_SUB} + {_MS_SUB}] AS sub
+  FROM e CROSS JOIN ms WHERE is_q
+), xm AS (
+  SELECT vec_id AS neighbor_id, m AS n,
+         iv[m * {_MS_SUB} + 1 : m * {_MS_SUB} + {_MS_SUB}] AS sub
+  FROM e CROSS JOIN ms WHERE NOT is_q
+), mx AS (
+  SELECT q.query_id, x.neighbor_id, q.m,
+         MAX(list_dot_product(q.sub, x.sub)) AS best
+  FROM qm q JOIN xm x ON TRUE
+  GROUP BY q.query_id, x.neighbor_id, q.m
+), sc AS (
+  SELECT query_id, neighbor_id, CAST(SUM(best) AS BIGINT) AS maxsim_score
+  FROM mx GROUP BY query_id, neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, maxsim_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY maxsim_score DESC, neighbor_id ASC) AS rk
+  FROM sc
+)
+SELECT query_id, neighbor_id, maxsim_score, rk
+FROM ranked WHERE rk <= {_MS_TOP_K}
+ORDER BY query_id, rk
+""",
+)
+def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval — the FIFTH
+    similarity tier: each record is treated as a BAG of 4 token vectors
+    (the 64-dim embedding split 4×16), and score(q, x) = Σ over q's
+    tokens of the MAX dot product against any of x's tokens. This is the
+    multi-vector semantics single-vector cosine cannot express (a query
+    token matches its best-aligned document token, not the pooled
+    average) — the retrieval model behind ColBERT/PLAID-class systems.
+
+    Plan shape: the same cogroup_block_pairs grid as the exact and PQ
+    tiers — one Arrow-batched numpy kernel per (query-block ×
+    index-block) pair computing the (nq, nx, m, n) dot tensor as a
+    single matmul then max/sum reductions; per-block top-3, one global
+    window re-rank. Integer-quantized dots end to end, so the tier
+    carries a FULL oracle (the SQL mirror computes the identical max/sum
+    over join-expanded subvector pairs). At production scale the
+    index-side bags come from a real multi-vector encoder and the
+    all-pairs exact tier is the rerank stage behind an ANN candidate
+    fetch (sign-LSH/IVF/PQ above); the kernel and grid are unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    split = F.substring(
+        F.md5(F.concat(F.lit("maxsim#"), F.col("vec_id").cast("string"))), 1, 1
+    )
+    queries = e.filter(split < "2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    index = e.filter(~(split < "2"))
+
+    def score_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
+        if qs.empty or idx.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "maxsim_score": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "maxsim_score": "int64"}
+            )
+        q = np.floor(
+            np.stack(qs["q_emb"].to_numpy()).astype(np.float64) * _MS_SCALE
+        ).astype(np.int64).reshape(-1, _MS_M, _MS_SUB)
+        x = np.floor(
+            np.stack(idx["embedding"].to_numpy()).astype(np.float64) * _MS_SCALE
+        ).astype(np.int64).reshape(-1, _MS_M, _MS_SUB)
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        x_ids = idx["vec_id"].to_numpy(dtype="int64")
+        # (nq*M, SUB) @ (SUB, nx*M) -> all subvector dots in ONE matmul
+        dots = (q.reshape(-1, _MS_SUB) @ x.reshape(-1, _MS_SUB).T).reshape(
+            len(q_ids), _MS_M, len(x_ids), _MS_M
+        )
+        score = dots.max(axis=3).sum(axis=1)  # max over x-tokens, sum over q-tokens
+        k = min(_MS_TOP_K, len(x_ids))
+        out_q, out_x, out_s = [], [], []
+        for i in range(len(q_ids)):
+            order = np.lexsort((x_ids, -score[i]))[:k]
+            out_q.extend([q_ids[i]] * k)
+            out_x.extend(x_ids[order])
+            out_s.extend(score[i][order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_x, "maxsim_score": out_s}
+        )
+
+    n = _parquet_row_count(sf_dir, "embeddings")
+    cand = cogroup_block_pairs(
+        queries,
+        index,
+        score_pair,
+        "query_id long, neighbor_id long, maxsim_score long",
+        n_query_rows=max(1, n // 8),
+        n_index_rows=n,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim_score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MS_TOP_K)
+        .select("query_id", "neighbor_id", "maxsim_score", "rk")
         .orderBy("query_id", "rk")
     )
