@@ -1601,3 +1601,78 @@ def test_round5_queries_on_empty_tables(spark, tmp_path):
     for name in zero_rows:
         assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
     assert qs["q_profile_columns"].fn(spark, str(tmp_path)).count() == 5
+
+
+def test_pit_join_matches_exactly_one_version(spark):
+    """q_join_temporal's contract: every purchase event matches EXACTLY
+    one SCD2 dimension version (validity intervals partition each user's
+    timeline from their first event on, and a purchase implies the user
+    has events)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    got = load_all_queries()["q_join_temporal"].fn(spark, SF_DIR)
+    n_purchases = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert got.count() == n_purchases > 0
+    assert got.select("event_id").distinct().count() == n_purchases
+
+
+def test_pq_ann_recall_beats_chance(spark):
+    """ANN quality floor: the PQ tier's top-3 must overlap the EXACT
+    integer-dot top-3 far above random chance (the hash-seeded codebook
+    is deliberately weak vs k-means — similarity.py documents the swap —
+    but a broken encoder/ADC path would collapse recall to the random
+    baseline, which this pins). Deterministic data + deterministic
+    algorithm => recall is a fixed number, no flake margin needed beyond
+    the 5x factor."""
+    from pyspark.sql import Window as W, functions as F
+
+    from conftest import SF_DIR
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    pq = (
+        load_all_queries()["q_sim_pq_topk"]
+        .fn(spark, SF_DIR)
+        .select("query_id", "neighbor_id")
+    )
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    split = F.substring(
+        F.md5(F.concat(F.lit("pqsplit#"), F.col("vec_id").cast("string"))), 1, 1
+    )
+    q = e.filter(split < "2").selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    x = e.filter(~(split < "2"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("embedding"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    gt = (
+        q.crossJoin(x)
+        .select("q_id", "vec_id", dot.alias("dot"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "vec_id")
+    )
+    hits = pq.join(
+        gt, (pq.query_id == gt.q_id) & (pq.neighbor_id == gt.vec_id)
+    ).count()
+    total = gt.count()
+    n_index = x.count()
+    recall = hits / total
+    random_baseline = 3 / n_index
+    assert recall >= 5 * random_baseline, (recall, random_baseline)
