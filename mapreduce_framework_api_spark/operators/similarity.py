@@ -781,10 +781,7 @@ _PQ_SCALE = 1000  # integer quantization scale (exact in both engines)
 _PQ_TOP_K = 3
 
 
-@register(
-    "q_sim_pq_topk",
-    group="I",
-    oracle=f"""
+_PQ_ORACLE = f"""
 WITH e AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -840,7 +837,13 @@ WITH e AS (
 SELECT query_id, neighbor_id, adc_score, rk
 FROM ranked WHERE rk <= {_PQ_TOP_K}
 ORDER BY query_id, rk
-""",
+"""  # shared with q_sim_pq_recall's composed oracle
+
+
+@register(
+    "q_sim_pq_topk",
+    group="I",
+    oracle=_PQ_ORACLE,
 )
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the FOURTH tier next to brute force,
@@ -1093,4 +1096,126 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _MS_TOP_K)
         .select("query_id", "neighbor_id", "maxsim_score", "rk")
         .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "q_sim_pq_recall",
+    group="I",
+    oracle=f"""
+WITH pq AS (
+  {_PQ_ORACLE}
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS iv,
+         substr(md5('pqsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_q
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.iv, x.iv) DESC, x.vec_id ASC) AS rk
+    FROM base q JOIN base x ON q.is_q AND NOT x.is_q
+  ) WHERE rk <= {_PQ_TOP_K}
+), hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM pq JOIN exact
+    ON pq.query_id = exact.query_id AND pq.neighbor_id = exact.neighbor_id
+), tot AS (
+  SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM exact
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_x10000
+FROM hits, tot
+""",
+)
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN EVALUATION as a declared query: recall@3 of the PQ tier
+    against the exact integer-dot ground truth on the same query split —
+    the quality harness a production retrieval pipeline runs after every
+    index build (a fast-but-useless ANN is indistinguishable from a good
+    one without this number). The oracle COMPOSES the full PQ oracle as
+    a CTE with an exact-ranking mirror, so the metric itself is
+    hash-verified end to end; recall is reported as an exact integer
+    (×10000), no FP.
+
+    Plan shape: the PQ candidate list comes from the registered PQ plan
+    (encode + ADC through the block grid); ground truth comes from the
+    SAME cogroup_block_pairs engine with an exact-dot kernel (no cross
+    join anywhere); the comparison is one equi-join of two
+    (n_queries × 3)-row frames plus a 1-row aggregate. At 100 TB the
+    ground-truth side is the expensive half — production samples the
+    query split (one more hash filter) rather than scoring all queries,
+    with the identical plan."""
+    import numpy as np
+    import pandas as pd
+
+    pq = q_sim_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    split = F.substring(
+        F.md5(F.concat(F.lit("pqsplit#"), F.col("vec_id").cast("string"))), 1, 1
+    )
+    queries = e.filter(split < "2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    index = e.filter(~(split < "2"))
+
+    def exact_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
+        if qs.empty or idx.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dot": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "dot": "int64"}
+            )
+        q = np.floor(
+            np.stack(qs["q_emb"].to_numpy()).astype(np.float64) * _PQ_SCALE
+        ).astype(np.int64)
+        x = np.floor(
+            np.stack(idx["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE
+        ).astype(np.int64)
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        x_ids = idx["vec_id"].to_numpy(dtype="int64")
+        dots = q @ x.T
+        k = min(_PQ_TOP_K, len(x_ids))
+        out_q, out_x, out_d = [], [], []
+        for i in range(len(q_ids)):
+            order = np.lexsort((x_ids, -dots[i]))[:k]
+            out_q.extend([q_ids[i]] * k)
+            out_x.extend(x_ids[order])
+            out_d.extend(dots[i][order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_x, "dot": out_d})
+
+    n = _parquet_row_count(sf_dir, "embeddings")
+    cand = cogroup_block_pairs(
+        queries,
+        index,
+        exact_pair,
+        "query_id long, neighbor_id long, dot long",
+        n_query_rows=max(1, n // 8),
+        n_index_rows=n,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    exact = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = pq.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    tot = exact.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_truth"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            F.expr("n_hits * 10000 div n_truth").cast("long").alias("recall_x10000"),
+        )
     )
