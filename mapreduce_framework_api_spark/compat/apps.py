@@ -39,3 +39,25 @@ def bigram_map(index: int, lines: Iterator[str]) -> Iterable[tuple[str, int]]:
 def count_reduce(v1: int, v2: int) -> int:
     """Shared associative reducer (the reference's wc_add shape)."""
     return v1 + v2
+
+
+_ANAGRAM_CAP = 8
+
+
+def anagram_map(index: int, lines: Iterator[str]) -> Iterable[tuple[str, tuple[str, ...]]]:
+    """mr-anagram: group tokens by their sorted-letter signature (the
+    classic anagram-class job). Values are TUPLES, not counts — this app
+    exists to prove the facade's reducer contract is not numeric-only."""
+    for line in lines:
+        for tok in _TOKEN_RE.findall(line):
+            yield "".join(sorted(tok.lower())), (tok.lower(),)
+
+
+def setmerge_reduce(
+    v1: tuple[str, ...], v2: tuple[str, ...]
+) -> tuple[str, ...]:
+    """Associative + commutative capped set merge: the sorted union of two
+    sorted distinct tuples, truncated to the _ANAGRAM_CAP smallest — min-k
+    over a set is order-insensitive, so map-side combining is safe exactly
+    as it is for sums."""
+    return tuple(sorted(set(v1) | set(v2)))[:_ANAGRAM_CAP]

@@ -146,3 +146,36 @@ def test_second_and_third_apps_on_the_compat_surface(spark):
         for a, b2 in zip(ts, ts[1:]):
             want2[f"{a} {b2}"] = want2.get(f"{a} {b2}", 0) + 1
     assert got2 == want2
+
+
+def test_fourth_app_nonnumeric_reducer(spark):
+    """The facade's reduce contract is any associative merge, not just
+    numeric addition: the anagram app's values are capped sorted tuples
+    (min-k set merge), and the Spark lane matches a pure-Python fold over
+    the reference corpus."""
+    import re
+
+    from mapreduce_framework_api_spark.compat.apps import (
+        _ANAGRAM_CAP,
+        anagram_map,
+        setmerge_reduce,
+    )
+    from mapreduce_framework_api_spark.compat.mapreduce import mr_create
+
+    path = "/root/reference/input/mr-wordc/doc-0.txt"
+    with open(path, encoding="utf-8", errors="surrogateescape") as f:
+        text = f.read()
+
+    got = dict(
+        mr_create(anagram_map, setmerge_reduce, partitions=8)
+        .start(spark, path)
+        .result()
+    )
+    tok = re.compile(r"[A-Za-z0-9]+")
+    want: dict[str, set] = {}
+    for t in tok.findall(text):
+        want.setdefault("".join(sorted(t.lower())), set()).add(t.lower())
+    want_capped = {k: tuple(sorted(v))[:_ANAGRAM_CAP] for k, v in want.items()}
+    assert got == want_capped
+    # at least one genuine anagram class (two distinct tokens, same letters)
+    assert any(len(v) > 1 for v in got.values())
