@@ -1498,3 +1498,47 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.round(num / den, 4).alias("autocorr_lag1"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_events_heatmap",
+    group="H",
+    oracle="""
+WITH cells AS (
+  SELECT isodow(CAST(ts AS TIMESTAMP)) - 1 AS dow,
+         CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY dow, hod
+)
+SELECT CAST(dow AS INTEGER) AS dow, hod, n_events,
+       CAST(ROW_NUMBER() OVER (PARTITION BY dow
+                               ORDER BY n_events DESC, hod ASC) AS BIGINT)
+         AS peak_rank
+FROM cells ORDER BY dow, hod
+""",
+)
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap: the (ISO weekday × hour-of-day) activity grid
+    every product-analytics dashboard draws, with each weekday's hours
+    ranked by load (peak_rank 1 = that day's busiest hour). Exercises
+    the weekday-extraction calendar family (Spark ``weekday`` 0=Monday
+    == DuckDB ``isodow()-1``; both evaluated in the session's pinned UTC)
+    that q_fn_date's year/month/quarter coverage doesn't touch.
+
+    Scale shape: one events scan → one hash aggregate onto a ≤168-cell
+    grid; the ranking window runs over the grid, never the events. The
+    grid is bounded by the calendar, not the corpus — the 100 TB case is
+    identical to the fixture case after the first aggregate."""
+    cells = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.weekday("ts").alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = W.partitionBy("dow").orderBy(F.desc("n_events"), F.asc("hod"))
+    return (
+        cells.withColumn("peak_rank", F.row_number().over(w).cast("long"))
+        .select("dow", "hod", "n_events", "peak_rank")
+        .orderBy("dow", "hod")
+    )

@@ -91,9 +91,10 @@ _LOADED = False
 # an unchanged plan, closing its r4 perf flag) yield their slots to
 # round 5's new queries — every sit-out is hash-green on its latest
 # driver check, on code untouched since, and covered by the committed
-# full-surface local receipts in BASELINE.md. (q_fn_map, added after
-# the window filled, also sits out: a row-local scalar pipeline, the
-# standing policy's lowest-risk class, locally green at two scales.)
+# full-surface local receipts in BASELINE.md. (The queries added after
+# the window filled — q_fn_map, q_sim_maxsim_topk, q_sim_pq_recall,
+# q_events_heatmap — also sit out and take round-6 priority; all are
+# locally green, receipted in BASELINE.md.)
 _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
     "q_events_ohlc",
