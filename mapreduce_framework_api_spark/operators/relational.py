@@ -1693,3 +1693,121 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag", "metric")
     )
+
+
+@register(
+    "q_agg_winsorized",
+    group="D",
+    oracle="""
+WITH rollup_ AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY flag, cents
+), tot AS (
+  SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM rollup_ GROUP BY flag
+), cum AS (
+  SELECT r.flag, r.cents, r.c, t.n,
+         CAST(SUM(r.c) OVER (PARTITION BY r.flag ORDER BY r.cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+  FROM rollup_ r JOIN tot t ON r.flag = t.flag
+), lo AS (
+  SELECT flag, MIN(cents) AS p05_cents FROM cum
+  WHERE cc >= (n * 5 + 99) // 100 GROUP BY flag
+), hi AS (
+  SELECT flag, MIN(cents) AS p95_cents FROM cum
+  WHERE cc >= (n * 95 + 99) // 100 GROUP BY flag
+), clipped AS (
+  SELECT r.flag, t.n, l.p05_cents, h.p95_cents,
+         CAST(SUM(CASE WHEN r.cents < l.p05_cents THEN r.c ELSE 0 END)
+              AS BIGINT) AS n_low,
+         CAST(SUM(CASE WHEN r.cents > h.p95_cents THEN r.c ELSE 0 END)
+              AS BIGINT) AS n_high,
+         CAST(SUM(r.c * LEAST(GREATEST(r.cents, l.p05_cents), h.p95_cents))
+              AS BIGINT) AS clipped_sum_cents
+  FROM rollup_ r
+  JOIN tot t ON r.flag = t.flag
+  JOIN lo l ON r.flag = l.flag
+  JOIN hi h ON r.flag = h.flag
+  GROUP BY r.flag, t.n, l.p05_cents, h.p95_cents
+)
+SELECT flag, n, p05_cents, p95_cents, n_low, n_high,
+       -- exact integer floor-division mean in micro-units, then one
+       -- deterministic double division (the interpolate discipline;
+       -- quantities are non-negative, so // and the Spark side's
+       -- pmod-subtraction agree)
+       CAST((clipped_sum_cents * 10000 -
+             (clipped_sum_cents * 10000) % n) // n AS DOUBLE) / 1000000
+         AS clipped_mean
+FROM clipped ORDER BY flag
+""",
+)
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics — the outlier-clipping cleaning step
+    training pipelines run before fitting anything: per return flag,
+    l_quantity is clipped to its exact [p05, p95] band (ceil-rank integer
+    thresholds) and the clipped mean plus the clipped-tail counts are
+    reported.
+
+    Scale shape: the second-order VALUE-DOMAIN trick again (MAD /
+    latency_bands / hist_quantile): one corpus scan builds the
+    (flag, cents) rollup, and EVERYTHING after — cumulative counts,
+    both percentile row-picks, tail counts, the clipped sum — runs on
+    the domain-sized frame (≲50 distinct quantities per flag), so no
+    per-group corpus window ever exists. Exactness: integer cents,
+    ceil-rank thresholds in integer arithmetic, clipped mean as exact
+    fixed-point floor division promoted to one double divide (inputs are
+    non-negative quantities, where Spark's pmod-subtraction div equals
+    DuckDB's flooring // exactly)."""
+    r = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = r.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    cum_w = (
+        W.partitionBy("flag").orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = r.join(F.broadcast(tot), "flag").withColumn(
+        "cc", F.sum("c").over(cum_w).cast("long")
+    )
+    lo = (
+        cum.filter(F.col("cc") >= F.expr("(n * 5 + 99) div 100"))
+        .groupBy("flag")
+        .agg(F.min("cents").alias("p05_cents"))
+    )
+    hi = (
+        cum.filter(F.col("cc") >= F.expr("(n * 95 + 99) div 100"))
+        .groupBy("flag")
+        .agg(F.min("cents").alias("p95_cents"))
+    )
+    clipped_val = F.least(F.greatest(F.col("cents"), F.col("p05_cents")), F.col("p95_cents"))
+    out = (
+        r.join(F.broadcast(tot), "flag")
+        .join(F.broadcast(lo), "flag")
+        .join(F.broadcast(hi), "flag")
+        .groupBy("flag", "n", "p05_cents", "p95_cents")
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("p05_cents"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("cents") > F.col("p95_cents"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+            F.sum(F.col("c") * clipped_val).cast("long").alias("clipped_sum_cents"),
+        )
+    )
+    return out.select(
+        "flag", "n", "p05_cents", "p95_cents", "n_low", "n_high",
+        (
+            F.expr(
+                "(clipped_sum_cents * 10000 - pmod(clipped_sum_cents * 10000, n)) div n"
+            ).cast("double")
+            / 1000000
+        ).alias("clipped_mean"),
+    ).orderBy("flag")
