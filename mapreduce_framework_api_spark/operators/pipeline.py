@@ -925,3 +925,56 @@ def q_pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+@register(
+    "q_pipe_interleave",
+    group="I",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5('ilv#' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, rank_in_source,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank_in_source, source, doc_id) - 1
+            AS BIGINT) AS global_pos
+FROM ranked ORDER BY global_pos
+""",
+)
+def q_pipe_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved training order: documents are dealt ROUND-ROBIN
+    across sources (rank-1 docs of every source first, then rank-2, ...),
+    with a seeded hash shuffle inside each source — the mixing discipline
+    that keeps any training window source-balanced even when one source
+    dominates the corpus (the complement of q_pipe_mixture's
+    proportional resampling: interleaving fixes ORDER, mixture fixes
+    COUNTS).
+
+    Scale shape: per-source ranks ride one source-keyed exchange (hash
+    shuffle inside each partition's own window); the global position is
+    the only total order, and — as with q_sort_multi — a global
+    ROW_NUMBER is a range-partitioned sort at the declared SINK, which a
+    production run shards exactly like q_pipe_shuffle_order (per-shard
+    positions, no single-task funnel; the oracle's single window is the
+    semantic spec, not the physical plan). Determinism: md5-seeded order
+    with doc_id tiebreaks at both levels."""
+    w_src = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("ilv#"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).cast("long").alias("rank_in_source"),
+    )
+    w_all = W.orderBy("rank_in_source", "source", "doc_id")
+    return (
+        ranked.withColumn(
+            "global_pos", (F.row_number().over(w_all) - 1).cast("long")
+        )
+        .select("doc_id", "source", "rank_in_source", "global_pos")
+        .orderBy("global_pos")
+    )
