@@ -91,6 +91,43 @@ def _parquet_row_count(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _hash_split(tag: str):
+    """Deterministic is-query predicate for the asymmetric search tiers:
+    first md5 hex nibble of '<tag>#<vec_id>' < '2' (a 1/8 slice), exactly
+    ``substr(md5('<tag>#' || id), 1, 1) < '2'`` on the oracle side. ONE
+    definition so a tier and its evaluation harness can never drift onto
+    different splits (q_sim_pq_recall's ground truth must use exactly
+    q_sim_pq_topk's split — a one-character difference would silently
+    produce a plausible-but-wrong recall number)."""
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit(f"{tag}#"), F.col("vec_id").cast("string"))), 1, 1
+        )
+        < "2"
+    )
+
+
+def _topk_rerank(
+    cand: DataFrame, query_col: str, score_col: str, k: int, rounded: str | None = None
+) -> DataFrame:
+    """Global deterministic top-k after per-block candidate generation:
+    row_number over (score DESC, neighbor_id ASC) per query, cut at k —
+    the union of per-block top-k provably contains the global top-k, and
+    this single-sourced epilogue keeps the tie-break convention identical
+    across every tier (a per-tier copy is exactly how a tie-break fix
+    misses one). ``rounded`` renames the rounded score for presentation;
+    None keeps the raw (integer) score column."""
+    w = W.partitionBy(query_col).orderBy(F.desc(score_col), F.asc("neighbor_id"))
+    out = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    if rounded is not None:
+        out = out.select(
+            query_col, "neighbor_id", F.round(score_col, 2).alias(rounded), "rk"
+        )
+    else:
+        out = out.select(query_col, "neighbor_id", score_col, "rk")
+    return out.orderBy(query_col, "rk")
+
+
 def cogroup_index_blocks(
     spark: SparkSession,
     sf_dir: str,
@@ -248,13 +285,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cogroup_index_blocks(
         spark, sf_dir, score_pair, schema="vec_id long, neighbor_id long, cos_raw double"
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("vec_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
-        .orderBy("vec_id", "rk")
-    )
+    return _topk_rerank(cand, "vec_id", "cos_raw", k, rounded="cosine")
 
 
 # Sign-LSH, occupancy-targeted: L independent hash tables, each a g-bit
@@ -315,14 +346,17 @@ def _lsh_codes_udf(g: int, d: int):
     return codes
 
 
-def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, int] | None:
     """(g, d) for the corpus: two metadata-cheap driver lookups (row count
     from parquet FOOTERS — no count job — and dimensionality from one row)
     that parameterize the plan — the same index-build step a production
-    pipeline persists."""
+    pipeline persists. None on an empty corpus (no row to read d from)."""
     base = table(spark, sf_dir, "embeddings")
     n = _parquet_row_count(sf_dir, "embeddings")
-    d = int(base.select(F.size("embedding").alias("d")).first()["d"])
+    probe = base.select(F.size("embedding").alias("d")).first()
+    if probe is None:
+        return None
+    d = int(probe["d"])
     # Integer form of clamp(ceil(log2(n / occ)), MIN, MAX): the smallest b
     # with 2^b * occ >= n. Pure-integer so the SQL oracle's CASE chain
     # (_LSH_G_CASE) agrees bit-for-bit — ceil(log2(x)) through two
@@ -439,7 +473,13 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~L·occ/2 candidate pairs per vector, corpus-invariant by
     construction. Queries with no co-bucketed neighbor return no rows
     (the honest ANN contract)."""
-    g, d = _lsh_geometry(spark, sf_dir)
+    geom = _lsh_geometry(spark, sf_dir)
+    if geom is None:
+        # empty corpus: no geometry to derive — same guard as IVF/PQ seeds
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, cosine double, rk int"
+        )
+    g, d = geom
     vecs = _vectors(spark, sf_dir)
     tables = vecs.select(
         "vec_id", F.posexplode(_lsh_codes_udf(g, d)("v")).alias("table_id", "code")
@@ -494,13 +534,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m")
     ).select("m.vec_id", "m.neighbor_id", "m.cos_raw")
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _LSH_TOP_K)
-        .select("vec_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
-        .orderBy("vec_id", "rk")
-    )
+    return _topk_rerank(scored, "vec_id", "cos_raw", _LSH_TOP_K, rounded="cosine")
 
 
 # ---------------------------------------------------------------- IVF ------
@@ -669,13 +703,12 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(index_side.groupBy("cluster"))
         .applyInPandas(score_cluster, schema="vec_id long, neighbor_id long, cos_raw double")
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.dropDuplicates(["vec_id", "neighbor_id"])
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _IVF_TOP_K)
-        .select("vec_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
-        .orderBy("vec_id", "rk")
+    return _topk_rerank(
+        scored.dropDuplicates(["vec_id", "neighbor_id"]),
+        "vec_id",
+        "cos_raw",
+        _IVF_TOP_K,
+        rounded="cosine",
     )
 
 
@@ -743,14 +776,7 @@ def q_sim_search_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_raw": out_c})
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    is_query = (
-        F.substring(
-            F.md5(F.concat(F.lit("qsplit#"), F.col("vec_id").cast("string")).cast("binary")),
-            1,
-            1,
-        )
-        < "2"
-    )
+    is_query = _hash_split("qsplit")
     n_total = _parquet_row_count(sf_dir, "embeddings")
     cand = cogroup_block_pairs(
         e.filter(is_query).select(
@@ -765,13 +791,7 @@ def q_sim_search_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_rows=max(1, n_total // 8),
         n_index_rows=max(1, n_total - n_total // 8),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 2).alias("cosine"), "rk")
-        .orderBy("query_id", "rk")
-    )
+    return _topk_rerank(cand, "query_id", "cos_raw", k, rounded="cosine")
 
 
 _PQ_M = 4  # subspaces
@@ -858,7 +878,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: codebook = the 16 smallest-md5 seed vectors (driver
     rows, corpus-size-independent — same engine-portable hash-sample as
-    IVF's quantizer, similarity.py:491); encoding is one Arrow-batched
+    IVF's quantizer — see q_sim_ivf_topk's seed block); encoding is one Arrow-batched
     mapInPandas argmin over integer-quantized L2 (exact: scaled int64,
     ties to the lower code); scoring reuses the general
     cogroup_block_pairs engine — queries × code-blocks, one numpy
@@ -873,9 +893,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    split = F.substring(
-        F.md5(F.concat(F.lit("pqsplit#"), F.col("vec_id").cast("string"))), 1, 1
-    )
+    split = _hash_split("pqsplit")
     seed = (
         e.withColumn(
             "h", F.md5(F.concat(F.lit("pq#"), F.col("vec_id").cast("string")))
@@ -921,11 +939,11 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
 
     index_codes = (
-        e.filter(~(split < "2"))
+        e.filter(~split)
         .mapInPandas(encode, schema="vec_id long, codes array<int>")
         .select("vec_id", F.col("codes").alias("embedding"))
     )
-    queries = e.filter(split < "2").select(
+    queries = e.filter(split).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
 
@@ -965,13 +983,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_rows=max(1, n // 8),
         n_index_rows=n,
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PQ_TOP_K)
-        .select("query_id", "neighbor_id", "adc_score", "rk")
-        .orderBy("query_id", "rk")
-    )
+    return _topk_rerank(cand, "query_id", "adc_score", _PQ_TOP_K)
 
 
 _MS_M = 4  # "token vectors" per record (the 64-dim embedding as 4×16)
@@ -1042,13 +1054,11 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    split = F.substring(
-        F.md5(F.concat(F.lit("maxsim#"), F.col("vec_id").cast("string"))), 1, 1
-    )
-    queries = e.filter(split < "2").select(
+    split = _hash_split("maxsim")
+    queries = e.filter(split).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    index = e.filter(~(split < "2"))
+    index = e.filter(~split)
 
     def score_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
         if qs.empty or idx.empty:
@@ -1090,13 +1100,7 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_rows=max(1, n // 8),
         n_index_rows=n,
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("maxsim_score"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _MS_TOP_K)
-        .select("query_id", "neighbor_id", "maxsim_score", "rk")
-        .orderBy("query_id", "rk")
-    )
+    return _topk_rerank(cand, "query_id", "maxsim_score", _MS_TOP_K)
 
 
 @register(
@@ -1157,13 +1161,11 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = q_sim_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    split = F.substring(
-        F.md5(F.concat(F.lit("pqsplit#"), F.col("vec_id").cast("string"))), 1, 1
-    )
-    queries = e.filter(split < "2").select(
+    split = _hash_split("pqsplit")
+    queries = e.filter(split).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    index = e.filter(~(split < "2"))
+    index = e.filter(~split)
 
     def exact_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
         if qs.empty or idx.empty:
@@ -1197,11 +1199,8 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_rows=max(1, n // 8),
         n_index_rows=n,
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    exact = (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PQ_TOP_K)
-        .select("query_id", "neighbor_id")
+    exact = _topk_rerank(cand, "query_id", "dot", _PQ_TOP_K).select(
+        "query_id", "neighbor_id"
     )
     hits = pq.join(exact, ["query_id", "neighbor_id"]).agg(
         F.count("*").cast("long").alias("n_hits")

@@ -1596,7 +1596,8 @@ def test_round5_queries_on_empty_tables(spark, tmp_path):
         "q_text_inverted_index", "q_graph_bfs", "q_sim_pq_topk",
         "q_sim_ivf_topk", "q_mv_incremental", "q_join_temporal",
         "q_events_autocorr", "q_join_fuzzy", "q_text_bpe_merges",
-        "q_fn_map",
+        "q_fn_map", "q_sim_ann_lsh", "q_sim_cosine_topk",
+        "q_sim_search_split", "q_sim_maxsim_topk", "q_dedup_embedding",
     )
     for name in zero_rows:
         assert qs[name].fn(spark, str(tmp_path)).count() == 0, name
