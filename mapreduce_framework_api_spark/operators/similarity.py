@@ -30,6 +30,15 @@ Six tiers (exact / ANN / multi-vector):
   multi-vector semantics: per query token, the best-aligned index token;
   one matmul + max/sum reductions per block pair.
 
+Input contract: embeddings must have NONZERO norm (a zero vector has no
+direction, so its cosine is 0/0 — and engines disagree on NaN ordering:
+numpy's lexsort ranks NaN last while Spark's DESC and DuckDB's ORDER BY
+rank it first, so one zero vector would silently skew every cosine tier's
+top-k). The fixture generator honors this and
+tests/test_fixture_canary.py::test_embeddings_have_nonzero_norm alarms if
+a regenerated fixture ever stops honoring it; a production ingest drops
+or re-embeds zero vectors at the door.
+
 Design note: Spark has no vector index; all tiers are DataFrame plans plus
 Arrow-batched kernels. The block-pair cogroup is the same shape a
 1000-executor cluster needs: block size bounds per-task memory, every

@@ -122,3 +122,22 @@ def test_fixture_schema(sf: str, name: str) -> None:
         f"testdata with a different schema; update sources/readers.py + "
         f"FIXTURES.md + this canary:\n" + "\n".join(diff)
     )
+
+
+def test_embeddings_have_nonzero_norm():
+    """The similarity tiers' input contract (similarity.py module doc):
+    every embedding has nonzero norm. A zero vector would make cosine
+    0/0 = NaN, which numpy ranks LAST but Spark/DuckDB rank FIRST under
+    DESC — a silent cross-engine top-k skew. This canary turns that
+    latent hash mismatch into a named failure at fixture-regen time."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        (n_zero,) = duckdb.sql(
+            "SELECT COUNT(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/embeddings.parquet') "
+            "WHERE list_dot_product(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)), list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE))) = 0"
+        ).fetchall()[0]
+        assert n_zero == 0, f"{sf}: {n_zero} zero-norm embeddings"
