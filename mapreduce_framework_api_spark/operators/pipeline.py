@@ -978,3 +978,90 @@ def q_pipe_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rank_in_source", "global_pos")
         .orderBy("global_pos")
     )
+
+
+@register(
+    "q_pipe_quantile_norm",
+    group="I",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+), src AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+  FROM d
+), keyed AS (
+  SELECT doc_id, source, n_chars, r,
+         (r * n_total + n_s - 1) // n_s AS k
+  FROM src
+), dom AS (
+  SELECT n_chars AS v,
+         CAST(SUM(COUNT(*)) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM d GROUP BY n_chars
+)
+SELECT k2.doc_id, k2.source, k2.n_chars, k2.r AS src_rank,
+       CAST(dom.v AS BIGINT) AS norm_chars
+FROM keyed k2 JOIN dom
+  ON k2.k > dom.cc - dom.c AND k2.k <= dom.cc
+ORDER BY k2.doc_id
+""",
+)
+def q_pipe_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (CDF matching — the ML
+    preprocessing step that maps every source's length distribution onto
+    the GLOBAL distribution so no source's scale dominates a feature):
+    each doc's within-source ceil-rank quantile is replaced by the global
+    order statistic at the same quantile.
+
+    Exactness: ranks and the quantile key k = ceil(r·N/n_s) are pure
+    integer arithmetic (ties broken by doc_id), and the k-th global
+    order statistic is a row-pick from the VALUE-DOMAIN cumulative table
+    — no FP percentile anywhere.
+
+    Scale shape: within-source ranks ride one source-keyed exchange; the
+    global side is the value-domain rollup (distinct lengths, domain-
+    sized) whose cumulative window runs over the domain, and the k →
+    order-statistic lookup is a BROADCAST range join against that tiny
+    table — the corpus is never globally sorted (the oracle's COUNT()
+    OVER () spells the semantic; the plan gets N from a broadcast 1-row
+    aggregate). The same two-level trick as MAD/latency_bands/
+    winsorized, applied per-row instead of per-group."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    n_s = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    n_tot = d.agg(F.count("*").cast("long").alias("n_total"))
+    keyed = (
+        d.withColumn("r", F.row_number().over(w_src).cast("long"))
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("k", F.expr("(r * n_total + n_s - 1) div n_s"))
+    )
+    cum_w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dom = (
+        d.groupBy("n_chars")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            F.col("n_chars").alias("v"),
+            F.sum("c").over(cum_w).cast("long").alias("cc"),
+            "c",
+        )
+    )
+    return (
+        keyed.join(
+            F.broadcast(dom),
+            (F.col("k") > F.col("cc") - F.col("c")) & (F.col("k") <= F.col("cc")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("r").alias("src_rank"),
+            F.col("v").cast("long").alias("norm_chars"),
+        )
+        .orderBy("doc_id")
+    )
