@@ -1065,3 +1065,84 @@ def q_pipe_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+
+
+def _leakage_oracle() -> str:
+    """Composed oracle: the full recursive-CTE dup-cluster build from
+    dedup.py plus the split CASE and the leak report (imported inside the
+    function so module import order stays acyclic; runs once at
+    decoration time)."""
+    from mapreduce_framework_api_spark.operators.dedup import _LABELS_ORACLE_CTES
+
+    return f"""
+WITH RECURSIVE {_LABELS_ORACLE_CTES}, assigned AS (
+  SELECT l.cluster_id, l.doc_id,
+         CASE WHEN substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train'
+              WHEN substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 1) < 'e'
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM labels l
+), report AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_eval,
+         CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+  FROM assigned GROUP BY cluster_id
+)
+SELECT cluster_id, n_docs, n_train, n_eval, example_doc_id
+FROM report WHERE n_train > 0 AND n_eval > 0
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "q_pipe_split_leakage",
+    group="I",
+    oracle=_leakage_oracle(),
+)
+def q_pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE detection — the audit every split pipeline must
+    pass: NEAR-DUPLICATE clusters (the trigram-Jaccard components from
+    dedup's cluster_labels) that span BOTH the train split and an eval
+    split under q_pipe_split_assign's hash assignment. Every reported
+    cluster is contamination — an eval document whose near-copy sits in
+    the training set — and the composed cure is q_pipe_end_to_end's
+    dedup-BEFORE-split ordering; this query is the detector proving why
+    that ordering matters.
+
+    Scale shape: cluster labels are the cached dup-cluster intermediate
+    (one row per dup-involved doc — tiny relative to the corpus); the
+    split flag is a row-local hash; one cluster-keyed aggregate produces
+    the report, bounded by the number of leaking clusters. The oracle
+    COMPOSES the full recursive-CTE cluster build with the split CASE,
+    so the audit itself is hash-verified end to end."""
+    from mapreduce_framework_api_spark.operators.dedup import cluster_labels
+
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h1 < "c", F.lit("train"))
+        .when(h1 < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    labeled = cluster_labels(spark, sf_dir).withColumn("split", split)
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") != "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_eval"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_eval") > 0))
+        .orderBy("cluster_id")
+    )
