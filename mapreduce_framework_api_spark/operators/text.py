@@ -824,3 +824,68 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.union(m)
     return out.orderBy("step")
+
+
+def _langid_confusion_oracle() -> str:
+    """Composed oracle: q_text_langid's exact hit-count + tie-break CASE,
+    joined back to the labeled lang column and folded into confusion
+    cells — so the classifier EVALUATION is hash-verified, not just the
+    classifier."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS token FROM documents
+), hits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN token IN {_LANG_LEXICONS['en']} THEN 1 ELSE 0 END) AS h_en,
+         SUM(CASE WHEN token IN {_LANG_LEXICONS['de']} THEN 1 ELSE 0 END) AS h_de,
+         SUM(CASE WHEN token IN {_LANG_LEXICONS['es']} THEN 1 ELSE 0 END) AS h_es,
+         SUM(CASE WHEN token IN {_LANG_LEXICONS['fr']} THEN 1 ELSE 0 END) AS h_fr
+  FROM toks GROUP BY doc_id
+), pred AS (
+  SELECT doc_id,
+         CASE
+           WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+           WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+           WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+           WHEN h_fr > 0 THEN 'fr'
+           ELSE 'und'
+         END AS lang_pred
+  FROM hits
+)
+SELECT d.lang, p.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+ORDER BY d.lang, p.lang_pred
+"""
+
+
+@register("q_text_langid_confusion", group="I", oracle=_langid_confusion_oracle())
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION as a declared query (the companion to
+    q_sim_pq_recall's ANN evaluation): the confusion matrix of the
+    stopword-lexicon language-ID heuristic against the corpus's labeled
+    lang column — per (actual, predicted) cell counts, with the diagonal
+    flag folded in. A data pipeline that ships a classifier without its
+    confusion matrix is shipping a guess; this makes the matrix itself
+    differential-checked.
+
+    Plan shape: the prediction is q_text_langid's plan verbatim (one
+    doc_id hash-agg over exploded tokens, codegen'd IN-lists); the
+    matrix join is doc_id-keyed against the labels and folds into a
+    |langs|²-bounded aggregate."""
+    pred = q_text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    labels = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        labels.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
