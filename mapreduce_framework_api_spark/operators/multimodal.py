@@ -486,3 +486,60 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(_audio_fake, schema=AUDIO_FEATURE_SCHEMA)
+
+
+@register(
+    "q_multimodal_audio_stats",
+    group="I",
+    oracle="""
+WITH feats AS (
+  SELECT source,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) AS BIGINT) * 1000 // 16000
+           AS duration_ms,
+         CAST(octet_length(encode(text)) % 32768 AS BIGINT) AS peak_abs,
+         CAST(octet_length(encode(text)) AS BIGINT)
+           * CAST(octet_length(encode(text)) AS BIGINT) AS energy
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(MAX(peak_abs) AS BIGINT) AS max_peak,
+       CAST(SUM(energy) AS BIGINT) AS total_energy
+FROM feats GROUP BY source ORDER BY source
+""",
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-lane rollup, ORACLE-CHECKED: documents lift into audio-kind
+    media records and flow through the REAL Arrow-batched
+    extract_audio_features plumbing (fake=True — the deterministic
+    stand-in whose features are pure functions of payload length, which
+    is what makes a SQL mirror possible), then aggregate per source.
+    This gives the audio lane the same differential coverage the image
+    lane has via q_multimodal_stats: the mapInPandas batch shape, the
+    nullable Arrow dtypes, and the feature arithmetic are all under the
+    hash. The fake=False WAV path is pytest-covered (binary payloads
+    have no DuckDB analogue).
+
+    Scale shape: one documents scan → one Arrow-batched map → one
+    source-keyed aggregate; integer end to end (energy = n_bytes², far
+    under 2^63 at any document size)."""
+    docs = table(spark, sf_dir, "documents")
+    media = as_media(docs).withColumn("kind", F.lit("audio"))
+    feats = extract_audio_features(media, fake=True).select(
+        "doc_id", "n_bytes", "duration_ms", "peak_abs", "energy"
+    )
+    return (
+        feats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_payloads"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+            F.max("peak_abs").cast("long").alias("max_peak"),
+            F.sum("energy").cast("long").alias("total_energy"),
+        )
+        .orderBy("source")
+    )
