@@ -1542,3 +1542,83 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dow", "hod", "n_events", "peak_rank")
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "q_events_burst",
+    group="H",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US} AS hix,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hix
+), stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n) AS BIGINT) AS total
+  FROM hourly GROUP BY event_type
+), flagged AS (
+  SELECT h.event_type, h.hix, h.n
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+  WHERE h.n * s.n_hours * 2 > s.total * 3
+), islands AS (
+  SELECT event_type, hix, n,
+         hix - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hix)
+           AS island
+  FROM flagged
+)
+SELECT event_type,
+       MIN(hix) * {_HOUR_US} AS start_us,
+       MAX(hix) * {_HOUR_US} AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(n) AS BIGINT) AS peak_n,
+       CAST(SUM(n) AS BIGINT) AS burst_events
+FROM islands
+GROUP BY event_type, island
+ORDER BY event_type, start_us
+""",
+)
+def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-episode detection: maximal runs of CONSECUTIVE hours whose
+    event count exceeds 1.5× the type's mean hourly rate — the episode
+    view monitoring teams page on (q_events_anomaly flags single hours;
+    this stitches flagged hours into [start, end] episodes with peak and
+    volume, the gaps-and-islands composition of the two).
+
+    Exactness: the threshold n > 1.5·mean is the integer cross-multiply
+    2·n·hours > 3·total (no division, no FP); islands use the classic
+    hix − row_number fingerprint over only the FLAGGED rows. Scale: one
+    events scan → hourly rollup; stats, flags, islands, and episode
+    aggregation all run on the rollup-sized frame (hours × types)."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    flagged = hourly.join(F.broadcast(stats), "event_type").filter(
+        F.col("n") * F.col("n_hours") * 2 > F.col("total") * 3
+    )
+    w = W.partitionBy("event_type").orderBy("hix")
+    islands = flagged.withColumn("island", F.col("hix") - F.row_number().over(w))
+    return (
+        islands.groupBy("event_type", "island")
+        .agg(
+            (F.min("hix") * _HOUR_US).alias("start_us"),
+            (F.max("hix") * _HOUR_US).alias("end_us"),
+            F.count("*").cast("long").alias("n_hours"),
+            F.max("n").cast("long").alias("peak_n"),
+            F.sum("n").cast("long").alias("burst_events"),
+        )
+        .select(
+            "event_type", "start_us", "end_us", "n_hours", "peak_n", "burst_events"
+        )
+        .orderBy("event_type", "start_us")
+    )
