@@ -1227,3 +1227,105 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_hits * 10000 div n_truth").cast("long").alias("recall_x10000"),
         )
     )
+
+
+_OUT_SCALE = 1000
+_OUT_TOP_K = 3
+_OUT_DIM = 64
+
+
+@register(
+    "q_sim_outliers",
+    group="I",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_OUT_SCALE}) AS BIGINT)) AS iv
+  FROM embeddings
+), n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY label
+), dims AS (
+  SELECT unnest(generate_series(1, {_OUT_DIM})) AS d
+), sums AS (
+  SELECT e.label, dims.d, CAST(SUM(e.iv[dims.d]) AS BIGINT) AS s
+  FROM e CROSS JOIN dims GROUP BY e.label, dims.d
+), dist AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM((e.iv[s.d] * n.n - s.s) * (e.iv[s.d] * n.n - s.s))
+              AS BIGINT) AS dist_sq
+  FROM e JOIN n ON e.label = n.label JOIN sums s ON s.label = e.label
+  GROUP BY e.vec_id, e.label
+), ranked AS (
+  SELECT label, vec_id, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist_sq DESC, vec_id ASC) AS rk
+  FROM dist
+)
+SELECT CAST(label AS INTEGER) AS label, vec_id, dist_sq, rk
+FROM ranked WHERE rk <= {_OUT_TOP_K}
+ORDER BY label, rk
+""",
+)
+def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection — the curation pass that surfaces
+    mislabeled/corrupted vectors: per label, the {_OUT_TOP_K} vectors
+    farthest from their label's centroid. Distance is computed against
+    the UNNORMALIZED integer centroid — Σ_d (x_d·n − Σx_d)², i.e. n²
+    times the distance to the mean — so the ranking is identical to the
+    FP mean-distance ranking but every intermediate is an exact integer
+    (an FP centroid is a sum whose order varies per run; this is the
+    PageRank/corr_exact exactness discipline applied to vectors). At
+    corpus scale promote the squared terms to DECIMAL — x·n reaches
+    2^53 once a label holds ~10^7 quantized vectors (documented bound).
+
+    Plan shape: the centroid build is posexplode → ONE (label, dim)
+    hash aggregate (64·|labels| rows); centroids re-assemble into
+    per-label ARRAYS and broadcast; each vector's distance is then ONE
+    codegen'd zip_with/aggregate over its own array — the corpus is
+    never dim-exploded on the big side. Top-k rides the shared
+    _topk_rerank epilogue, keyed by label."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * _OUT_SCALE).cast("long")
+        ).alias("iv"),
+    )
+    n = e.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    sums = (
+        e.select("label", F.posexplode("iv").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    cent = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "s"))), lambda p: p.s
+        ).alias("cent")
+    )
+    dist = (
+        e.join(F.broadcast(n), "label")
+        .join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "iv",
+                    "cent",
+                    lambda x, s: (x * F.col("n") - s) * (x * F.col("n") - s),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist_sq"),
+        )
+    )
+    out = _topk_rerank(
+        dist.withColumnRenamed("vec_id", "neighbor_id"), "label", "dist_sq", _OUT_TOP_K
+    )
+    return (
+        out.select(
+            "label", F.col("neighbor_id").alias("vec_id"), "dist_sq", "rk"
+        )
+        .orderBy("label", "rk")
+    )
