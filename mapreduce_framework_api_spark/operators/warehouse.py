@@ -518,3 +518,67 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
         .orderBy("name_a", "name_b")
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "q_privacy_kanonymity",
+    group="I",
+    oracle=f"""
+WITH qi AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)
+           AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey, bal_band
+)
+SELECT group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN group_size < {_KANON_K} THEN group_size ELSE 0 END)
+            AS BIGINT) AS n_risky_rows
+FROM qi
+GROUP BY group_size
+ORDER BY group_size
+""",
+)
+def q_privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the release-hygiene counterpart of
+    q_pipe_pii_scrub: bucket every customer by its quasi-identifier
+    tuple (market segment, nation, $1000 balance band) and report the
+    group-size histogram; any row in a group smaller than k=5 is a
+    re-identification risk the release pipeline must suppress or
+    generalize. The scrub removes direct identifiers; THIS finds the
+    combinations of innocent attributes that still single people out.
+
+    Exactness: the balance band is exact DECIMAL floor division (cents
+    semantics, matching DuckDB's flooring of the same decimal — balances
+    can be negative, and decimal floor agrees on both engines unlike
+    bigint div). Scale shape: one scan → one QI hash aggregate (bounded
+    by the QI-combination count) → one histogram aggregate over the
+    group-size domain. No row-level data leaves the scan."""
+    qi = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000)
+            .cast("long")
+            .alias("bal_band"),
+        )
+        .agg(F.count("*").cast("long").alias("group_size"))
+    )
+    return (
+        qi.groupBy("group_size")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(
+                F.when(F.col("group_size") < _KANON_K, F.col("group_size")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_risky_rows"),
+        )
+        .orderBy("group_size")
+    )

@@ -95,8 +95,8 @@ _LOADED = False
 # the window filled — q_fn_map, q_sim_maxsim_topk, q_sim_pq_recall,
 # q_events_heatmap, q_agg_winsorized, q_pipe_interleave,
 # q_pipe_quantile_norm, q_pipe_split_leakage, q_text_langid_confusion,
-# q_multimodal_audio_stats, q_events_burst, q_sim_outliers — also sit
-# out and take round-6 priority; all are
+# q_multimodal_audio_stats, q_events_burst, q_sim_outliers,
+# q_privacy_kanonymity — also sit out and take round-6 priority; all are
 # locally green, receipted in BASELINE.md.)
 _WINDOW: tuple[str, ...] = (
     # (1) NEW this round — no driver row yet
