@@ -524,8 +524,11 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     have no DuckDB analogue).
 
     Scale shape: one documents scan → one Arrow-batched map → one
-    source-keyed aggregate; integer end to end (energy = n_bytes², far
-    under 2^63 at any document size)."""
+    source-keyed aggregate; integer end to end. Overflow bound (the
+    q_sim_outliers discipline): per-payload energy = n_bytes² reaches
+    2^63 at a ~3 GB payload, and SUM(energy) overflows sooner (e.g.
+    1000 docs × 100 MB per source) — a corpus at that scale promotes
+    the energy column to DECIMAL on both engines."""
     docs = table(spark, sf_dir, "documents")
     media = as_media(docs).withColumn("kind", F.lit("audio"))
     feats = extract_audio_features(media, fake=True).select(

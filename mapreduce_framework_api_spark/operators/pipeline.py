@@ -57,6 +57,22 @@ def q_pipe_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_column():
+    """The train/val/test assignment expression (75/12.5/12.5 by md5 first
+    hex digit of doc_id). ONE definition shared by q_pipe_split_assign and
+    the q_pipe_split_leakage audit — if the thresholds ever change, the
+    leakage audit must follow automatically or it silently audits the OLD
+    split (the _hash_split drift lesson from similarity.py). The oracle
+    SQL necessarily repeats the thresholds as text; this helper is the
+    single Python source."""
+    h1 = F.substring(_md5_of("doc_id"), 1, 1)
+    return (
+        F.when(h1 < "c", F.lit("train"))
+        .when(h1 < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 @register(
     "q_pipe_split_assign",
     group="I",
@@ -79,10 +95,7 @@ def q_pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     of doc_id — adding data never reshuffles existing rows between splits,
     unlike fraction-based sample() which changes membership per run."""
     d = table(spark, sf_dir, "documents")
-    h1 = F.substring(_md5_of("doc_id"), 1, 1)
-    split = (
-        F.when(h1 < "c", F.lit("train")).when(h1 < "e", F.lit("val")).otherwise(F.lit("test"))
-    )
+    split = split_column()
     return (
         d.select("lang", split.alias("split"))
         .groupBy("lang", "split")
@@ -1124,13 +1137,7 @@ def q_pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the audit itself is hash-verified end to end."""
     from mapreduce_framework_api_spark.operators.dedup import cluster_labels
 
-    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(h1 < "c", F.lit("train"))
-        .when(h1 < "e", F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    labeled = cluster_labels(spark, sf_dir).withColumn("split", split)
+    labeled = cluster_labels(spark, sf_dir).withColumn("split", split_column())
     return (
         labeled.groupBy("cluster_id")
         .agg(

@@ -132,10 +132,10 @@ def test_embeddings_have_nonzero_norm():
     latent hash mismatch into a named failure at fixture-regen time."""
     import duckdb
 
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+    for sf in SF_DIRS:  # existence-filtered, like every canary here
         (n_zero,) = duckdb.sql(
             "SELECT COUNT(*) FROM read_parquet("
-            f"'/root/testdata/{sf}/embeddings.parquet') "
+            f"'{TESTDATA}/{sf}/embeddings.parquet') "
             "WHERE list_dot_product(list_transform(embedding, "
             "x -> CAST(x AS DOUBLE)), list_transform(embedding, "
             "x -> CAST(x AS DOUBLE))) = 0"

@@ -1647,11 +1647,11 @@ def test_pq_ann_recall_beats_chance(spark):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    split = F.substring(
-        F.md5(F.concat(F.lit("pqsplit#"), F.col("vec_id").cast("string"))), 1, 1
-    )
-    q = e.filter(split < "2").selectExpr("vec_id AS q_id", "embedding AS q_emb")
-    x = e.filter(~(split < "2"))
+    from mapreduce_framework_api_spark.operators.similarity import _hash_split
+
+    split = _hash_split("pqsplit")  # the tier's own split — never a copy
+    q = e.filter(split).selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    x = e.filter(~split)
     dot = F.aggregate(
         F.zip_with(
             F.col("q_emb"),
