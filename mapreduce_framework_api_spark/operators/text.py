@@ -622,8 +622,8 @@ WITH tok AS (
 )
 SELECT token,
        CAST(COUNT(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) FILTER (rk <= {_INDEX_POSTING_CAP})
-         AS postings
+       array_to_string(list(doc_id ORDER BY doc_id) FILTER (rk <= {_INDEX_POSTING_CAP}),
+                       ',') AS postings
 FROM capped
 GROUP BY token
 HAVING COUNT(*) >= {_INDEX_DF_MIN}
@@ -644,7 +644,11 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same viral-bucket discipline as MinHash's capped_bucket,
     dedup.py:276). sort_array(collect_list(...)) matches the oracle's
     list(... ORDER BY ...) without a sort exchange: ordering happens
-    inside each already-grouped array."""
+    inside each already-grouped array. The posting list is emitted as a
+    comma-joined STRING, not array<long>: declared-query outputs are
+    scalar-only by contract (the external differential harness hashes a
+    pandas frame and cannot factorize list cells) — the array form lives
+    only inside this plan."""
     from mapreduce_framework_api_spark.functions.textfns import explode_tokens
 
     tok = (
@@ -658,10 +662,18 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(
             F.count("*").cast("long").alias("df"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("rk") <= _INDEX_POSTING_CAP, F.col("doc_id"))
-                )
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") <= _INDEX_POSTING_CAP, F.col("doc_id")
+                            )
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
             ).alias("postings"),
         )
         .filter(F.col("df") >= _INDEX_DF_MIN)
