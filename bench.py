@@ -5,6 +5,10 @@ JSON line:
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": ...}
 
+followed by a COMPACT final line (same metric/value, slowest-query subset)
+sized to survive the recorder's 2000-char stdout tail window, with the full
+per-query map also written to BENCH_FULL.json.
+
 Timing discipline (BASELINE.md): warm session, Spark startup excluded; each
 query timed around its action (count of the materialized result — results
 stay distributed; no driver collect). A JIT/warmup pass of the flagship
@@ -118,7 +122,36 @@ def main() -> None:
     }
     if errors:
         summary["errors"] = errors
+    # Full-fidelity record first (spec line + on-disk copy): the external
+    # recorder keeps only the LAST ~2000 chars of stdout, and a 149-query
+    # map is ~4-5 KB — r4/r5 both recorded "parsed": null because the one
+    # big line was head-truncated inside that tail window.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(summary, f, indent=1)
     print(json.dumps(summary))
+    # LAST line: a compact summary sized to survive the tail window —
+    # totals always, then as many of the slowest per-query times as fit.
+    # Per-query fidelity for ALL queries lives in BENCH_FULL.json + stderr.
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": summary["sf"],
+        "n_queries": len(per_query),
+        "n_errors": len(errors),
+        "full": "BENCH_FULL.json",
+    }
+    budget = 1800
+    for name in sorted(per_query, key=per_query.get, reverse=True):
+        compact["queries"][name] = per_query[name]
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
     spark.stop()
 
 

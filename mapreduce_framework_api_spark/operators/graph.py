@@ -28,13 +28,55 @@ _PR_DAMP_PPM = 850_000  # 0.85 in ppm
 _PR_BASE_PPM = 150_000  # (1 - d) in ppm
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase part pairs (u < v): parts appearing in the same
+    order. Shared by pagerank and triangles.
+
+    Built ARRAY-SIDE, not as a self-join: one groupBy(l_orderkey) collects
+    each order's distinct sorted parts, and the u<v pairs are generated
+    inside a codegen'd nested transform over that array — so the only
+    exchanges are one 600k-row groupBy and the cross-order distinct,
+    instead of shuffling BOTH self-join sides plus the distinct (measured
+    2.5 s → 1.9 s warm at sf0.1 for the full mirrored edge build). Pair
+    fan-out is bounded by order width squared (~7² here), never
+    corpus-quadratic — the same array-side pair-generation trade the dedup
+    tiers make."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    grouped = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("pks"))
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pks, (x, i) -> "
+                    "transform(slice(pks, i + 2, size(pks)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+
+
 def _pr_round(scores: DataFrame, edges: DataFrame, deg: DataFrame) -> DataFrame:
     """One integer PageRank round: s'(v) = base + d * Σ_u→v floor(s(u)/deg(u)),
-    all in ppm with floor division (bit-exact on any engine)."""
+    all in ppm with floor division (bit-exact on any engine).
+
+    Shuffle budget: ONE per round. Scores and degrees are vertex-count-sized
+    (orders of magnitude under the edge list — every vertex appears in many
+    edges), so ``give`` is BROADCAST into the edge join instead of
+    re-shuffling the edge list on ``node`` every iteration; the only
+    exchange left is the partial-aggregated gather on ``dst``. Round 5
+    measured the 3-shuffle-per-round form at 5.6 s sf0.1; this shape cut it
+    ~2x with an identical result hash."""
+    give = (
+        scores.join(F.broadcast(deg), "node")
+        .select("node", F.floor(F.col("s_ppm") / F.col("deg")).cast("long").alias("give"))
+    )
     contrib = (
-        scores.join(deg, "node")
-        .withColumn("give", F.floor(F.col("s_ppm") / F.col("deg")).cast("long"))
-        .join(edges, "node")
+        edges.join(F.broadcast(give), "node")
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum("give").alias("gathered"))
     )
@@ -109,18 +151,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrames shape. The unroll is FIXED (3 rounds, so the lineage
     stays bounded without checkpointing; the convergence-driven variant
     would localCheckpoint per round exactly like dedup.py's label
-    propagation). Final top-20 is TakeOrdered, not a global sort."""
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a = li.select("ok", F.col("pk").alias("u"))
-    b = li.select("ok", F.col("pk").alias("v"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    propagation). Final top-20 is TakeOrdered, not a global sort.
+
+    100 TB note: the per-round broadcast of ``give`` assumes the VERTEX
+    set (parts) is dimension-sized — true for product co-occurrence
+    graphs; for a billion-vertex graph the round falls back to the
+    shuffled vertex-keyed join (the pre-round-6 shape, kept in git
+    history), which is the same plan minus the broadcast hints."""
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("node"), F.col("v").alias("dst")).unionAll(
         pairs.select(F.col("v").alias("node"), F.col("u").alias("dst"))
     )
@@ -194,14 +232,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation shrinks the forward arrays further (documented). The
     wedge total still rides along from degree products (a 20k-row
     aggregate), so the output also supports the clustering coefficient."""
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a = li.select("ok", F.col("pk").alias("u"))
-    b = li.select("ok", F.col("pk").alias("v"))
-    e = (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    ).localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).localCheckpoint()
     adj = e.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nv"))
@@ -278,7 +309,13 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is DuckDB's recursive CTE (UNION-dedup'd frontier +
     MIN(lvl)) — semantically the same frontier expansion, proving the
-    iterative DataFrame plan equals the declarative fixpoint."""
+    iterative DataFrame plan equals the declarative fixpoint.
+
+    100 TB note: frontier/visited broadcasts assume the vertex set is
+    dimension-sized (parts). For billion-vertex graphs, drop the
+    broadcast hints — the identical plan degrades gracefully to shuffled
+    vertex-keyed joins, with the per-level checkpoints still bounding the
+    lineage."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_linenumber").alias("ln"),
@@ -286,15 +323,14 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select("ok", "ln", F.col("pk").alias("u"))
     b = li.select("ok", (F.col("ln") - 1).alias("ln"), F.col("pk").alias("v"))
-    pairs = (
-        a.join(b, ["ok", "ln"])
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    raw = a.join(b, ["ok", "ln"]).filter(F.col("u") != F.col("v")).select("u", "v")
+    # One distinct over the already-mirrored rows (not distinct-pairs THEN
+    # distinct-union): (u,v) and (v,u) can both occur in the raw adjacency,
+    # so mirroring first and deduping once saves a whole shuffle of the
+    # pair set with the same result as the oracle's UNION.
     edges = (
-        pairs.selectExpr("u AS src", "v AS dst")
-        .union(pairs.selectExpr("v AS src", "u AS dst"))
+        raw.selectExpr("u AS src", "v AS dst")
+        .union(raw.selectExpr("v AS src", "u AS dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -315,15 +351,23 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole query at sf0.1).
     levels = seeds.withColumn("level", F.lit(0).cast("long")).localCheckpoint()
     frontier = levels.select("node")
+    visited = levels.select("node")
     for hop in range(1, _BFS_MAX_HOPS + 1):
+        # The frontier and visited sets are vertex-count-bounded (tiny next
+        # to the edge list), so BOTH sides of the per-hop work broadcast:
+        # the frontier into the edge join (edges are never re-shuffled per
+        # hop) and the visited set into the left-anti (BroadcastHashJoin
+        # LeftAnti, not a shuffled anti-join). The only per-hop exchange
+        # left is the distinct on the matched dst set.
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            edges.join(F.broadcast(frontier), frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(levels.select("node"), "node", "left_anti")
+            .join(F.broadcast(visited), "node", "left_anti")
             .withColumn("level", F.lit(hop).cast("long"))
             .localCheckpoint()
         )
         levels = levels.union(nxt)
         frontier = nxt.select("node")
+        visited = visited.union(frontier)
     return levels.orderBy("node")
