@@ -990,7 +990,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_pair,
         "query_id long, neighbor_id long, adc_score long",
         n_query_rows=max(1, n // 8),
-        n_index_rows=n,
+        n_index_rows=max(1, n - n // 8),
     )
     return _topk_rerank(cand, "query_id", "adc_score", _PQ_TOP_K)
 
@@ -1107,7 +1107,7 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_pair,
         "query_id long, neighbor_id long, maxsim_score long",
         n_query_rows=max(1, n // 8),
-        n_index_rows=n,
+        n_index_rows=max(1, n - n // 8),
     )
     return _topk_rerank(cand, "query_id", "maxsim_score", _MS_TOP_K)
 
@@ -1206,7 +1206,7 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_pair,
         "query_id long, neighbor_id long, dot long",
         n_query_rows=max(1, n // 8),
-        n_index_rows=n,
+        n_index_rows=max(1, n - n // 8),
     )
     exact = _topk_rerank(cand, "query_id", "dot", _PQ_TOP_K).select(
         "query_id", "neighbor_id"

@@ -530,7 +530,10 @@ _SCD2_OUT_SCHEMA = (
     "user_id long, state string, version long, valid_from_us long, "
     "valid_to_us long, n_events long"
 )
-_SCD2_STATE_SCHEMA = "cur_state string, valid_from_us long, version long, n_events long"
+_SCD2_STATE_SCHEMA = (
+    "cur_state string, valid_from_us long, version long, n_events long, "
+    "last_ts_us long"
+)
 
 
 def _scd2_update(key, pdf_iter, state: GroupState):
@@ -541,14 +544,28 @@ def _scd2_update(key, pdf_iter, state: GroupState):
     interval — and opens the next. Exact under per-user in-order delivery
     (and for any single-batch drain, which sorts the batch); the batch
     twin q_dim_scd2 is the arbiter for out-of-order corpora — same
-    contract as the funnel/sessionize machines."""
+    contract as the funnel/sessionize machines.
+
+    The delivery contract is ENFORCED, not assumed: state carries the
+    last applied ts_us, and a later batch delivering an older event
+    raises immediately (a version closed in an earlier batch can never be
+    reopened, so silently applying the event would fabricate intervals —
+    out-of-contract input must be observable; route such streams through
+    the batch twin instead)."""
     import pandas as pd
 
     if state.exists:
-        cur, vfrom, ver, nev = state.get
+        cur, vfrom, ver, nev, last_ts = state.get
     else:
-        cur, vfrom, ver, nev = None, _NO_TS, 0, 0
+        cur, vfrom, ver, nev, last_ts = None, _NO_TS, 0, 0, _NO_TS
     rows = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+    if len(rows) and int(rows["ts_us"].iloc[0]) < last_ts:
+        raise ValueError(
+            f"scd2_state: out-of-order cross-batch event for user {key[0]}: "
+            f"ts_us={int(rows['ts_us'].iloc[0])} < last applied {last_ts}; "
+            "the streaming maintainer requires per-user in-order delivery "
+            "(use the batch twin q_dim_scd2 for out-of-order corpora)"
+        )
     closed = []
     for typ, ts in zip(rows["event_type"], rows["ts_us"]):
         ts = int(ts)
@@ -559,7 +576,8 @@ def _scd2_update(key, pdf_iter, state: GroupState):
         else:
             closed.append((key[0], cur, ver, vfrom, ts, nev))
             cur, vfrom, ver, nev = typ, ts, ver + 1, 1
-    state.update((cur, vfrom, ver, nev))
+        last_ts = ts
+    state.update((cur, vfrom, ver, nev, last_ts))
     yield pd.DataFrame(
         closed,
         columns=[

@@ -267,3 +267,69 @@ def test_streaming_scd2_equals_batch(spark):
     )
     assert len(got) == len(want) > 0
     assert got == want
+
+
+_SCD2_IN_SCHEMA = "event_id long, user_id long, event_type string, ts timestamp"
+
+
+def _scd2_file_run(spark, src, ckpt, out, name):
+    """One availableNow drain of scd2_state over the files in ``src``,
+    parquet sink + shared checkpoint (so consecutive runs are genuinely
+    separate micro-batches against persisted state)."""
+    from mapreduce_framework_api_spark.streaming.pipelines import scd2_state
+
+    stream = spark.readStream.schema(_SCD2_IN_SCHEMA).parquet(src)
+    q = (
+        scd2_state(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_scd2_cross_batch_in_order(spark, tmp_path):
+    """Cross-batch SCD2: a version opened in batch 1 is closed by batch 2
+    (exercises the persisted 5-field state tuple, incl. last_ts_us)."""
+    from datetime import datetime
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    b1 = [(1, 7, "view", datetime(2024, 1, 1, 10)),
+          (2, 7, "view", datetime(2024, 1, 1, 11))]
+    spark.createDataFrame(b1, _SCD2_IN_SCHEMA).write.mode("append").parquet(src)
+    _scd2_file_run(spark, src, ckpt, out, "t_scd2_io1")
+    b2 = [(3, 7, "purchase", datetime(2024, 1, 1, 12))]
+    spark.createDataFrame(b2, _SCD2_IN_SCHEMA).write.mode("append").parquet(src)
+    _scd2_file_run(spark, src, ckpt, out, "t_scd2_io2")
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.user_id, r.state, r.version, r.n_events) == (7, "view", 1, 2)
+    assert (r.valid_from_us, r.valid_to_us) == (
+        int(datetime(2024, 1, 1, 10).timestamp() * 1_000_000),
+        int(datetime(2024, 1, 1, 12).timestamp() * 1_000_000),
+    )
+
+
+def test_streaming_scd2_rejects_cross_batch_late_event(spark, tmp_path):
+    """Out-of-contract input is OBSERVABLE, not silently wrong: an event
+    older than the last applied ts arriving in a LATER batch (which could
+    need to reopen an already-emitted version) fails the query with a
+    named error instead of fabricating intervals."""
+    from datetime import datetime
+
+    import pytest
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    b1 = [(1, 7, "view", datetime(2024, 1, 1, 10)),
+          (2, 7, "purchase", datetime(2024, 1, 1, 11))]
+    spark.createDataFrame(b1, _SCD2_IN_SCHEMA).write.mode("append").parquet(src)
+    _scd2_file_run(spark, src, ckpt, out, "t_scd2_late1")
+    late = [(3, 7, "view", datetime(2024, 1, 1, 9))]
+    spark.createDataFrame(late, _SCD2_IN_SCHEMA).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="out-of-order cross-batch"):
+        _scd2_file_run(spark, src, ckpt, out, "t_scd2_late2")
