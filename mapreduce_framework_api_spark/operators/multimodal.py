@@ -546,3 +546,120 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SYNTH_RATE = 8000  # Hz; mono PCM16 throughout the synth lane
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV payload synth for the REAL-codec audio lane:
+    each document becomes a mono PCM16 RIFF/WAVE payload whose samples
+    are a pure integer function of (doc_id, frame index) —
+    ``((doc_id*31 + i*17) % 2001) - 1000`` over ``(n_chars % 50) + 10``
+    frames — so every downstream PCM stat has an exact SQL mirror.
+    Every 10th doc gets a deliberately undecodable payload (the
+    dirty-row lane must stay exercised AND oracle-visible).
+
+    Arrow-batched mapInPandas like every media kernel: payload build is
+    a pure map stage, parallelism = scan splits, no shuffle."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from mapreduce_framework_api_spark.functions.wavcodec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                if doc_id % 10 == 0:
+                    payloads.append(b"not-a-riff" + bytes([doc_id % 251]))
+                    continue
+                nf = int(n_chars) % 50 + 10
+                samples = [
+                    ((doc_id * 31 + i * 17) % 2001) - 1000 for i in range(nf)
+                ]
+                payloads.append(encode_wav(_SYNTH_RATE, 1, samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(_synth, schema=schema)
+
+
+@register(
+    "q_multimodal_audio_real",
+    group="I",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, (n_chars % 50) + 10 AS nf FROM documents
+), samp AS (
+  SELECT doc_id, nf, ((doc_id * 31 + i * 17) % 2001) - 1000 AS v
+  FROM (
+    SELECT doc_id, nf, unnest(range(0, nf)) AS i
+    FROM d WHERE doc_id % 10 <> 0
+  )
+), per_doc AS (
+  SELECT doc_id, nf,
+         nf * 1000 // {_SYNTH_RATE} AS duration_ms,
+         MAX(ABS(v)) AS peak,
+         SUM(v * v) AS energy
+  FROM samp GROUP BY doc_id, nf
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS n_decoded,
+       CAST(SUM(p.nf) AS BIGINT) AS total_frames,
+       CAST(SUM(p.duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(MAX(p.peak) AS BIGINT) AS max_peak,
+       CAST(SUM(p.energy) AS BIGINT) AS total_energy
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source ORDER BY d.source
+""",
+)
+def q_multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec audio lane, end to end and ORACLE-CHECKED: synthesized
+    RIFF/PCM16 payloads (synth_wav_media — deterministic integer samples
+    with a SQL mirror, every 10th doc deliberately undecodable) are
+    decoded by the fake=False extract_audio_features path — the actual
+    functions/wavcodec.py parse, not the stand-in — and rolled up per
+    source. The oracle recomputes every PCM stat (frames, floor-division
+    duration, peak |sample|, Σ sample²) from the synth formula, so the
+    codec's framing, the Arrow nullable dtypes, AND the dirty-row
+    null-tolerance (n_payloads vs n_decoded) are all under the value
+    hash. Closes the round-5 gap: the WAV codec was pytest-only; now a
+    declared query's plan contains the real decode.
+
+    Scale shape: one documents scan -> two Arrow-batched map stages
+    (synth, decode) -> broadcast-joinable doc_id->source attach -> one
+    source-keyed aggregate. Integer end to end; energy is bounded by
+    1000² x 59 frames per doc, nowhere near int64."""
+    docs = table(spark, sf_dir, "documents")
+    media = synth_wav_media(docs)
+    feats = extract_audio_features(media, fake=False)
+    return (
+        feats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_payloads"),
+            F.count("sample_rate").cast("long").alias("n_decoded"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+            F.max("peak_abs").cast("long").alias("max_peak"),
+            F.sum("energy").cast("long").alias("total_energy"),
+        )
+        .orderBy("source")
+    )
