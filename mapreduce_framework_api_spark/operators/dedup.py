@@ -1163,9 +1163,20 @@ def q_dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_hash, and map-side partial aggregation absorbs within-partition
     duplicates of hot boilerplate before the wire. Shuffled payload is
     (16-byte hash, doc_id) — never text. At 100 TB this is the standard
-    inverted-index build, bounded by total chunk count."""
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens_nonempty("text")
+    inverted-index build, bounded by total chunk count. The chunk explode
+    (tokenize + per-chunk md5) is the expensive map stage, so the scan is
+    ``parallelized`` — the sf1 receipt caught this stage serialized onto 2
+    tasks (20 s) when the source is one unsplittable parquet file.
+
+    The token array is BOUND TO A COLUMN in its own projection before the
+    per-chunk lambda touches it: with the tokenize expression inlined into
+    the transform, Catalyst re-evaluated the full split per CHUNK (cost
+    n_chunks x tokenize per doc — measured 432 executor-CPU-seconds at
+    sf1; column-bound: 53 s, same rows)."""
+    docs = parallelized(table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens_nonempty("text").alias("toks")
+    )
+    toks = F.col("toks")
     # integer chunk count; guard the no-full-chunk case (F.sequence(0, -1)
     # would generate a DESCENDING [0, -1], not an empty list)
     n_chunks = F.floor(F.size(toks) / F.lit(_CHUNK_TOKENS)).cast("int")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_framework_api_spark.registry import register
-from mapreduce_framework_api_spark.sources import table
+from mapreduce_framework_api_spark.sources import parallelized, table
 
 
 def _md5_of(col) -> "F.Column":
@@ -831,10 +831,19 @@ def q_pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a WindowGroupLimit top-1, the row-local split gate, and a
     languages-sized aggregate. Catalyst composes the steps into one pass
     end-to-end: this is why declaring the pipeline beats materializing
-    each stage (k scans, k intermediate datasets)."""
+    each stage (k scans, k intermediate datasets). The scan is
+    ``parallelized`` because the fused gate expressions (tokenize +
+    regexp + distinct per doc) are the dominant compute — the sf1 receipt
+    caught them serialized onto 2 tasks (9 s) behind one unsplittable
+    parquet file; with real multi-split sources the gate passes through
+    untouched and the fusion stays shuffle-free."""
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", "[^A-Za-z0-9]+"), lambda t: t != F.lit(""))
-    m = d.filter(F.substring(_md5_of("doc_id"), 1, 2) < "80").select(
+    # widen AFTER the row-cheap hash-sample gate: only the surviving half
+    # of the text ever crosses the (locally-gated) exchange
+    m = parallelized(
+        d.filter(F.substring(_md5_of("doc_id"), 1, 2) < "80")
+    ).select(
         "doc_id",
         "lang",
         "text",
