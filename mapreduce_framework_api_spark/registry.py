@@ -66,109 +66,82 @@ _LOADED = False
 # round, (3) then the longest-unverified green queries; whatever sits out
 # must be green-on-unchanged-code from the previous round.
 #
-# Round-5 window, by the standing policy: (1) the 46 queries NEW since
-# the r4 driver snapshot — the 34 of the round-4 continuation (ohlc /
-# timeweighted / vocab_coverage / filter_cascade / weighted_median /
-# topk_windowed / cdc_compact / asof_nearest / hll_merge /
-# repeated_chunks / transitions / keywords / end_to_end / mad /
-# lateral_topn / streaks / cooccurrence / unpivot / latency_bands /
-# hll_sliding / pagerank / triangles / rfm / dataset_card /
-# token_budget / set_ops_all / anomaly / string_agg / corr_exact /
-# search_split / chunk_overlap / upsample_epochs / shuffle_order /
-# sessionize) plus the 12 of round 5 proper (dim_scd2 / merge_upsert /
-# profile_columns / events_interpolate / text_inverted_index /
-# graph_bfs / sim_pq_topk / mv_incremental / join_temporal /
-# events_autocorr / join_fuzzy / text_bpe_merges) — lead;
-# (2) code changed since the snapshot:
-# q_pipe_pack_chunks (oracle HUGEINT cast — the one r4-red row, needs
-# its green receipt) and q_sketch_hist_quantile (median-rank div fix);
-# (3) the block-pair-cogroup rework's two consumers (q_sim_cosine_topk
-# / q_dedup_embedding — their code changed in the round-4 continuation,
-# so they outrank staleness); the remaining 12 r4 sitters (canonical /
-# decontaminate / ngram_jaccard / report / simhash / join_multi /
-# range_binned / skew_salted / clusters / minhash / ann_lsh /
-# join_star — the last re-measured twice this round at ~1.1-1.2s with
-# an unchanged plan, closing its r4 perf flag) yield their slots to
-# round 5's new queries — every sit-out is hash-green on its latest
-# driver check, on code untouched since, and covered by the committed
-# full-surface local receipts in BASELINE.md. (The queries added after
-# the window filled — q_fn_map, q_sim_maxsim_topk, q_sim_pq_recall,
-# q_events_heatmap, q_agg_winsorized, q_pipe_interleave,
-# q_pipe_quantile_norm, q_pipe_split_leakage, q_text_langid_confusion,
-# q_multimodal_audio_stats, q_events_burst, q_sim_outliers,
-# q_privacy_kanonymity — also sit out and take round-6 priority; all are
-# locally green, receipted in BASELINE.md.)
+# Round-6 window, by the standing policy:
+# (1) the round-5 red row (q_text_inverted_index — postings now a
+# comma-joined string on both engines; values were proven equal, the
+# driver canonicalizer just couldn't hash list cells), then the 13
+# queries that have never had a driver row (added after the r5 window
+# filled), then the one query NEW this round (q_multimodal_audio_real —
+# the real-WAV-codec lane);
+# (2) the 6 queries whose CODE changed this round: the graph trio
+# (broadcast-per-round rework + shared array-side pair build), the
+# capstone + repeated_chunks (parallelized scans; chunk dedup also fixed
+# the per-chunk tokenize re-evaluation), and q_sim_pq_topk (index block
+# geometry now matches the 7/8 hash split);
+# (3) 29 slots of staleness rotation — the two r2-era greens
+# (fingerprint/tokens) and the 27 highest-complexity r3-era greens (the
+# join family, the dedup candidate tiers, multimodal, the remaining
+# pipe/agg rows), so no shuffling query's last driver receipt is older
+# than r3. Sitting out: 9 row-local expression pipelines (the five
+# q_fn_* scalars, filter_pred, pipe_pii_scrub, text_repetition,
+# text_surprisal — all r3-green on untouched code, the standing
+# policy's lowest-risk yields) and every r4/r5 green on untouched code;
+# all are covered by this round's committed 150-ok local receipt.
 _WINDOW: tuple[str, ...] = (
-    # (1) NEW this round — no driver row yet
-    "q_events_ohlc",
-    "q_events_timeweighted",
-    "q_text_vocab_coverage",
-    "q_pipe_filter_cascade",
-    "q_agg_weighted_median",
-    "q_stream_topk_windowed",
-    "q_events_cdc_compact",
-    "q_join_asof_nearest",
-    "q_sketch_hll_merge",
-    "q_dedup_repeated_chunks",
-    "q_events_transitions",
-    "q_text_keywords",
-    "q_pipe_end_to_end",
-    "q_agg_mad",
-    "q_join_lateral_topn",
-    "q_events_streaks",
-    "q_events_cooccurrence",
-    "q_agg_unpivot",
-    "q_events_latency_bands",
-    "q_sketch_hll_sliding",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_events_rfm",
-    "q_pipe_dataset_card",
-    "q_pipe_token_budget",
-    "q_set_ops_all",
-    "q_events_anomaly",
-    "q_agg_string_agg",
-    "q_agg_corr_exact",
-    "q_sim_search_split",
-    "q_pipe_chunk_overlap",
-    "q_pipe_upsample_epochs",
-    "q_pipe_shuffle_order",
-    "q_events_sessionize",
-    "q_dim_scd2",
-    "q_merge_upsert",
-    "q_profile_columns",
-    "q_events_interpolate",
+    # (1) red-row fix + never-driver-checked + new this round
     "q_text_inverted_index",
+    "q_fn_map",
+    "q_sim_maxsim_topk",
+    "q_sim_pq_recall",
+    "q_sim_outliers",
+    "q_events_heatmap",
+    "q_events_burst",
+    "q_agg_winsorized",
+    "q_pipe_interleave",
+    "q_pipe_quantile_norm",
+    "q_pipe_split_leakage",
+    "q_text_langid_confusion",
+    "q_multimodal_audio_stats",
+    "q_privacy_kanonymity",
+    "q_multimodal_audio_real",
+    # (2) code changed this round
+    "q_graph_pagerank",
     "q_graph_bfs",
+    "q_graph_triangles",
+    "q_dedup_repeated_chunks",
+    "q_pipe_end_to_end",
     "q_sim_pq_topk",
-    "q_mv_incremental",
-    "q_join_temporal",
-    "q_events_autocorr",
-    "q_join_fuzzy",
-    "q_text_bpe_merges",
-    # (2) changed this round
-    "q_pipe_pack_chunks",
-    "q_sketch_hist_quantile",
-    # (3) the block-pair-cogroup rework's two consumers
-    "q_sim_cosine_topk",
-    "q_dedup_embedding",
+    # (3) staleness rotation (r2 first, then r3-era greens)
+    "q_text_fingerprint",
+    "q_text_tokens",
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_dedup_canonical",
+    "q_dedup_clusters",
+    "q_dedup_decontaminate",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_report",
+    "q_dedup_simhash",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multi",
+    "q_join_range_binned",
+    "q_join_semi",
+    "q_join_skew_salted",
+    "q_join_star",
+    "q_join_theta_range",
+    "q_multimodal_meta",
+    "q_multimodal_stats",
+    "q_pipe_keep_first",
+    "q_pipe_length_hist",
+    "q_pipe_quota_cap",
+    "q_pipe_sample_hash",
+    "q_pipe_split_assign",
+    "q_sim_ann_lsh",
 )
-# q_text_repetition / q_text_surprisal / q_filter_pred /
-# q_pipe_sample_hash / q_pipe_split_assign / q_pipe_length_hist /
-# q_multimodal_meta / q_pipe_quota_cap / q_agg_percentile / q_agg_stats
-# / q_pipe_pii_scrub / q_pipe_keep_first / q_multimodal_stats /
-# q_join_theta_range (its scale-safe sibling range_binned stays in) /
-# q_join_broadcast / q_join_inner / q_join_left / q_join_semi /
-# q_join_anti (two-table broadcast joins, thrice green)
-# and the five
-# q_fn_* scalar queries yielded their
-# round-5 slots to the twelve queries new this continuation (ohlc /
-# timeweighted / vocab_coverage / filter_cascade / weighted_median /
-# topk_windowed / cdc_compact / asof_nearest / hll_merge /
-# repeated_chunks / transitions / keywords): every sit-out is a row-local expression
-# pipeline, green on its last driver check, on code untouched since, and
-# covered by the committed full-surface local receipt — the standing
-# policy's lowest-risk yields.
 
 
 def load_all_queries() -> dict[str, Query]:
