@@ -114,3 +114,18 @@ def test_range_binned_join_is_equi_not_nested_loop(spark, queries):
     assert strategies, "expected at least one join in the plan"
     bad = [s for s in strategies if s in ("BroadcastNestedLoopJoin", "CartesianProduct")]
     assert bad == [], strategies
+
+
+def test_chunk_dedup_tokenizes_exactly_once(spark, queries):
+    """Regression guard for the round-6 sf1 finding: with the tokenize
+    expression INLINED into the per-chunk transform lambda, Catalyst
+    re-evaluated the full regex split once per CHUNK (432 executor-CPU-s
+    at sf1 vs 53 s column-bound, same rows). The optimized plan must
+    contain exactly one split() — the dedicated tokenize projection —
+    with the generator lambda referencing the bound column."""
+    df = queries["q_dedup_repeated_chunks"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, (
+        f"tokenize evaluated {plan.count('split(')} times — bind the token "
+        "array to a column before per-element lambdas capture it"
+    )
