@@ -1206,3 +1206,79 @@ def q_dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("chunk_hash")
     )
+
+
+def _minhash_recall_oracle() -> str:
+    """Composed oracle: the exact-Jaccard truth set and the MinHash tier's
+    output are both ALREADY oracle'd queries (q_dedup_ngram_jaccard /
+    q_dedup_minhash); the recall evaluation nests those proven texts as
+    CTE subqueries (DuckDB allows WITH inside a CTE body) so the metric's
+    oracle can never drift from the tiers it evaluates — the same
+    composition discipline as q_sim_pq_recall / q_pipe_split_leakage."""
+    from mapreduce_framework_api_spark.registry import REGISTRY
+
+    truth_sql = REGISTRY["q_dedup_ngram_jaccard"].oracle
+    cand_sql = REGISTRY["q_dedup_minhash"].oracle
+    return f"""
+WITH truth AS ({truth_sql}),
+     cand AS ({cand_sql}),
+     hit AS (
+       SELECT COUNT(*) AS n
+       FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+     )
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT n FROM hit) AS BIGINT) AS n_hit,
+       CAST(FLOOR((SELECT n FROM hit) * 10000.0
+                  / GREATEST((SELECT COUNT(*) FROM truth), 1)) AS BIGINT)
+         AS recall_x10000
+"""
+
+
+@register(
+    "q_dedup_minhash_recall",
+    group="I",
+    oracle=_minhash_recall_oracle(),
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-tier quality evaluation — the dedup counterpart of
+    q_sim_pq_recall: recall of the MinHash-LSH tier (banded candidates,
+    est-Jaccard >= 0.5) against the EXACT trigram-Jaccard pair set, as
+    one row of integer counts plus a floor-scaled recall. This is the
+    number a production pipeline watches when it trades the exact tier's
+    cost (see the sf1 receipt: exact-verify CPU grows with pair-shingle
+    co-occurrences) for the banded tier's linearity: how many true
+    near-dup pairs does the cheap tier actually surface?
+
+    Plan shape: both sides reuse proven pipelines — the truth side the
+    per-session cached jaccard_dup_pairs table (localCheckpoint'd; free
+    when the dedup family already ran), the candidate side the minhash
+    query's own plan — joined on the pair key, reduced to THREE
+    single-row aggregates broadcast-crossed into one row. The metric adds
+    one pair-keyed equi-join over two already-thinned pair tables; no
+    new heavy lifting at any scale.
+
+    Exactness: counts and a floor division — integer end to end
+    (recall_x10000 = floor(hit * 10000 / max(truth, 1)))."""
+    truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_hit = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.floor(
+                F.col("n_hit") * 10000.0 / F.greatest(F.col("n_truth"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_x10000"),
+        )
+    )

@@ -701,6 +701,17 @@ def _bpe_oracle() -> str:
     consecutive overlapping pairs merge leftmost-first exactly like the
     canonical list-walk BPE ('a a a a' -> 'aa aa'; proven equal to a
     sequential reference in tests/test_properties.py)."""
+    selects = " UNION ALL ".join(f"SELECT * FROM t{i}" for i in range(_BPE_STEPS))
+    return _bpe_oracle_ctes() + f"\nSELECT * FROM ({selects}) ORDER BY step"
+
+
+def _bpe_oracle_ctes() -> str:
+    """The shared WITH-chain of the BPE oracle: words0 (corpus word
+    frequencies in boundary-safe symbol encoding) through
+    words{_BPE_STEPS} (vocabulary after every merge), with t{i} as each
+    round's winning pair. Shared by the induction oracle
+    (q_text_bpe_merges selects the t{i}) and the encode oracle
+    (q_text_bpe_encode aggregates words{_BPE_STEPS})."""
     sql = """
 WITH words0 AS (
   SELECT '·' || array_to_string(regexp_extract_all(t.token, '(.)', 1), '··')
@@ -728,8 +739,7 @@ WITH words0 AS (
            AS sym, freq
   FROM words{i}
 )"""
-    selects = " UNION ALL ".join(f"SELECT * FROM t{i}" for i in range(_BPE_STEPS))
-    return sql + f"\nSELECT * FROM ({selects}) ORDER BY step"
+    return sql
 
 
 @register("q_text_bpe_merges", group="I", oracle=_bpe_oracle())
@@ -757,6 +767,18 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer counts + literal left-to-right replace keep every round
     bit-identical across engines, so the greedy argmax chain carries a
     FULL oracle (an FP-scored trainer could not)."""
+    _, merges = _bpe_run(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.orderBy("step")
+
+
+def _bpe_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared BPE trainer pipeline (see q_text_bpe_merges for the full
+    semantics/scale discussion): returns (vocabulary after all merge
+    rounds, per-round winning-merge frames). Induction consumes the
+    merges; encoding consumes the final vocabulary."""
     from mapreduce_framework_api_spark.functions.textfns import explode_tokens
 
     tok = table(spark, sf_dir, "documents").select(explode_tokens("text"))
@@ -832,10 +854,83 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.union(m)
-    return out.orderBy("step")
+    return words, merges
+
+
+def _bpe_encode_oracle() -> str:
+    """Composed oracle over the shared BPE CTE chain: corpus token stats
+    after applying the learned merges to every word of the vocabulary."""
+    w = f"words{_BPE_STEPS}"
+    return _bpe_oracle_ctes() + f""",
+syms AS (
+  SELECT string_split(trim(sym, '·'), '··') AS l,
+         length(replace(sym, '·', '')) AS n_chars, freq
+  FROM {w}
+)
+SELECT CAST((SELECT COUNT(*) FROM syms) AS BIGINT) AS n_words,
+       CAST((SELECT SUM(freq) FROM syms) AS BIGINT)
+         AS total_word_occurrences,
+       CAST((SELECT SUM(freq * len(l)) FROM syms) AS BIGINT) AS total_tokens,
+       CAST((SELECT SUM(freq * n_chars) FROM syms) AS BIGINT) AS total_chars,
+       CAST((SELECT COUNT(DISTINCT s) FROM (SELECT unnest(l) AS s FROM syms))
+            AS BIGINT) AS vocab_size,
+       CAST(FLOOR((SELECT SUM(freq * n_chars) FROM syms) * 10000.0
+                  / (SELECT SUM(freq * len(l)) FROM syms)) AS BIGINT)
+         AS chars_per_token_x10000
+"""
+
+
+@register("q_text_bpe_encode", group="I", oracle=_bpe_encode_oracle())
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING stats — the apply-the-tokenizer half that completes
+    q_text_bpe_merges' train half: the corpus re-tokenized under the 3
+    learned merges, reported as one row of exact integers — word count,
+    frequency-weighted occurrences, total post-merge tokens, total
+    characters, the symbol vocabulary size, and the compression ratio
+    (chars per token, floor-scaled x10000 — the number a tokenizer
+    team actually tracks).
+
+    Plan shape: everything reuses the shared _bpe_run pipeline — the
+    corpus-sized work remains the ONE initial token-frequency aggregate;
+    encoding stats are a vocabulary-table scan (split + weighted sums)
+    plus one distinct over exploded symbols, then three broadcast-crossed
+    single-row aggregates. Merge application cost lives on the
+    vocabulary, never the corpus — exactly how a production tokenizer
+    applies merges to a word-frequency table and scores compression
+    before committing to a vocab."""
+    words, _ = _bpe_run(spark, sf_dir)
+    dbl = _BPE_SEP * 2
+    syms = words.select(
+        F.split(F.expr(f"trim(BOTH '{_BPE_SEP}' FROM sym)"), dbl).alias("l"),
+        F.length(F.replace(F.col("sym"), F.lit(_BPE_SEP), F.lit(""))).alias(
+            "n_chars"
+        ),
+        "freq",
+    )
+    totals = syms.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("freq").cast("long").alias("total_word_occurrences"),
+        F.sum(F.col("freq") * F.size("l")).cast("long").alias("total_tokens"),
+        F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("total_chars"),
+    )
+    vocab = syms.select(F.explode("l").alias("s")).agg(
+        F.count_distinct("s").cast("long").alias("vocab_size")
+    )
+    return (
+        totals.crossJoin(F.broadcast(vocab))
+        .select(
+            "n_words",
+            "total_word_occurrences",
+            "total_tokens",
+            "total_chars",
+            "vocab_size",
+            F.floor(
+                F.col("total_chars") * 10000.0 / F.col("total_tokens")
+            )
+            .cast("long")
+            .alias("chars_per_token_x10000"),
+        )
+    )
 
 
 def _langid_confusion_oracle() -> str:

@@ -78,15 +78,21 @@ _LOADED = False
 # capstone + repeated_chunks (parallelized scans; chunk dedup also fixed
 # the per-chunk tokenize re-evaluation), and q_sim_pq_topk (index block
 # geometry now matches the 7/8 hash split);
-# (3) 29 slots of staleness rotation — the two r2-era greens
-# (fingerprint/tokens) and the 27 highest-complexity r3-era greens (the
+# (2b) the two queries NEW in the round-6 continuation
+# (q_dedup_minhash_recall — candidate-tier recall vs the exact Jaccard
+# set, composed oracle; q_text_bpe_encode — apply-the-merges tokenizer
+# stats) plus q_text_bpe_merges, whose code moved into the shared
+# _bpe_run helper (plan-identical, but changed code outranks staleness);
+# (3) 26 slots of staleness rotation — the two r2-era greens
+# (fingerprint/tokens) and the 24 highest-complexity r3-era greens (the
 # join family, the dedup candidate tiers, multimodal, the remaining
 # pipe/agg rows), so no shuffling query's last driver receipt is older
-# than r3. Sitting out: 9 row-local expression pipelines (the five
+# than r3. Sitting out: 12 row-local expression pipelines (the five
 # q_fn_* scalars, filter_pred, pipe_pii_scrub, text_repetition,
-# text_surprisal — all r3-green on untouched code, the standing
-# policy's lowest-risk yields) and every r4/r5 green on untouched code;
-# all are covered by this round's committed 150-ok local receipt.
+# text_surprisal, pipe_sample_hash, pipe_split_assign, pipe_length_hist
+# — all r3-green on untouched code, the standing policy's lowest-risk
+# yields) and every r4/r5 green on untouched code; all are covered by
+# this round's committed 152-ok local receipt.
 _WINDOW: tuple[str, ...] = (
     # (1) red-row fix + never-driver-checked + new this round
     "q_text_inverted_index",
@@ -111,6 +117,10 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_repeated_chunks",
     "q_pipe_end_to_end",
     "q_sim_pq_topk",
+    # (2b) new in the round-6 continuation + the shared-helper refactor
+    "q_dedup_minhash_recall",
+    "q_text_bpe_encode",
+    "q_text_bpe_merges",
     # (3) staleness rotation (r2 first, then r3-era greens)
     "q_text_fingerprint",
     "q_text_tokens",
@@ -136,10 +146,7 @@ _WINDOW: tuple[str, ...] = (
     "q_multimodal_meta",
     "q_multimodal_stats",
     "q_pipe_keep_first",
-    "q_pipe_length_hist",
     "q_pipe_quota_cap",
-    "q_pipe_sample_hash",
-    "q_pipe_split_assign",
     "q_sim_ann_lsh",
 )
 
