@@ -28,6 +28,32 @@ from mapreduce_framework_api_spark.registry import load_all_queries
 from mapreduce_framework_api_spark.session import get_spark
 
 
+def compact_summary(summary: dict, budget: int = 1800) -> dict:
+    """Tail-window-safe summary: totals always, then as many of the
+    slowest per-query times as fit in ``budget`` serialized chars. The
+    external recorder keeps only the last ~2000 chars of stdout, so the
+    LAST printed line must parse on its own (r4/r5 recorded parsed:null
+    because the one full-size line was head-truncated). Unit-tested in
+    tests/test_bench_output.py."""
+    per_query = summary.get("queries", {})
+    compact = {
+        "metric": summary["metric"],
+        "value": summary["value"],
+        "unit": summary["unit"],
+        "queries": {},
+        "sf": summary["sf"],
+        "n_queries": len(per_query),
+        "n_errors": len(summary.get("errors", {})),
+        "full": "BENCH_FULL.json",
+    }
+    for name in sorted(per_query, key=per_query.get, reverse=True):
+        compact["queries"][name] = per_query[name]
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            break
+    return compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -135,23 +161,7 @@ def main() -> None:
     # LAST line: a compact summary sized to survive the tail window —
     # totals always, then as many of the slowest per-query times as fit.
     # Per-query fidelity for ALL queries lives in BENCH_FULL.json + stderr.
-    compact = {
-        "metric": "total_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": {},
-        "sf": summary["sf"],
-        "n_queries": len(per_query),
-        "n_errors": len(errors),
-        "full": "BENCH_FULL.json",
-    }
-    budget = 1800
-    for name in sorted(per_query, key=per_query.get, reverse=True):
-        compact["queries"][name] = per_query[name]
-        if len(json.dumps(compact)) > budget:
-            del compact["queries"][name]
-            break
-    print(json.dumps(compact))
+    print(json.dumps(compact_summary(summary)))
     spark.stop()
 
 

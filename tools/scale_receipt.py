@@ -38,6 +38,7 @@ QUERIES = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_recall",
     "q_dedup_embedding",
     "q_dedup_clusters",
     "q_dedup_canonical",
