@@ -774,11 +774,25 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+_BPE_RUN_CACHE: dict[tuple[str, str], tuple[DataFrame, list[DataFrame]]] = {}
+
+
 def _bpe_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
     """The shared BPE trainer pipeline (see q_text_bpe_merges for the full
     semantics/scale discussion): returns (vocabulary after all merge
     rounds, per-round winning-merge frames). Induction consumes the
-    merges; encoding consumes the final vocabulary."""
+    merges; encoding consumes the final vocabulary. Cached per
+    (application, sf_dir) — every intermediate is localCheckpoint'ed, so
+    when merges and encode run in the same session (the bench and the
+    driver window both do) the trainer's corpus aggregate and checkpoint
+    jobs run ONCE (the jaccard_dup_pairs discipline, dedup.py)."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    cached = _BPE_RUN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     from mapreduce_framework_api_spark.functions.textfns import explode_tokens
 
     tok = table(spark, sf_dir, "documents").select(explode_tokens("text"))
@@ -854,6 +868,7 @@ def _bpe_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFram
             )
             .localCheckpoint()
         )
+    _BPE_RUN_CACHE[key] = (words, merges)
     return words, merges
 
 

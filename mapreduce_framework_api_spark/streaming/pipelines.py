@@ -551,7 +551,11 @@ def _scd2_update(key, pdf_iter, state: GroupState):
     raises immediately (a version closed in an earlier batch can never be
     reopened, so silently applying the event would fabricate intervals —
     out-of-contract input must be observable; route such streams through
-    the batch twin instead)."""
+    the batch twin instead). Migration note: the state tuple widened from
+    4 to 5 fields in round 6 — checkpoints written by the older maintainer
+    must be drained or discarded before upgrading (Spark validates the
+    state schema at restore; there is no in-place migration for
+    applyInPandasWithState state)."""
     import pandas as pd
 
     if state.exists:
@@ -559,11 +563,17 @@ def _scd2_update(key, pdf_iter, state: GroupState):
     else:
         cur, vfrom, ver, nev, last_ts = None, _NO_TS, 0, 0, _NO_TS
     rows = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
-    if len(rows) and int(rows["ts_us"].iloc[0]) < last_ts:
+    # STRICT monotonicity across batches (<=, not <): an equal-ts event in
+    # a later batch is just as out-of-contract as an older one — the batch
+    # arbiter orders ties by (ts, event_id), which cannot be honored once
+    # the tied event already applied in an earlier batch, and an exact
+    # redelivery would silently inflate n_events.
+    if len(rows) and int(rows["ts_us"].iloc[0]) <= last_ts:
         raise ValueError(
             f"scd2_state: out-of-order cross-batch event for user {key[0]}: "
-            f"ts_us={int(rows['ts_us'].iloc[0])} < last applied {last_ts}; "
-            "the streaming maintainer requires per-user in-order delivery "
+            f"ts_us={int(rows['ts_us'].iloc[0])} <= last applied {last_ts}; "
+            "the streaming maintainer requires strictly-increasing per-user "
+            "delivery across batches "
             "(use the batch twin q_dim_scd2 for out-of-order corpora)"
         )
     closed = []
