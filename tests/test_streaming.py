@@ -333,3 +333,22 @@ def test_streaming_scd2_rejects_cross_batch_late_event(spark, tmp_path):
     spark.createDataFrame(late, _SCD2_IN_SCHEMA).write.mode("append").parquet(src)
     with pytest.raises(Exception, match="out-of-order cross-batch"):
         _scd2_file_run(spark, src, ckpt, out, "t_scd2_late2")
+
+
+def test_streaming_scd2_rejects_cross_batch_tie(spark, tmp_path):
+    """Equal-timestamp events in a LATER batch are also out-of-contract:
+    the batch arbiter orders ties by (ts, event_id), which cannot be
+    honored once the tied event already applied — and an exact redelivery
+    must not inflate n_events. Strict monotonicity is enforced."""
+    from datetime import datetime
+
+    import pytest
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    b1 = [(2, 7, "view", datetime(2024, 1, 1, 10))]
+    spark.createDataFrame(b1, _SCD2_IN_SCHEMA).write.mode("append").parquet(src)
+    _scd2_file_run(spark, src, ckpt, out, "t_scd2_tie1")
+    tie = [(1, 7, "purchase", datetime(2024, 1, 1, 10))]
+    spark.createDataFrame(tie, _SCD2_IN_SCHEMA).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="out-of-order cross-batch"):
+        _scd2_file_run(spark, src, ckpt, out, "t_scd2_tie2")
