@@ -224,23 +224,27 @@ _MINHASH_BUCKET_CASE = "\n           ".join(
 _MINHASH_MATCHES = " + ".join(
     f"(CASE WHEN x.m{i + 1} = y.m{i + 1} THEN 1 ELSE 0 END)" for i in range(_N_PERM)
 )
-_MINHASH_ORACLE = f"""
-WITH t AS (
+# The CTE chain shared by the minhash-estimate and verified-tier oracles:
+# everything up to the banded candidate set `cand` (plus `mins` for the
+# estimate). Factored so the verified tier's candidate generation can never
+# drift from the proven estimate tier — same discipline as the Spark-side
+# minhash_candidate_pairs() both queries call.
+_MINHASH_CAND_CTES = f"""mh_t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks,
          text
   FROM documents
-), sh AS (
+), mh_sh AS (
   SELECT DISTINCT doc_id,
          unnest(CASE WHEN len(toks) >= 3
                 THEN list_transform(range(1, len(toks) - 1),
                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                 ELSE [text] END) AS shingle
-  FROM t
+  FROM mh_t
 ), hs AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(shingle), 1, 13)) AS BIGINT) % {_MINHASH_P} AS h
-  FROM sh
+  FROM mh_sh
 ), mins AS (
   SELECT doc_id,
          {_MINHASH_MINS}
@@ -259,7 +263,10 @@ WITH t AS (
   SELECT DISTINCT ua.a AS doc_a, ub.b AS doc_b
   FROM bk, UNNEST(ds) AS ua(a), UNNEST(ds) AS ub(b)
   WHERE ua.a < ub.b
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES}
 SELECT c.doc_a, c.doc_b,
        ROUND(({_MINHASH_MATCHES}) / 16.0, 2) AS est_jaccard
 FROM cand c JOIN mins x ON c.doc_a = x.doc_id JOIN mins y ON c.doc_b = y.doc_id
@@ -268,22 +275,19 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register(
-    "q_dedup_minhash",
-    group="I",
-    oracle=_MINHASH_ORACLE,
-)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs on documents.text.
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs on documents.text, BEFORE any
+    Jaccard filtering: (doc_a, doc_b, sig_a, sig_b), doc_a < doc_b, one row
+    per (band, bucket) co-occurrence (callers dropDuplicates on the pair
+    key as needed).
 
     shingle(3) → 16-perm minhash → 8 bands × 2 rows → bucket-join.
-    Candidates = pairs agreeing on ≥1 full band, then filtered by estimated
-    Jaccard (matching minhashes / 16) ≥ 0.5. The join is on (band_id,
+    Candidates = pairs agreeing on ≥1 full band. The join is on (band_id,
     bucket) so work scales with real collisions, and bucket width is capped
-    (capped_bucket) so one viral bucket never goes quadratic. md5-derived
-    shingle hashes make the whole pipeline — signatures, banding, cap,
-    estimate — exactly reproducible in SQL (_MINHASH_ORACLE), so this
-    query is hash-checked, not rows-only."""
+    (capped_bucket) so one viral bucket never goes quadratic. Shared by the
+    estimate tier (q_dedup_minhash) and the verified tier
+    (q_dedup_minhash_verified); the oracle-side twin is
+    _MINHASH_CAND_CTES."""
     docs = parallelized(table(spark, sf_dir, "documents"))
     # Arrow-batched kernel == minhash_signature() bit-for-bit (pinned by
     # tests); the expression fold costs ~2x the whole query at sf0.1.
@@ -311,7 +315,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
         .filter(F.size("recs") > 1)
     )
-    pairs = buckets.select(
+    return buckets.select(
         F.explode(_pairs_within(capped_bucket(F.col("recs")))).alias("p")
     ).select(
         F.col("p.a.doc_id").alias("doc_a"),
@@ -319,6 +323,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.a.sig").alias("sig_a"),
         F.col("p.b.sig").alias("sig_b"),
     )
+
+
+@register(
+    "q_dedup_minhash",
+    group="I",
+    oracle=_MINHASH_ORACLE,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs on documents.text: the banded
+    candidates (minhash_candidate_pairs), filtered by estimated Jaccard
+    (matching minhashes / 16) ≥ 0.5. md5-derived shingle hashes make the
+    whole pipeline — signatures, banding, cap, estimate — exactly
+    reproducible in SQL (_MINHASH_ORACLE), so this query is hash-checked,
+    not rows-only."""
+    pairs = minhash_candidate_pairs(spark, sf_dir)
     est_jac = (
         F.size(
             F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
@@ -329,6 +348,95 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("doc_a", "doc_b", F.round(est_jac, 2).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
         .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# The verified tier's oracle: banded candidates (shared CTE chain) exactly
+# verified against the full trigram shingle sets. The shingle CTEs here use
+# the jaccard pipeline's normalized-token fallback (array_to_string(toks,
+# ' ')) because the Spark side verifies with _shingle_hash_udf — the same
+# kernel behind jaccard_dup_pairs — NOT the minhash signature shingles
+# (whose <3-token fallback is the raw text). No df cap: verification is
+# per-candidate-pair set intersection, so there is no viral-shingle pair
+# blowup to guard against.
+_MINHASH_VERIFIED_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES}, v_sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM mh_t
+), v_sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM v_sh GROUP BY doc_id
+), v_inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+  FROM cand c
+       JOIN v_sh a ON a.doc_id = c.doc_a
+       JOIN v_sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.common AS DOUBLE) / (x.n + y.n - i.common), 2) AS jaccard
+FROM v_inter i JOIN v_sz x ON i.doc_a = x.doc_id JOIN v_sz y ON i.doc_b = y.doc_id
+WHERE CAST(i.common AS DOUBLE) / (x.n + y.n - i.common) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q_dedup_minhash_verified",
+    group="I",
+    oracle=_MINHASH_VERIFIED_ORACLE,
+)
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup composition, as one query: banded MinHash candidate
+    generation (linear — see the sf1 receipt in BASELINE.md) followed by
+    EXACT trigram-Jaccard verification computed only on the candidate
+    pairs. This is the path the q_dedup_minhash_recall receipt justifies
+    (99.93% candidate recall at sf1): the exact tier's
+    pair-co-occurrence-bound inverted-index join is reserved for the
+    candidate set, so verification cost scales with |candidates|, not with
+    corpus-wide shingle co-occurrences.
+
+    Plan shape: candidates (pre-estimate, all banded pairs) are
+    deduplicated on the pair key, then each side picks up its full
+    63-bit-hashed shingle set via two hash equi-joins on doc_id;
+    |A ∩ B| = size(array_intersect) evaluates row-local, and exact Jaccard
+    = |∩| / (|A| + |B| − |∩|) filters at the same 0.5 threshold as the
+    exact tier. Unlike the df-capped corpus-wide tier
+    (q_dedup_ngram_jaccard), verification needs NO stop-shingle cap —
+    intersection is per-pair, so a viral shingle costs one array element,
+    not width² pairs. Every true pair the capped tier reports that banding
+    surfaces is reported here with jaccard ≥ the capped value (capped
+    Jaccard lower-bounds exact Jaccard; pinned by a pytest)."""
+    cand = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").dropDuplicates()
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "doc_id", _shingle_hash_udf()("text").alias("harr")
+    ).select("doc_id", "harr", F.size("harr").alias("n"))
+    joined = cand.join(
+        sized.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("harr").alias("ha"),
+            F.col("n").alias("na"),
+        ),
+        "doc_a",
+    ).join(
+        sized.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("harr").alias("hb"),
+            F.col("n").alias("nb"),
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        joined.select("doc_a", "doc_b", F.round(jac, 2).alias("jaccard"), jac.alias("_j"))
+        .filter(F.col("_j") >= 0.5)
+        .drop("_j")
         .orderBy("doc_a", "doc_b")
     )
 

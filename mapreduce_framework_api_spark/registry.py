@@ -119,6 +119,7 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_pq_topk",
     # (2b) new in the round-6 continuation + the shared-helper refactor
     "q_dedup_minhash_recall",
+    "q_dedup_minhash_verified",
     "q_text_bpe_encode",
     "q_text_bpe_merges",
     # (3) staleness rotation (r2 first, then r3-era greens)
@@ -143,7 +144,8 @@ _WINDOW: tuple[str, ...] = (
     "q_join_skew_salted",
     "q_join_star",
     "q_join_theta_range",
-    "q_multimodal_meta",
+    # q_multimodal_meta rotated out (r4-green, the freshest rotation entry)
+    # to hold the window at 50 with q_dedup_minhash_verified added.
     "q_multimodal_stats",
     "q_pipe_keep_first",
     "q_pipe_quota_cap",

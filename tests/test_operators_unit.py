@@ -1677,3 +1677,42 @@ def test_pq_ann_recall_beats_chance(spark):
     recall = hits / total
     random_baseline = 3 / n_index
     assert recall >= 5 * random_baseline, (recall, random_baseline)
+
+
+def test_minhash_verified_contains_banded_truth_pairs(spark):
+    """Tier-composition contract on the real sf0.001 fixture: the verified
+    tier (q_dedup_minhash_verified = banded candidates + exact per-pair
+    Jaccard, no df cap) must report every pair that BOTH (a) the exact
+    corpus-wide tier reports (q_dedup_ngram_jaccard, whose df-capped
+    Jaccard lower-bounds true Jaccard) and (b) MinHash banding surfaces as
+    a candidate — and with jaccard >= the capped tier's value. This is the
+    algebra that makes candidates-first the safe 100 TB path: verification
+    can only ever score a surfaced pair HIGHER than the capped tier."""
+    from conftest import SF_DIR
+
+    import mapreduce_framework_api_spark.operators.dedup as dd
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in qs["q_dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_candidate_pairs(spark, SF_DIR)
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+        .collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in qs["q_dedup_minhash_verified"].fn(spark, SF_DIR).collect()
+    }
+    surfaced_truth = {p: j for p, j in truth.items() if p in cand}
+    assert surfaced_truth, "fixture must exercise the overlap"
+    for p, capped_j in surfaced_truth.items():
+        assert p in verified, p
+        assert verified[p] >= capped_j - 0.011, (p, verified[p], capped_j)
+    # and the verified tier never invents pairs outside the candidate set
+    assert set(verified) <= cand
