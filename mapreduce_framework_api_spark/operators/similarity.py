@@ -1329,3 +1329,132 @@ def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rk")
     )
+
+
+# ------------------------------------------------- k-NN classification -----
+
+_KNN_K = 5
+
+
+@register(
+    "q_sim_knn_classify",
+    group="I",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
+         substr(md5('knnsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_q
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         x.vec_id AS neighbor_id, x.label AS n_label,
+         list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos_raw
+  FROM n q JOIN n x ON q.is_q AND NOT x.is_q
+), ranked AS (
+  SELECT query_id, true_label, neighbor_id, n_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+  FROM scored
+), votes AS (
+  SELECT query_id, true_label, n_label, COUNT(*) AS votes
+  FROM ranked WHERE rk <= {_KNN_K}
+  GROUP BY query_id, true_label, n_label
+), winner AS (
+  SELECT query_id, true_label, n_label AS pred_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, n_label ASC) AS wr
+  FROM votes
+)
+SELECT query_id,
+       CAST(true_label AS INTEGER) AS true_label,
+       CAST(pred_label AS INTEGER) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM winner WHERE wr = 1
+ORDER BY query_id
+""",
+)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction — the evaluation-time shape of
+    embedding-based labeling (weak supervision / quality-classifier
+    bootstrapping over a training corpus): a deterministic 1/8 hash split
+    is the query set, the remaining 7/8 the frozen labeled index; each
+    query takes its 5 exact cosine neighbors and predicts the majority
+    label (ties → smaller label). Output: one row per query with
+    (true_label, pred_label, votes).
+
+    Plan shape: the same one-job asymmetric block-pair cogroup engine as
+    q_sim_search_split (thin non-square grid, BLAS per block pair), then
+    the shared _topk_rerank epilogue; labels attach AFTER the top-k cut —
+    two broadcast-able equi-joins on a table 5 rows per query wide, never
+    on the full score matrix — and the vote is one (query, label) groupBy
+    plus a row_number winner pick. Every stage is corpus-partitioned; at
+    100 TB the only growth is the block grid, both axes independently
+    sized (the same geometry receipt as q_sim_search_split)."""
+    k = _KNN_K
+
+    def score_pair(qs, idx):
+        import numpy as np
+        import pandas as pd
+
+        if qs.empty or idx.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_raw": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"})
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        ids = idx["vec_id"].to_numpy(dtype="int64")
+        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+        s = (q @ m.T) / (
+            np.sqrt((q * q).sum(axis=1))[:, None] * np.sqrt((m * m).sum(axis=1))[None, :]
+        )
+        out_q, out_n, out_c = [], [], []
+        for row in range(len(q_ids)):
+            order = np.lexsort((ids, -s[row]))[:k]
+            out_q.extend([q_ids[row]] * len(order))
+            out_n.extend(ids[order])
+            out_c.extend(s[row][order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_raw": out_c})
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    is_query = _hash_split("knnsplit")
+    n_total = _parquet_row_count(sf_dir, "embeddings")
+    cand = cogroup_block_pairs(
+        e.filter(is_query).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        ),
+        e.filter(~is_query).select("vec_id", "embedding"),
+        score_pair,
+        schema="query_id long, neighbor_id long, cos_raw double",
+        n_query_rows=max(1, n_total // 8),
+        n_index_rows=max(1, n_total - n_total // 8),
+    )
+    top = _topk_rerank(cand, "query_id", "cos_raw", k)
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        top.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    winner = (
+        votes.withColumn("wr", F.row_number().over(w))
+        .filter(F.col("wr") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"), "votes")
+    )
+    return (
+        winner.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+            ),
+            "query_id",
+        )
+        .select("query_id", "true_label", "pred_label", "votes")
+        .orderBy("query_id")
+    )

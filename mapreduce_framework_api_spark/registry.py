@@ -120,6 +120,7 @@ _WINDOW: tuple[str, ...] = (
     # (2b) new in the round-6 continuation + the shared-helper refactor
     "q_dedup_minhash_recall",
     "q_dedup_minhash_verified",
+    "q_sim_knn_classify",
     "q_text_bpe_encode",
     "q_text_bpe_merges",
     # (3) staleness rotation (r2 first, then r3-era greens)
@@ -143,9 +144,11 @@ _WINDOW: tuple[str, ...] = (
     "q_join_semi",
     "q_join_skew_salted",
     "q_join_star",
-    "q_join_theta_range",
-    # q_multimodal_meta rotated out (r4-green, the freshest rotation entry)
-    # to hold the window at 50 with q_dedup_minhash_verified added.
+    # Rotated out to hold the window at 50 with the two queries new this
+    # session (q_dedup_minhash_verified, q_sim_knn_classify) added:
+    # q_multimodal_meta (r4-green, the freshest rotation entry) and
+    # q_join_theta_range (r3-green; its scale-safe sibling
+    # q_join_range_binned keeps the family's slot).
     "q_multimodal_stats",
     "q_pipe_keep_first",
     "q_pipe_quota_cap",

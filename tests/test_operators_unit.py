@@ -1716,3 +1716,39 @@ def test_minhash_verified_contains_banded_truth_pairs(spark):
         assert verified[p] >= capped_j - 0.011, (p, verified[p], capped_j)
     # and the verified tier never invents pairs outside the candidate set
     assert set(verified) <= cand
+
+
+def test_knn_classify_recovers_clustered_labels(spark, tmp_path):
+    """The sf fixtures carry geometry-independent labels (measured accuracy
+    ~= chance), so they exercise q_sim_knn_classify's arithmetic but not
+    its semantics. Synthetic two-cluster corpus: labels follow geometry, so
+    every hash-split query must be predicted into its own cluster with a
+    unanimous 5-0 vote."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = []  # deterministic: id-indexed offsets, no RNG
+    for i in range(40):
+        cluster = 0 if i < 20 else 1
+        base = np.zeros(64, dtype=np.float32)
+        # clusters live on orthogonal axes; small deterministic jitter
+        base[cluster] = 1.0
+        base[2 + (i % 7)] = 0.01 * (1 + i % 5)
+        rows.append((i, [float(x) for x in base], cluster))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = load_all_queries()["q_sim_knn_classify"].fn(spark, str(tmp_path)).collect()
+    assert out, "hash split must surface at least one query"
+    for r in out:
+        assert r["pred_label"] == r["true_label"], dict(r.asDict())
+        assert r["votes"] == 5, dict(r.asDict())
