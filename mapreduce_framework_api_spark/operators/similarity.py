@@ -1458,3 +1458,85 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "true_label", "pred_label", "votes")
         .orderBy("query_id")
     )
+
+
+# ------------------------------------------------- IVF recall evaluation ---
+
+
+def _ivf_recall_oracle() -> str:
+    """Composed oracle: exact ground truth and the IVF tier's output are
+    both ALREADY oracle'd queries (q_sim_cosine_topk / q_sim_ivf_topk);
+    nesting the proven texts as CTEs means the metric's oracle can never
+    drift from the tiers it evaluates — the same composition discipline as
+    q_sim_pq_recall / q_dedup_minhash_recall. Note the truth here is the
+    SYMMETRIC all-vectors top-3 (IVF queries every vector against the
+    whole corpus minus itself), not the asymmetric split the PQ tiers
+    use."""
+    from mapreduce_framework_api_spark.registry import REGISTRY
+
+    truth_sql = REGISTRY["q_sim_cosine_topk"].oracle
+    ivf_sql = REGISTRY["q_sim_ivf_topk"].oracle
+    return f"""
+WITH truth AS ({truth_sql}),
+     ivf AS ({ivf_sql}),
+     truth3 AS (SELECT vec_id, neighbor_id FROM truth WHERE rk <= {_IVF_TOP_K}),
+     hit AS (
+       SELECT COUNT(*) AS n
+       FROM truth3 t JOIN ivf i
+         ON t.vec_id = i.vec_id AND t.neighbor_id = i.neighbor_id
+     )
+SELECT CAST((SELECT COUNT(DISTINCT vec_id) FROM truth3) AS BIGINT) AS n_queries,
+       CAST((SELECT COUNT(*) FROM truth3) AS BIGINT) AS n_truth,
+       CAST((SELECT n FROM hit) AS BIGINT) AS n_hits,
+       CAST(FLOOR((SELECT n FROM hit) * 10000.0
+                  / GREATEST((SELECT COUNT(*) FROM truth3), 1)) AS BIGINT)
+         AS recall_x10000
+"""
+
+
+@register(
+    "q_sim_ivf_recall",
+    group="I",
+    oracle=_ivf_recall_oracle(),
+)
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation for the IVF tier: recall@3 against the exact
+    brute-force cosine top-3 (q_sim_cosine_topk's own output — exact
+    truth is cut to the IVF tier's k so the two lists are comparable),
+    completing the per-tier evaluation harness (PQ and MinHash already
+    have theirs). One row of integer counts + floor-scaled recall.
+
+    Plan shape: both sides reuse the registered tiers' plans unchanged;
+    the metric adds one pair-keyed equi-join over two (n × 3)-row frames
+    and three single-row aggregates broadcast-crossed into one row — no
+    new heavy lifting at any scale. At 100 TB the exact-truth side is the
+    expensive half; production samples the query set with one more hash
+    filter, identical plan."""
+    truth = (
+        q_sim_cosine_topk(spark, sf_dir)
+        .filter(F.col("rk") <= _IVF_TOP_K)
+        .select("vec_id", "neighbor_id")
+    )
+    ivf = q_sim_ivf_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    n_queries = truth.agg(
+        F.count_distinct("vec_id").cast("long").alias("n_queries")
+    )
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_hits = (
+        truth.join(ivf, ["vec_id", "neighbor_id"])
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        n_queries.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            F.floor(
+                F.col("n_hits") * 10000.0 / F.greatest(F.col("n_truth"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_x10000"),
+        )
+    )

@@ -121,6 +121,7 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_minhash_recall",
     "q_dedup_minhash_verified",
     "q_sim_knn_classify",
+    "q_sim_ivf_recall",
     "q_text_bpe_encode",
     "q_text_bpe_merges",
     # (3) staleness rotation (r2 first, then r3-era greens)
@@ -151,7 +152,8 @@ _WINDOW: tuple[str, ...] = (
     # q_join_range_binned keeps the family's slot).
     "q_multimodal_stats",
     "q_pipe_keep_first",
-    "q_pipe_quota_cap",
+    # q_pipe_quota_cap rotated out (r3-green row-local window pipeline)
+    # for q_sim_ivf_recall.
     "q_sim_ann_lsh",
 )
 
