@@ -698,10 +698,28 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = (q @ m.T) / (
             np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :]
         )
-        keep = q_ids[:, None] != m_ids[None, :]
-        rows, cols = np.nonzero(keep)
+        # Per-list top-k cut INSIDE the kernel: a neighbor lives in exactly
+        # one inverted list, so the global top-k over a query's probed
+        # lists is contained in the union of its per-list top-k — emitting
+        # only k rows per (query, probed list) shrinks the kernel output
+        # from |probes| × |list| pair rows (50M at the sf1 receipt scale,
+        # which dominated the query at 23s/stage) to nprobe·k rows per
+        # query. Same (score DESC, neighbor_id ASC) tie-break as the
+        # global _topk_rerank epilogue.
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(q_ids)):
+            mask = m_ids != q_ids[i]
+            cand_ids, cand_s = m_ids[mask], s[i][mask]
+            order = np.lexsort((cand_ids, -cand_s))[:_IVF_TOP_K]
+            out_q.extend([q_ids[i]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_c.extend(cand_s[order])
+        if not out_q:  # every probed list held only the query itself
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cos_raw": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"})
         return pd.DataFrame(
-            {"vec_id": q_ids[rows], "neighbor_id": m_ids[cols], "cos_raw": s[rows, cols]}
+            {"vec_id": out_q, "neighbor_id": out_n, "cos_raw": out_c}
         )
 
     # cogroup, NOT a join: each cluster id yields ONE (queries, members)

@@ -122,6 +122,7 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_minhash_verified",
     "q_sim_knn_classify",
     "q_sim_ivf_recall",
+    "q_sim_ivf_topk",
     "q_text_bpe_encode",
     "q_text_bpe_merges",
     # (3) staleness rotation (r2 first, then r3-era greens)
@@ -137,7 +138,8 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_report",
     "q_dedup_simhash",
     "q_join_anti",
-    "q_join_broadcast",
+    # q_join_broadcast rotated out (r3-green, plan-asserted in pytest)
+    # for q_sim_ivf_topk, whose kernel changed this session.
     "q_join_inner",
     "q_join_left",
     "q_join_multi",
