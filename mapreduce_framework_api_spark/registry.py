@@ -78,21 +78,23 @@ _LOADED = False
 # capstone + repeated_chunks (parallelized scans; chunk dedup also fixed
 # the per-chunk tokenize re-evaluation), and q_sim_pq_topk (index block
 # geometry now matches the 7/8 hash split);
-# (2b) the two queries NEW in the round-6 continuation
-# (q_dedup_minhash_recall — candidate-tier recall vs the exact Jaccard
-# set, composed oracle; q_text_bpe_encode — apply-the-merges tokenizer
-# stats) plus q_text_bpe_merges, whose code moved into the shared
-# _bpe_run helper (plan-identical, but changed code outranks staleness);
-# (3) 26 slots of staleness rotation — the two r2-era greens
-# (fingerprint/tokens) and the 24 highest-complexity r3-era greens (the
-# join family, the dedup candidate tiers, multimodal, the remaining
-# pipe/agg rows), so no shuffling query's last driver receipt is older
-# than r3. Sitting out: 12 row-local expression pipelines (the five
-# q_fn_* scalars, filter_pred, pipe_pii_scrub, text_repetition,
-# text_surprisal, pipe_sample_hash, pipe_split_assign, pipe_length_hist
-# — all r3-green on untouched code, the standing policy's lowest-risk
-# yields) and every r4/r5 green on untouched code; all are covered by
-# this round's committed 152-ok local receipt.
+# (2b) the queries NEW in the round-6 continuation sessions
+# (q_dedup_minhash_recall, q_text_bpe_encode, q_dedup_minhash_verified,
+# q_sim_knn_classify, q_sim_ivf_recall) plus the queries whose kernels
+# changed in the continuation (q_sim_ivf_topk — per-list top-k cut;
+# q_sim_cosine_topk / q_sim_search_split — shared vectorized
+# _rowwise_topk; q_text_bpe_merges — shared _bpe_run helper): changed
+# code outranks staleness;
+# (3) staleness rotation with the remaining slots — the two r2-era
+# greens (fingerprint/tokens) and the highest-complexity r3-era greens,
+# so the oldest receipts rotate first. Sitting out: the row-local
+# expression pipelines (q_fn_* scalars, filter_pred, pipe_pii_scrub,
+# text_repetition, text_surprisal, pipe_sample_hash, pipe_split_assign,
+# pipe_length_hist — all r3-green on untouched code, the standing
+# policy's lowest-risk yields), the plan-asserted simple joins
+# (broadcast/anti/semi/theta_range — q_join_left and q_join_range_binned
+# keep those families' slots), and every r4/r5 green on untouched code;
+# all are covered by the committed 155-ok local receipts.
 _WINDOW: tuple[str, ...] = (
     # (1) red-row fix + never-driver-checked + new this round
     "q_text_inverted_index",
@@ -123,6 +125,8 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_knn_classify",
     "q_sim_ivf_recall",
     "q_sim_ivf_topk",
+    "q_sim_cosine_topk",
+    "q_sim_search_split",
     "q_text_bpe_encode",
     "q_text_bpe_merges",
     # (3) staleness rotation (r2 first, then r3-era greens)
@@ -137,14 +141,14 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_ngram_jaccard",
     "q_dedup_report",
     "q_dedup_simhash",
-    "q_join_anti",
-    # q_join_broadcast rotated out (r3-green, plan-asserted in pytest)
-    # for q_sim_ivf_topk, whose kernel changed this session.
+    # q_join_broadcast / q_join_anti / q_join_semi rotated out (r3-green,
+    # plan-asserted in pytest; q_join_left keeps the outer/filtering-join
+    # family's slot) for the similarity queries whose kernels changed
+    # this session (ivf_topk, cosine_topk, search_split).
     "q_join_inner",
     "q_join_left",
     "q_join_multi",
     "q_join_range_binned",
-    "q_join_semi",
     "q_join_skew_salted",
     "q_join_star",
     # Rotated out to hold the window at 50 with the two queries new this

@@ -1752,3 +1752,53 @@ def test_knn_classify_recovers_clustered_labels(spark, tmp_path):
     for r in out:
         assert r["pred_label"] == r["true_label"], dict(r.asDict())
         assert r["votes"] == 5, dict(r.asDict())
+
+
+def test_rowwise_topk_matches_lexsort_reference():
+    """_rowwise_topk (the vectorized in-kernel top-k) must reproduce the
+    per-row np.lexsort((ids, -s)) loop exactly — including duplicate
+    scores (tie -> ascending id), int64 score matrices, k > n_cols, and
+    self-exclusion — since every similarity kernel's tie-break contract
+    is pinned to that reference order."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators.similarity import _rowwise_topk
+
+    def reference(s, ids, k, q_ids=None):
+        out = []
+        for row in range(s.shape[0]):
+            if q_ids is not None:
+                mask = ids != q_ids[row]
+                cand_ids, cand_s = ids[mask], s[row][mask]
+            else:
+                cand_ids, cand_s = ids, s[row]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            out.extend((row, cand_ids[j], cand_s[j]) for j in order)
+        return out
+
+    # deterministic pseudo-random matrix with MANY exact ties (values
+    # quantized to 5 levels) and shuffled, duplicate-free ids
+    nq, ni = 13, 29
+    s = np.array(
+        [[((7 * i + 11 * j) % 5) * 0.25 for j in range(ni)] for i in range(nq)],
+        dtype=np.float64,
+    )
+    ids = np.array([(17 * j + 3) % 97 for j in range(ni)], dtype=np.int64)
+    assert len(set(ids.tolist())) == ni
+    for k in (1, 3, ni, ni + 5):
+        got = list(zip(*_rowwise_topk(s, ids, k)))
+        assert [tuple(map(float, g)) for g in got] == [
+            tuple(map(float, r)) for r in reference(s, ids, k)
+        ], k
+    # int64 scores
+    si = (s * 4).astype(np.int64)
+    got = list(zip(*_rowwise_topk(si, ids, 4)))
+    assert [tuple(map(int, g)) for g in got] == [
+        tuple(map(int, r)) for r in reference(si, ids, 4)
+    ]
+    # self-exclusion: row r's own id is ids[r]
+    q_ids = ids[:nq].copy()
+    got = list(zip(*_rowwise_topk(s, ids, 3, q_ids=q_ids)))
+    ref = reference(s, ids, 3, q_ids=q_ids)
+    assert [tuple(map(float, g)) for g in got] == [tuple(map(float, r)) for r in ref]
+    assert all(g[1] != q_ids[int(g[0])] for g in got)
