@@ -708,3 +708,73 @@ def test_bpe_merges_match_python_reference(spark, docs):
             nxt[tuple(merge_leftmost(list(parts), pair))] += f
         syms = nxt
     assert got == want
+
+
+# ---- vectorized kernel top-k vs per-row reference -------------------------
+
+_topk_scores = st.integers(min_value=-3, max_value=3)  # tiny pool => many ties
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.data(),
+    nq=st.integers(min_value=1, max_value=7),
+    ni=st.integers(min_value=1, max_value=12),
+    k=st.integers(min_value=1, max_value=15),
+    as_int=st.booleans(),
+    exclude=st.booleans(),
+)
+def test_rowwise_topk_property(data, nq, ni, k, as_int, exclude):
+    """_rowwise_topk == the per-row np.lexsort((ids, -s)) reference on
+    arbitrary matrices: tiny score pools force boundary ties (the case a
+    partition-based shortcut would get wrong), ids are arbitrary distinct
+    longs in arbitrary order, k may exceed the column count, and
+    self-exclusion removes each row's own id. Complements the fixed-case
+    unit test with adversarial shapes."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators.similarity import _rowwise_topk
+
+    ids = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=-(10**9), max_value=10**9),
+                min_size=ni,
+                max_size=ni,
+                unique=True,
+            )
+        ),
+        dtype=np.int64,
+    )
+    vals = data.draw(
+        st.lists(_topk_scores, min_size=nq * ni, max_size=nq * ni)
+    )
+    s = np.array(vals, dtype=np.int64).reshape(nq, ni)
+    if not as_int:
+        s = s.astype(np.float64) * 0.25
+    q_ids = None
+    if exclude:
+        # each row's own id: sometimes present in ids, sometimes not
+        pick = data.draw(
+            st.lists(st.integers(min_value=0, max_value=ni), min_size=nq, max_size=nq)
+        )
+        q_ids = np.array(
+            [ids[p] if p < ni else 10**10 + i for i, p in enumerate(pick)],
+            dtype=np.int64,
+        )
+
+    expect = []
+    for row in range(nq):
+        if q_ids is not None:
+            mask = ids != q_ids[row]
+            cand_ids, cand_s = ids[mask], s[row][mask]
+        else:
+            cand_ids, cand_s = ids, s[row]
+        order = np.lexsort((cand_ids, -cand_s))[:k]
+        expect.extend(
+            (row, int(cand_ids[j]), float(cand_s[j])) for j in order
+        )
+
+    rows, nids, scs = _rowwise_topk(s, ids, k, q_ids=q_ids)
+    got = [(int(r), int(n), float(v)) for r, n, v in zip(rows, nids, scs)]
+    assert got == expect
