@@ -62,7 +62,7 @@ from mapreduce_framework_api_spark.operators.dedup import (
     capped_bucket,
 )
 from mapreduce_framework_api_spark.registry import register
-from mapreduce_framework_api_spark.sources import table
+from mapreduce_framework_api_spark.sources import parallelized, table
 
 _TOP_K = 5
 
@@ -75,8 +75,14 @@ _INDEX_BLOCK_ROWS = int(os.environ.get("SPARK_GRAFT_INDEX_BLOCK_ROWS", "1024"))
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with double-cast vectors and precomputed norms."""
-    e = table(spark, sf_dir, "embeddings").select(
+    """embeddings with double-cast vectors and precomputed norms.
+
+    Routed through the gated ``parallelized()`` helper: the norm is an
+    interpreted 64-term fold per row and the LSH codes kernel follows
+    directly on this scan, so a single-row-group parquet file (the sf1
+    receipt fixture: one 2.9 s single-task stage) must be widened before
+    the per-row work; a real multi-split scan passes through untouched."""
+    e = parallelized(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     return e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
