@@ -1390,3 +1390,136 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_x10000"),
         )
     )
+
+
+# ------------------------------------------- incremental (batch-vs-corpus) --
+
+# The production INGEST shape: a new document batch arrives and must be
+# near-dup-checked against the frozen corpus index — never corpus-vs-corpus
+# again. The banded index is reused (in production: persisted as the
+# (band_id, bucket) -> member-list table this query's corpus side builds);
+# the new batch joins it by equi-key, so ingest cost scales with
+# |batch| × bands × bucket-occupancy, independent of corpus size.
+_INC_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES.replace(", cand AS (", ", cand_unused AS (")},
+     split AS (
+  SELECT doc_id,
+         substr(md5('incsplit#' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM documents
+), corpus_bk AS (
+  SELECT b.band_id, b.bucket,
+         list_slice(list_sort(list(b.doc_id)), 1, {_BUCKET_CAP}) AS ds
+  FROM bands b JOIN split s ON b.doc_id = s.doc_id
+  WHERE NOT s.is_new
+  GROUP BY b.band_id, b.bucket
+), cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, u.c AS corpus_id
+  FROM bands b
+       JOIN split s ON b.doc_id = s.doc_id
+       JOIN corpus_bk k ON b.band_id = k.band_id AND b.bucket = k.bucket,
+       UNNEST(k.ds) AS u(c)
+  WHERE s.is_new
+)
+SELECT c.new_id, c.corpus_id,
+       ROUND(({_MINHASH_MATCHES}) / 16.0, 2) AS est_jaccard
+FROM cand c JOIN mins x ON c.new_id = x.doc_id JOIN mins y ON c.corpus_id = y.doc_id
+WHERE ROUND(({_MINHASH_MATCHES}) / 16.0, 2) >= 0.5
+ORDER BY new_id, corpus_id
+"""
+
+
+@register(
+    "q_dedup_incremental",
+    group="I",
+    oracle=_INC_ORACLE,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check: a NEW batch (deterministic 1/8 hash
+    split of documents) against the FROZEN corpus (the other 7/8) — the
+    production ingest shape, where corpus-vs-corpus dedup ran once at
+    index-build time and every arriving batch only probes the persisted
+    banded index. Output: (new_id, corpus_id, est_jaccard >= 0.5).
+
+    Plan shape, and why it differs from q_dedup_minhash: the corpus side
+    builds the (band_id, bucket) -> width-capped member-list table (in
+    production this is the PERSISTED index, not rebuilt per batch); the
+    new batch's bands equi-join that table by (band_id, bucket) — a plain
+    hash join routed by bucket key, NOT a self-bucket pair expansion — so
+    per-batch cost is |batch| × 8 bands × capped occupancy, independent
+    of corpus size. Estimated Jaccard then filters candidates using the
+    signatures both sides already carry. Deterministic md5 split + the
+    shared minhash constants keep the full pipeline SQL-mirrorable
+    (_INC_ORACLE reuses the estimate tier's CTE chain)."""
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    is_new = (
+        F.substring(
+            F.md5(F.concat(F.lit("incsplit#"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "2"
+    )
+    # Materialized once (eager localCheckpoint): the signature table feeds
+    # THREE consumers (corpus bucket build, new-batch bands, and the
+    # estimate join's two sides) and Catalyst would otherwise re-run the
+    # dominant minhash kernel per branch (measured 15.2 s -> 8.9 s at the
+    # sf1 receipt). This is also the real-world shape — signatures are the
+    # persisted index-build artifact, batches score against them.
+    sig = docs.select(
+        "doc_id", _minhash_sig_udf()("text").alias("sig"), is_new.alias("is_new")
+    ).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        "is_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            F.element_at("sig", 2 * b + 1),
+                            F.element_at("sig", 2 * b + 2),
+                        ).alias("bucket"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "is_new", "band.band_id", "band.bucket")
+    corpus_bk = (
+        bands.filter(~F.col("is_new"))
+        .groupBy("band_id", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .select("band_id", "bucket", capped_bucket(F.col("ds")).alias("ds"))
+    )
+    cand = (
+        bands.filter(F.col("is_new"))
+        .select(F.col("doc_id").alias("new_id"), "band_id", "bucket")
+        .join(corpus_bk, ["band_id", "bucket"])
+        .select("new_id", F.explode("ds").alias("corpus_id"))
+        .dropDuplicates()
+    )
+    sigs = sig.select("doc_id", "sig")
+    est = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a")),
+            "new_id",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b")
+            ),
+            "corpus_id",
+        )
+    )
+    est_jac = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+        ).cast("double")
+        / _N_PERM
+    )
+    return (
+        est.select("new_id", "corpus_id", F.round(est_jac, 2).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("new_id", "corpus_id")
+    )

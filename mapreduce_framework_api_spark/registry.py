@@ -122,6 +122,7 @@ _WINDOW: tuple[str, ...] = (
     # (2b) new in the round-6 continuation + the shared-helper refactor
     "q_dedup_minhash_recall",
     "q_dedup_minhash_verified",
+    "q_dedup_incremental",
     "q_sim_knn_classify",
     "q_sim_ivf_recall",
     "q_sim_ivf_topk",
@@ -156,7 +157,9 @@ _WINDOW: tuple[str, ...] = (
     # q_multimodal_meta (r4-green, the freshest rotation entry) and
     # q_join_theta_range (r3-green; its scale-safe sibling
     # q_join_range_binned keeps the family's slot).
-    "q_multimodal_stats",
+    # q_multimodal_stats rotated out (r3-green; the multimodal family
+    # keeps two group-(1) slots via audio_stats/audio_real) for
+    # q_dedup_incremental.
     "q_pipe_keep_first",
     # q_pipe_quota_cap rotated out (r3-green row-local window pipeline)
     # for q_sim_ivf_recall.
