@@ -1802,3 +1802,39 @@ def test_rowwise_topk_matches_lexsort_reference():
     ref = reference(s, ids, 3, q_ids=q_ids)
     assert [tuple(map(float, g)) for g in got] == [tuple(map(float, r)) for r in ref]
     assert all(g[1] != q_ids[int(g[0])] for g in got)
+
+
+def test_incremental_dedup_flags_exact_copy_of_corpus_doc(spark, tmp_path):
+    """q_dedup_incremental semantics on a constructed corpus: a new-batch
+    document that exactly copies a corpus document must be flagged against
+    it with est_jaccard 1.0 (identical shingle sets => identical minhash
+    signatures => every band collides), and unrelated new docs must flag
+    nothing. doc_ids are chosen on both sides of the md5 'incsplit' hash
+    split, so the test constructs its own split membership instead of
+    hoping the fixture provides one."""
+    import hashlib
+
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    def is_new(doc_id: int) -> bool:
+        return hashlib.md5(f"incsplit#{doc_id}".encode()).hexdigest()[0] < "2"
+
+    new_ids = [i for i in range(200) if is_new(i)]
+    corpus_ids = [i for i in range(200) if not is_new(i)]
+    assert len(new_ids) >= 2 and len(corpus_ids) >= 2
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(corpus_ids[0], dup_text)]
+    rows += [
+        (cid, f"corpus filler document number {cid} with distinct tail {cid}")
+        for cid in corpus_ids[1:3]
+    ]
+    rows.append((new_ids[0], dup_text))  # exact copy -> must be flagged
+    rows.append((new_ids[1], "entirely unrelated new content with no overlap"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text"))
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = load_all_queries()["q_dedup_incremental"].fn(spark, str(tmp_path)).collect()
+    flagged = {(r["new_id"], r["corpus_id"]): r["est_jaccard"] for r in out}
+    assert flagged == {(new_ids[0], corpus_ids[0]): 1.0}, flagged
