@@ -85,9 +85,33 @@ def build_sf1() -> None:
     con.execute(
         f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)"
     )
+    # events: replicate 10x along the USER axis (user_id/event_id offset,
+    # ts/type/value/props unchanged) — 10x the user population with the
+    # same per-user history, which is the axis event analytics (funnel,
+    # retention, sessionize, per-user windows) must scale on; per-key
+    # group sizes stay constant, group COUNT grows 10x.
+    parts = []
+    for r in range(REPLICAS):
+        if r == 0:
+            parts.append(f"SELECT * FROM read_parquet('{SRC}/events.parquet')")
+        else:
+            parts.append(
+                f"SELECT event_id + {r * OFFSET} AS event_id, ts, "
+                f"user_id + {r * OFFSET} AS user_id, event_type, value, props "
+                f"FROM read_parquet('{SRC}/events.parquet')"
+            )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/events.parquet' (FORMAT PARQUET)"
+    )
     for t in os.listdir(SRC):
-        if t.endswith(".parquet") and t not in ("documents.parquet", "embeddings.parquet"):
+        if t.endswith(".parquet") and t not in (
+            "documents.parquet",
+            "embeddings.parquet",
+            "events.parquet",
+        ):
             shutil.copy(os.path.join(SRC, t), os.path.join(DST, t))
+    with open(os.path.join(DST, ".fixture_version"), "w") as fh:
+        fh.write("v2-events-replicated\n")
     print(f"built {DST}", file=sys.stderr)
 
 
@@ -97,7 +121,12 @@ def _api(base: str, path: str):
 
 
 def main() -> int:
-    if not os.path.isdir(DST) or not os.path.exists(f"{DST}/documents.parquet"):
+    marker = os.path.join(DST, ".fixture_version")
+    if (
+        not os.path.isdir(DST)
+        or not os.path.exists(f"{DST}/documents.parquet")
+        or not os.path.exists(marker)  # pre-v2 build: events not replicated
+    ):
         build_sf1()
     from mapreduce_framework_api_spark.registry import load_all_queries
     from mapreduce_framework_api_spark.session import get_spark
