@@ -103,15 +103,46 @@ def build_sf1() -> None:
     con.execute(
         f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/events.parquet' (FORMAT PARQUET)"
     )
+    # Relational core: replicate customers/orders/lineitem 10x with
+    # CONSISTENT key offsets (c_custkey, o_orderkey+o_custkey, l_orderkey)
+    # so referential joins survive; part/supplier/nation/region copy
+    # through unchanged — the realistic shape (same catalog, 10x the
+    # order volume), which also makes the lineitem-derived co-purchase
+    # graph 10x DENSER over the same part nodes (a real stress for the
+    # graph trio, not just a wider one).
+    replicated_rel = {
+        "customer": "SELECT c_custkey + {off} AS c_custkey, c_name, c_nationkey, "
+        "c_acctbal, c_mktsegment FROM read_parquet('{src}')",
+        "orders": "SELECT o_orderkey + {off} AS o_orderkey, o_custkey + {off} AS "
+        "o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+        "FROM read_parquet('{src}')",
+        "lineitem": "SELECT l_orderkey + {off} AS l_orderkey, l_partkey, l_suppkey, "
+        "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        "l_returnflag, l_linestatus, l_shipdate FROM read_parquet('{src}')",
+    }
+    for t, tmpl in replicated_rel.items():
+        src_path = f"{SRC}/{t}.parquet"
+        parts = [
+            tmpl.format(off=r * OFFSET, src=src_path)
+            if r
+            else f"SELECT * FROM read_parquet('{src_path}')"
+            for r in range(REPLICAS)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
     for t in os.listdir(SRC):
         if t.endswith(".parquet") and t not in (
             "documents.parquet",
             "embeddings.parquet",
             "events.parquet",
+            "customer.parquet",
+            "orders.parquet",
+            "lineitem.parquet",
         ):
             shutil.copy(os.path.join(SRC, t), os.path.join(DST, t))
     with open(os.path.join(DST, ".fixture_version"), "w") as fh:
-        fh.write("v2-events-replicated\n")
+        fh.write("v3-relational-replicated\n")
     print(f"built {DST}", file=sys.stderr)
 
 
@@ -122,11 +153,12 @@ def _api(base: str, path: str):
 
 def main() -> int:
     marker = os.path.join(DST, ".fixture_version")
-    if (
-        not os.path.isdir(DST)
-        or not os.path.exists(f"{DST}/documents.parquet")
-        or not os.path.exists(marker)  # pre-v2 build: events not replicated
-    ):
+    want = "v3-relational-replicated"
+    have = ""
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read().strip()
+    if not os.path.exists(f"{DST}/documents.parquet") or have != want:
         build_sf1()
     from mapreduce_framework_api_spark.registry import load_all_queries
     from mapreduce_framework_api_spark.session import get_spark
