@@ -619,3 +619,66 @@ def scd2_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ----------------------------------------------- incremental dedup ingest --
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the arriving-batch
+    side of the incremental dedup ingest. Same staging discipline as
+    read_events_stream (stable symlink dir so checkpoints survive
+    restarts); documents carry no event-time column, so no ts
+    normalization is needed."""
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        import hashlib
+
+        tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+        staged = os.path.join(tempfile.gettempdir(), f"documents_stream_{tag}")
+        os.makedirs(staged, exist_ok=True)
+        link = os.path.join(staged, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = staged
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession, docs_stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of q_dedup_incremental: arriving documents (the
+    deterministic 1/8 ingest split) are near-dup-flagged against the
+    PERSISTED corpus index — the banded bucket table + signature table
+    built ONCE in batch (incremental_corpus_index's localCheckpoints
+    stand in for the written index tables) and probed by every
+    micro-batch through the SAME incremental_check transformation the
+    batch query uses: one semantics, two runtimes.
+
+    Statelessness is the design point: sig kernel, band explode, and the
+    two stream-static equi-joins are all per-row operations, so the
+    stream needs NO watermark and NO state store — ingest dedup scales
+    with arrival rate, not corpus size or stream lifetime. A pair
+    colliding in several bands emits one row per band (append mode
+    cannot host a global dropDuplicates without unbounded state); the
+    production sink upserts by (new_id, corpus_id) — exactly what the
+    batch twin's dropDuplicates does, asserted in the equality test."""
+    from mapreduce_framework_api_spark.operators.dedup import (
+        inc_is_new,
+        incremental_check,
+        incremental_corpus_index,
+    )
+
+    bk, sigs = incremental_corpus_index(spark, sf_dir)
+    return incremental_check(docs_stream.filter(inc_is_new()), bk, sigs)

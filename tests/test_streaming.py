@@ -352,3 +352,32 @@ def test_streaming_scd2_rejects_cross_batch_tie(spark, tmp_path):
     spark.createDataFrame(tie, _SCD2_IN_SCHEMA).write.mode("append").parquet(src)
     with pytest.raises(Exception, match="out-of-order cross-batch"):
         _scd2_file_run(spark, src, ckpt, out, "t_scd2_tie2")
+
+
+def test_streaming_incremental_dedup_equals_batch(spark):
+    """The incremental-ingest dedup runs the SAME incremental_check
+    transformation in both runtimes: draining the documents stream
+    through the persisted corpus index must flag exactly the batch
+    query's (new_id, corpus_id, est_jaccard) set. The stream may emit a
+    pair once per colliding band (stateless append mode); the batch twin
+    dedupes by pair key — so the comparison is on distinct rows, which
+    is also the contract a production upsert sink provides."""
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        incremental_dedup_stream,
+        read_documents_stream,
+    )
+
+    stream = incremental_dedup_stream(
+        spark, read_documents_stream(spark, SF_DIR), SF_DIR
+    )
+    run_to_memory(stream, "t_inc_dedup", output_mode="append")
+    got = {
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in spark.table("t_inc_dedup").collect()
+    }
+    batch = {
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in load_all_queries()["q_dedup_incremental"].fn(spark, SF_DIR).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
