@@ -1162,3 +1162,96 @@ def q_pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_train") > 0) & (F.col("n_eval") > 0))
         .orderBy("cluster_id")
     )
+
+
+# ------------------------------------------------ dataset snapshot diff ----
+
+
+@register(
+    "q_pipe_snapshot_diff",
+    group="I",
+    oracle="""
+WITH snap_a AS (
+  SELECT doc_id, md5(text) AS h
+  FROM documents
+  WHERE substr(md5('snapA#' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+), snap_b AS (
+  SELECT doc_id,
+         md5(CASE WHEN substr(md5('edit#' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                  THEN text || ' v2' ELSE text END) AS h
+  FROM documents
+  WHERE substr(md5('snapB#' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+), diff AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM diff GROUP BY status ORDER BY status
+""",
+)
+def q_pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset VERSION DIFF — the audit a corpus release pipeline runs
+    between snapshot N-1 and snapshot N: per-status counts of
+    added / removed / changed / unchanged documents, where membership
+    comes from each snapshot's id set and "changed" from a content-hash
+    compare. Two deterministic derived snapshots stand in for the two
+    release tables (A: ~7/8 of docs; B: a different ~7/8, with a 1/8
+    subset's text edited), so the full diff machinery — two projections,
+    a FULL OUTER join on the document key, hash inequality, status
+    aggregate — runs exactly as it would across two real tables.
+
+    Scale shape: the join is a doc_id-keyed full outer hash join (both
+    sides hash-partitioned — at 100 TB this is the standard two-snapshot
+    reconciliation shuffle, made cheap in practice by comparing md5
+    CONTENT HASHES, 32 bytes/row, never the text bodies); the report is
+    a 4-row aggregate. Production variant: store the content hash as a
+    snapshot column and the diff never touches text at all — the plan
+    here reads text only to compute the hashes it compares."""
+    docs = table(spark, sf_dir, "documents")
+
+    def member(tag: str):
+        return (
+            F.substring(
+                F.md5(F.concat(F.lit(f"{tag}#"), F.col("doc_id").cast("string"))), 1, 1
+            )
+            < "e"
+        )
+
+    edited = (
+        F.substring(
+            F.md5(F.concat(F.lit("edit#"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "2"
+    )
+    snap_a = docs.filter(member("snapA")).select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("a_h")
+    )
+    snap_b = docs.filter(member("snapB")).select(
+        F.col("doc_id").alias("b_id"),
+        F.md5(
+            F.when(edited, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("b_h"),
+    )
+    diff = snap_a.join(snap_b, snap_a.a_id == snap_b.b_id, "full_outer").select(
+        F.coalesce("a_id", "b_id").alias("doc_id"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_h") != F.col("b_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .orderBy("status")
+    )

@@ -123,6 +123,7 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_minhash_recall",
     "q_dedup_minhash_verified",
     "q_dedup_incremental",
+    "q_pipe_snapshot_diff",
     "q_sim_knn_classify",
     "q_sim_ivf_recall",
     "q_sim_ivf_topk",
@@ -133,7 +134,9 @@ _WINDOW: tuple[str, ...] = (
     # (3) staleness rotation (r2 first, then r3-era greens)
     "q_text_fingerprint",
     "q_text_tokens",
-    "q_agg_percentile",
+    # q_agg_percentile rotated out (r3-green row-local exact percentile;
+    # q_agg_stats keeps the aggregate family's rotation slot) for
+    # q_pipe_snapshot_diff.
     "q_agg_stats",
     "q_dedup_canonical",
     "q_dedup_clusters",
