@@ -1561,3 +1561,70 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["new_id", "corpus_id"])
         .orderBy("new_id", "corpus_id")
     )
+
+
+# ------------------------------------------- simhash recall evaluation ----
+
+
+def _simhash_recall_oracle() -> str:
+    """Composed oracle (the q_dedup_minhash_recall discipline): nest the
+    already-proven exact-Jaccard truth and SimHash tier texts as CTEs so
+    the metric can never drift from the tiers it evaluates."""
+    from mapreduce_framework_api_spark.registry import REGISTRY
+
+    truth_sql = REGISTRY["q_dedup_ngram_jaccard"].oracle
+    cand_sql = REGISTRY["q_dedup_simhash"].oracle
+    return f"""
+WITH truth AS ({truth_sql}),
+     cand AS ({cand_sql}),
+     hit AS (
+       SELECT COUNT(*) AS n
+       FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+     )
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT n FROM hit) AS BIGINT) AS n_hit,
+       CAST(FLOOR((SELECT n FROM hit) * 10000.0
+                  / GREATEST((SELECT COUNT(*) FROM truth), 1)) AS BIGINT)
+         AS recall_x10000
+"""
+
+
+@register(
+    "q_dedup_simhash_recall",
+    group="I",
+    oracle=_simhash_recall_oracle(),
+)
+def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-tier recall of SimHash (hamming ≤ 3 over 64-bit weighted
+    token signatures) against the EXACT trigram-Jaccard pair set — the
+    SimHash counterpart of q_dedup_minhash_recall, completing per-tier
+    recall evaluations across every approximate dedup tier. SimHash
+    measures token-MULTISET alignment while the truth is trigram-SET
+    Jaccard, so this number quantifies how much near-dup signal the
+    cheaper bag-of-tokens tier recovers — the metric that decides which
+    candidate generator a 100 TB pipeline runs first. Plan adds one
+    pair-keyed equi-join over two thin pair tables + three single-row
+    broadcast-crossed aggregates."""
+    truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_hit = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.floor(
+                F.col("n_hit") * 10000.0 / F.greatest(F.col("n_truth"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_x10000"),
+        )
+    )

@@ -1576,3 +1576,77 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_x10000"),
         )
     )
+
+
+# ------------------------------------------------- LSH recall evaluation ---
+
+
+def _lsh_recall_oracle() -> str:
+    """Composed oracle: exact cosine truth (cut to the LSH tier's k) and
+    the sign-LSH tier nested as proven CTE texts — the same discipline as
+    q_sim_ivf_recall. Completes the recall-evaluation harness across all
+    approximate similarity tiers (LSH, IVF, PQ)."""
+    from mapreduce_framework_api_spark.registry import REGISTRY
+
+    truth_sql = REGISTRY["q_sim_cosine_topk"].oracle
+    lsh_sql = REGISTRY["q_sim_ann_lsh"].oracle
+    return f"""
+WITH truth AS ({truth_sql}),
+     lsh AS ({lsh_sql}),
+     truth3 AS (SELECT vec_id, neighbor_id FROM truth WHERE rk <= {_LSH_TOP_K}),
+     hit AS (
+       SELECT COUNT(*) AS n
+       FROM truth3 t JOIN lsh i
+         ON t.vec_id = i.vec_id AND t.neighbor_id = i.neighbor_id
+     )
+SELECT CAST((SELECT COUNT(DISTINCT vec_id) FROM truth3) AS BIGINT) AS n_queries,
+       CAST((SELECT COUNT(*) FROM truth3) AS BIGINT) AS n_truth,
+       CAST((SELECT n FROM hit) AS BIGINT) AS n_hits,
+       CAST(FLOOR((SELECT n FROM hit) * 10000.0
+                  / GREATEST((SELECT COUNT(*) FROM truth3), 1)) AS BIGINT)
+         AS recall_x10000
+"""
+
+
+@register(
+    "q_sim_lsh_recall",
+    group="I",
+    oracle=_lsh_recall_oracle(),
+)
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the occupancy-targeted sign-LSH tier against the exact
+    brute-force cosine top-3 — upgrading the round-3 docstring-only
+    recall measurement to a registered, hash-verified query, and
+    completing the evaluation harness across all three approximate
+    similarity tiers (LSH, IVF, PQ; the dedup candidate tiers have their
+    own). Both sides reuse the registered tiers' plans; the metric adds
+    one pair-keyed equi-join + three broadcast-crossed single-row
+    aggregates."""
+    truth = (
+        q_sim_cosine_topk(spark, sf_dir)
+        .filter(F.col("rk") <= _LSH_TOP_K)
+        .select("vec_id", "neighbor_id")
+    )
+    lsh = q_sim_ann_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
+    n_queries = truth.agg(
+        F.count_distinct("vec_id").cast("long").alias("n_queries")
+    )
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_hits = (
+        truth.join(lsh, ["vec_id", "neighbor_id"])
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        n_queries.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            F.floor(
+                F.col("n_hits") * 10000.0 / F.greatest(F.col("n_truth"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_x10000"),
+        )
+    )

@@ -126,6 +126,8 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_snapshot_diff",
     "q_sim_knn_classify",
     "q_sim_ivf_recall",
+    "q_sim_lsh_recall",
+    "q_dedup_simhash_recall",
     "q_sim_ivf_topk",
     "q_sim_cosine_topk",
     "q_sim_search_split",
@@ -139,11 +141,14 @@ _WINDOW: tuple[str, ...] = (
     # q_pipe_snapshot_diff.
     "q_agg_stats",
     "q_dedup_canonical",
-    "q_dedup_clusters",
     "q_dedup_decontaminate",
     "q_dedup_minhash",
     "q_dedup_ngram_jaccard",
-    "q_dedup_report",
+    # q_dedup_report / q_dedup_clusters rotated out (r4-greens — the
+    # least-stale rotation entries; the family stays covered by
+    # canonical/minhash/ngram_jaccard/simhash plus the recall queries
+    # that exercise the same pipelines) for the two tier-recall
+    # evaluations new this session.
     "q_dedup_simhash",
     # q_join_broadcast / q_join_anti / q_join_semi rotated out (r3-green,
     # plan-asserted in pytest; q_join_left keeps the outer/filtering-join
