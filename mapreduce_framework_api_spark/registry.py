@@ -94,7 +94,7 @@ _LOADED = False
 # policy's lowest-risk yields), the plan-asserted simple joins
 # (broadcast/anti/semi/theta_range — q_join_left and q_join_range_binned
 # keep those families' slots), and every r4/r5 green on untouched code;
-# all are covered by the committed 155-ok local receipts.
+# all are covered by the committed 159-ok local receipts.
 _WINDOW: tuple[str, ...] = (
     # (1) red-row fix + never-driver-checked + new this round
     "q_text_inverted_index",
