@@ -292,23 +292,12 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched kernel == minhash_signature() bit-for-bit (pinned by
     # tests); the expression fold costs ~2x the whole query at sf0.1.
     sig = docs.select("doc_id", _minhash_sig_udf()("text").alias("sig"))
+    # Band layout comes from the ONE shared builder (_bands_of) so the
+    # estimate/verified tiers and the incremental index can never drift
+    # onto different bucket keys.
     bands = sig.select(
         F.struct("doc_id", "sig").alias("rec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "_",
-                            F.element_at("sig", 2 * b + 1),
-                            F.element_at("sig", 2 * b + 2),
-                        ).alias("bucket"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band"),
+        _bands_of().alias("band"),
     ).select("rec", "band.band_id", "band.bucket")
     buckets = (
         bands.groupBy("band_id", "bucket")
@@ -604,11 +593,13 @@ def _simhash_sig_udf():
 
 def _shingle_hash_udf(k: int = 3):
     """pandas_udf: text -> array<long> of DISTINCT 63-bit k-shingle hashes
-    (md5-derived; whole-text fallback for docs shorter than k tokens, same
-    as _shingles). Set-overlap measures (Jaccard, contamination counts) are
-    invariant under ANY injective hash — so this kernel replaces the string
-    shingles with no semantic change; the string-level oracles are the
-    collision canary."""
+    (md5-derived; NORMALIZED-token-join fallback for docs shorter than k
+    tokens, matching the jaccard-family oracles — NOT _shingles' raw-text
+    fallback, which belongs to the minhash pipeline and its own oracle).
+    Set-overlap measures (Jaccard, contamination counts) are invariant
+    under ANY injective hash — so this kernel replaces the string shingles
+    with no semantic change; the string-level oracles are the collision
+    canary."""
     import hashlib
     import re
 
@@ -635,7 +626,17 @@ def _shingle_hash_udf(k: int = 3):
             if len(toks) >= k:
                 sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
             else:
-                sh = {text}
+                # NORMALIZED-token fallback (" ".join(toks)), matching the
+                # jaccard-family oracles' array_to_string(toks, ' ') CTE —
+                # deliberately DIFFERENT from the minhash signature
+                # pipeline, whose fallback is the raw text on both engines
+                # ([text] in _MINHASH_CAND_CTES). Before round 6 this
+                # kernel used the raw text too, silently diverging from
+                # its own oracles for sub-k-token docs whose punctuation
+                # differs from their token join; the fixtures carry no
+                # such doc, so the divergence was latent — pinned now by
+                # test_shingle_fallback_matches_oracle_on_short_docs.
+                sh = {" ".join(toks)}
             out.append(np.array([h63(s) for s in sh], dtype=np.int64))
         return pd.Series(out)
 
@@ -1369,7 +1370,10 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts and a floor division — integer end to end
     (recall_x10000 = floor(hit * 10000 / max(truth, 1)))."""
     truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cand = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # cand feeds two aggregate subtrees (n_candidates and the hit join):
+    # materialized so the banded pipeline runs once (truth is already the
+    # per-session localCheckpoint'd pair table).
+    cand = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_hit = (
@@ -1432,12 +1436,9 @@ def inc_is_new():
     """The deterministic 1/8 ingest split predicate (doc_id column) —
     ONE definition shared by the batch query, the streaming twin, and
     mirrored verbatim in _INC_ORACLE's split CTE."""
-    return (
-        F.substring(
-            F.md5(F.concat(F.lit("incsplit#"), F.col("doc_id").cast("string"))), 1, 1
-        )
-        < "2"
-    )
+    from mapreduce_framework_api_spark.functions.hashing import md5_flag
+
+    return md5_flag("doc_id", "incsplit")
 
 
 def _bands_of(sig_col: str = "sig"):
@@ -1607,7 +1608,8 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-keyed equi-join over two thin pair tables + three single-row
     broadcast-crossed aggregates."""
     truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cand = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialized for the same two-subtree reason as q_dedup_minhash_recall.
+    cand = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_hit = (

@@ -1212,22 +1212,14 @@ def q_pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4-row aggregate. Production variant: store the content hash as a
     snapshot column and the diff never touches text at all — the plan
     here reads text only to compute the hashes it compares."""
+    from mapreduce_framework_api_spark.functions.hashing import md5_flag
+
     docs = table(spark, sf_dir, "documents")
 
     def member(tag: str):
-        return (
-            F.substring(
-                F.md5(F.concat(F.lit(f"{tag}#"), F.col("doc_id").cast("string"))), 1, 1
-            )
-            < "e"
-        )
+        return md5_flag("doc_id", tag, threshold="e")
 
-    edited = (
-        F.substring(
-            F.md5(F.concat(F.lit("edit#"), F.col("doc_id").cast("string"))), 1, 1
-        )
-        < "2"
-    )
+    edited = md5_flag("doc_id", "edit")
     snap_a = docs.filter(member("snapA")).select(
         F.col("doc_id").alias("a_id"), F.md5("text").alias("a_h")
     )

@@ -114,12 +114,9 @@ def _hash_split(tag: str):
     different splits (q_sim_pq_recall's ground truth must use exactly
     q_sim_pq_topk's split — a one-character difference would silently
     produce a plausible-but-wrong recall number)."""
-    return (
-        F.substring(
-            F.md5(F.concat(F.lit(f"{tag}#"), F.col("vec_id").cast("string"))), 1, 1
-        )
-        < "2"
-    )
+    from mapreduce_framework_api_spark.functions.hashing import md5_flag
+
+    return md5_flag("vec_id", tag)
 
 
 def _topk_rerank(
@@ -1548,12 +1545,16 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     new heavy lifting at any scale. At 100 TB the exact-truth side is the
     expensive half; production samples the query set with one more hash
     filter, identical plan."""
+    # Both sides are (n x 3)-row frames feeding THREE aggregate subtrees
+    # (n_queries/n_truth/n_hits): eagerly materialized so the O(n^2)
+    # exact-truth cogroup and the IVF pipeline run once, not per subtree.
     truth = (
         q_sim_cosine_topk(spark, sf_dir)
         .filter(F.col("rk") <= _IVF_TOP_K)
         .select("vec_id", "neighbor_id")
+        .localCheckpoint()
     )
-    ivf = q_sim_ivf_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    ivf = q_sim_ivf_topk(spark, sf_dir).select("vec_id", "neighbor_id").localCheckpoint()
     n_queries = truth.agg(
         F.count_distinct("vec_id").cast("long").alias("n_queries")
     )
@@ -1622,12 +1623,15 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     own). Both sides reuse the registered tiers' plans; the metric adds
     one pair-keyed equi-join + three broadcast-crossed single-row
     aggregates."""
+    # Materialized thin frames — same reasoning as q_sim_ivf_recall: the
+    # exact truth and the LSH tier each feed multiple aggregate subtrees.
     truth = (
         q_sim_cosine_topk(spark, sf_dir)
         .filter(F.col("rk") <= _LSH_TOP_K)
         .select("vec_id", "neighbor_id")
+        .localCheckpoint()
     )
-    lsh = q_sim_ann_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
+    lsh = q_sim_ann_lsh(spark, sf_dir).select("vec_id", "neighbor_id").localCheckpoint()
     n_queries = truth.agg(
         F.count_distinct("vec_id").cast("long").alias("n_queries")
     )

@@ -74,6 +74,27 @@ def _events_schema(ts_nanos: bool) -> T.StructType:
     )
 
 
+def _stage_single_file(src: str, prefix: str) -> str:
+    """Stage a single parquet FILE into a stable per-fixture landing
+    directory (file-source streams list directories; the fixture is one
+    file). Stable (md5-tagged, not mkdtemp) because the file-source
+    checkpoint records the source directory — a restarted query must list
+    the SAME landing dir or Spark rejects the offset log. A dangling
+    symlink (fixture moved/deleted since a prior run) is re-linked, not
+    tripped over."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, os.path.basename(src))
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)  # dangling symlink from a deleted fixture
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    return staged
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet directory.
 
@@ -87,20 +108,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{sf_dir}/events.parquet"
     ts_nanos = _events_ts_is_nanos(src)
     if os.path.isfile(src):
-        # STABLE per-fixture staging path (not mkdtemp): the file-source
-        # checkpoint records the source directory, so a restarted query
-        # must list the SAME landing dir or Spark rejects the offset log
-        # (basePath mismatch) — mirroring production, where the landing
-        # directory is a fixed location files arrive into.
-        import hashlib
-
-        tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
-        staged = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
-        os.makedirs(staged, exist_ok=True)
-        link = os.path.join(staged, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        src = staged
+        src = _stage_single_file(src, "events_stream")
     if ts_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
@@ -632,15 +640,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization is needed."""
     src = f"{sf_dir}/documents.parquet"
     if os.path.isfile(src):
-        import hashlib
-
-        tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
-        staged = os.path.join(tempfile.gettempdir(), f"documents_stream_{tag}")
-        os.makedirs(staged, exist_ok=True)
-        link = os.path.join(staged, "documents.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        src = staged
+        src = _stage_single_file(src, "documents_stream")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

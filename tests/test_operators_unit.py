@@ -1838,3 +1838,43 @@ def test_incremental_dedup_flags_exact_copy_of_corpus_doc(spark, tmp_path):
     out = load_all_queries()["q_dedup_incremental"].fn(spark, str(tmp_path)).collect()
     flagged = {(r["new_id"], r["corpus_id"]): r["est_jaccard"] for r in out}
     assert flagged == {(new_ids[0], corpus_ids[0]): 1.0}, flagged
+
+
+def test_shingle_fallback_matches_oracle_on_short_docs(spark, tmp_path):
+    """The <k-token shingle fallback: the jaccard-family kernel must use
+    the NORMALIZED token join (matching its oracles' array_to_string(toks,
+    ' ')), not the raw text — for 'alpha, beta' vs 'alpha beta' the raw
+    fallback would hash different shingles on the two engines and the
+    differential check would miss a jaccard-1.0 pair. The fixtures carry
+    no sub-3-token doc, so this path is pinned here with a constructed
+    corpus, run through BOTH engines via the registered oracle."""
+    import duckdb
+
+    import mapreduce_framework_api_spark.operators.dedup as dd
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    docs = [
+        (0, "alpha, beta"),   # punctuation differs from token join
+        (1, "alpha beta"),    # same tokens -> identical fallback shingle
+        (2, "gamma delta!!"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    doc_pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(doc_pq)
+
+    dd._JACCARD_PAIR_CACHE.clear()
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dd.jaccard_dup_pairs(spark, str(tmp_path)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{doc_pq}/*.parquet')"
+        )
+        oracle_sql = load_all_queries()["q_dedup_ngram_jaccard"].oracle
+        want = {tuple(r) for r in con.execute(oracle_sql).fetchall()}
+        assert got == want
+        assert (0, 1, 1.0) in got  # the pair the raw-text fallback would drop
+    finally:
+        dd._JACCARD_PAIR_CACHE.clear()
