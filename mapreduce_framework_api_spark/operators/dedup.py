@@ -1370,10 +1370,7 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts and a floor division — integer end to end
     (recall_x10000 = floor(hit * 10000 / max(truth, 1)))."""
     truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # cand feeds two aggregate subtrees (n_candidates and the hit join):
-    # materialized so the banded pipeline runs once (truth is already the
-    # per-session localCheckpoint'd pair table).
-    cand = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    cand = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_hit = (
@@ -1608,8 +1605,7 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-keyed equi-join over two thin pair tables + three single-row
     broadcast-crossed aggregates."""
     truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # Materialized for the same two-subtree reason as q_dedup_minhash_recall.
-    cand = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    cand = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_hit = (

@@ -1545,16 +1545,17 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     new heavy lifting at any scale. At 100 TB the exact-truth side is the
     expensive half; production samples the query set with one more hash
     filter, identical plan."""
-    # Both sides are (n x 3)-row frames feeding THREE aggregate subtrees
-    # (n_queries/n_truth/n_hits): eagerly materialized so the O(n^2)
-    # exact-truth cogroup and the IVF pipeline run once, not per subtree.
+    # Both sides feed THREE aggregate subtrees (n_queries/n_truth/
+    # n_hits); Spark's ReusedExchange canonicalization deduplicates the
+    # heavy pipelines across them, so NO eager materialization: an A/B at
+    # sf0.1 measured localCheckpoint here as a net +1.2-1.5 s (checkpoint
+    # write + lost pipelining) against zero saved recompute.
     truth = (
         q_sim_cosine_topk(spark, sf_dir)
         .filter(F.col("rk") <= _IVF_TOP_K)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
     )
-    ivf = q_sim_ivf_topk(spark, sf_dir).select("vec_id", "neighbor_id").localCheckpoint()
+    ivf = q_sim_ivf_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     n_queries = truth.agg(
         F.count_distinct("vec_id").cast("long").alias("n_queries")
     )
@@ -1623,15 +1624,14 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     own). Both sides reuse the registered tiers' plans; the metric adds
     one pair-keyed equi-join + three broadcast-crossed single-row
     aggregates."""
-    # Materialized thin frames — same reasoning as q_sim_ivf_recall: the
-    # exact truth and the LSH tier each feed multiple aggregate subtrees.
+    # No eager materialization — same measured reasoning as
+    # q_sim_ivf_recall (ReusedExchange already dedupes the subtrees).
     truth = (
         q_sim_cosine_topk(spark, sf_dir)
         .filter(F.col("rk") <= _LSH_TOP_K)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
     )
-    lsh = q_sim_ann_lsh(spark, sf_dir).select("vec_id", "neighbor_id").localCheckpoint()
+    lsh = q_sim_ann_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
     n_queries = truth.agg(
         F.count_distinct("vec_id").cast("long").alias("n_queries")
     )
