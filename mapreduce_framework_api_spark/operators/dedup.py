@@ -625,7 +625,7 @@ def _shingle_hash_udf(k: int = 3):
             toks = tok_re.findall(text)
             if len(toks) >= k:
                 sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-            else:
+            elif toks:
                 # NORMALIZED-token fallback (" ".join(toks)), matching the
                 # jaccard-family oracles' array_to_string(toks, ' ') CTE —
                 # deliberately DIFFERENT from the minhash signature
@@ -637,6 +637,19 @@ def _shingle_hash_udf(k: int = 3):
                 # such doc, so the divergence was latent — pinned now by
                 # test_shingle_fallback_matches_oracle_on_short_docs.
                 sh = {" ".join(toks)}
+            else:
+                # ZERO-token doc: no shingles — the doc is excluded from
+                # the jaccard tiers entirely (set Jaccard is 0/0 for empty
+                # sets; empty docs are the quality filter's problem, and
+                # at corpus scale pairing every token-empty doc with every
+                # other would be a self-inflicted viral bucket). Mirrors
+                # the oracles exactly: array_to_string([], ' ') is NULL in
+                # DuckDB and a NULL shingle never equi-joins. Caught by
+                # the edge-corpus harness (tools/edge_corpus.py) — the
+                # pre-fix kernel emitted {''} here and flagged all
+                # zero-token docs as mutual jaccard-1.0 duplicates that
+                # the oracle never saw.
+                sh = set()
             out.append(np.array([h63(s) for s in sh], dtype=np.int64))
         return pd.Series(out)
 
@@ -673,10 +686,19 @@ WITH tok AS (
          CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS hi,
          CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS lo
   FROM tok
-), sig AS (
+), sig_nz AS (
   SELECT doc_id,
          CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
   FROM th GROUP BY doc_id
+), sig AS (
+  -- INCLUSIVE of zero-token documents: the signature of an empty token
+  -- bag is the defined zero (every bit's sum is 0, no bit set), matching
+  -- the Spark kernel and simhash_signature()'s empty-fold. The bare
+  -- GROUP BY above silently dropped token-empty docs (unnest of an empty
+  -- list yields no rows), so the engine flagged empty-vs-empty pairs the
+  -- oracle never saw — caught by tools/edge_corpus.py.
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig_nz s ON d.doc_id = s.doc_id
 ), blocks AS (
   SELECT doc_id, bb.block_id,
          CASE bb.block_id

@@ -642,13 +642,22 @@ def test_signature_kernels_match_expression_builders(spark):
 
     # Shingle hashes differ by design (md5-derived vs the old xxhash64);
     # Jaccard only sees set sizes and intersections, so assert the kernel's
-    # DISTINCT size matches the expression shingle set exactly.
+    # DISTINCT size matches the expression shingle set exactly — for docs
+    # WITH tokens. Zero-token docs diverge by design: _shingles (the
+    # minhash spec) falls back to the raw text (size 1), while the jaccard
+    # kernel emits NO shingles (size 0) so token-empty docs are excluded
+    # from the jaccard tiers on both engines (DuckDB's
+    # array_to_string([], ' ') is NULL — see the edge-corpus test).
+    has_tokens = F.size(D.tokens_nonempty("text")) > 0
     jc = docs.select(
         "doc_id",
+        has_tokens.alias("has_tokens"),
         F.size(F.array_distinct(D._shingles("text"))).alias("n_expr"),
         F.size(D._shingle_hash_udf()("text")).alias("n_kern"),
     )
-    assert jc.filter("n_expr <> n_kern").count() == 0
+    assert jc.filter("has_tokens AND n_expr <> n_kern").count() == 0
+    assert jc.filter("NOT has_tokens AND n_kern <> 0").count() == 0
+    assert jc.filter("NOT has_tokens").count() == 2  # the two edge docs
 
 
 def test_decontaminate_flags_exact_overlap(spark, tmp_path):
@@ -1878,3 +1887,37 @@ def test_shingle_fallback_matches_oracle_on_short_docs(spark, tmp_path):
         assert (0, 1, 1.0) in got  # the pair the raw-text fallback would drop
     finally:
         dd._JACCARD_PAIR_CACHE.clear()
+
+
+def test_edge_corpus_zero_token_docs_agree_across_engines():
+    """Regression for the round-6 zero-token divergences: on a corpus with
+    empty / whitespace-only / punctuation-only documents, the jaccard
+    family must EXCLUDE token-empty docs on both engines (DuckDB's
+    array_to_string([], ' ') is NULL and never joins; the kernel now
+    mirrors that with an empty shingle set) and the simhash tier must
+    INCLUDE them with the defined zero signature on both engines (the
+    oracle's bare GROUP BY used to drop them). Runs the previously
+    divergent queries through the full differential checker on the
+    adversarial corpus built by tools/edge_corpus.py."""
+    import subprocess
+    import sys as _sys
+
+    import tools.edge_corpus as ec
+
+    dst = ec.build()
+    out = subprocess.run(
+        [
+            _sys.executable,
+            "tools/check_oracle.py",
+            dst,
+            "q_dedup_ngram_jaccard",
+            "q_dedup_simhash",
+            "q_dedup_clusters",
+            "q_dedup_minhash_verified",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=400,
+    )
+    assert "0 FAIL" in out.stdout and "4 ok" in out.stdout, out.stdout[-2000:]

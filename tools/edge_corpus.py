@@ -1,0 +1,109 @@
+"""Adversarial edge-corpus differential check.
+
+Builds a fixture directory whose ``documents`` table is a constructed set
+of worst-case rows — empty text, whitespace-only, punctuation-only
+(zero tokens), single-token, unicode-delimiter, megatoken, exact
+duplicates — with every OTHER table symlinked from sf0.001, then the
+document-centric queries can be driven through BOTH engines with the
+standard differential checker:
+
+    python tools/edge_corpus.py            # build + run the doc-centric set
+    python tools/edge_corpus.py q_x q_y    # build + run specific queries
+
+This is the harness that caught class-mates of the round-6
+shingle-fallback divergence (a kernel whose sub-3-token fallback hashed
+raw text while its oracle compared the normalized token join — latent on
+the driver fixtures, which contain no sub-3-token doc)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.001"
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "edge"
+)
+
+# One doc per adversarial class, plus enough near-normal filler that
+# grouped/quantile queries keep non-degenerate groups.
+EDGE_DOCS = [
+    (0, "", "en", "edge"),                       # empty text
+    (1, "   \t  ", "en", "edge"),                # whitespace only
+    (2, "!!! ??? ... ---", "en", "edge"),        # punctuation only: 0 tokens
+    (3, "single", "en", "edge"),                 # 1 token
+    (4, "alpha, beta", "en", "edge"),            # 2 tokens, punct != join
+    (5, "alpha beta", "en", "edge"),             # same 2 tokens, clean
+    (6, "héllo wörld 中文 тест", "xx", "edge"),    # unicode delimiters
+    (7, "spark " * 200, "en", "edge"),           # one token repeated 200x
+    (8, "the quick brown fox jumps over the lazy dog", "en", "dup"),
+    (9, "the quick brown fox jumps over the lazy dog", "en", "dup"),
+]
+FILLER = [
+    (
+        100 + i,
+        f"filler document number {i} with shared words table row scan value "
+        f"and a distinct tail token{i}",
+        ["en", "de", "fr"][i % 3],
+        f"src{i % 4}",
+    )
+    for i in range(40)
+]
+
+# Queries whose inputs are documents-only (oracle views cover the rest via
+# symlinks anyway; this list keeps the run focused and fast).
+DOC_QUERIES = [
+    "q_dedup_minhash", "q_dedup_minhash_verified", "q_dedup_minhash_recall",
+    "q_dedup_simhash", "q_dedup_simhash_recall", "q_dedup_ngram_jaccard",
+    "q_dedup_clusters", "q_dedup_canonical", "q_dedup_report",
+    "q_dedup_repeated_chunks", "q_dedup_decontaminate", "q_dedup_incremental",
+    "q_text_wordcount", "q_text_ngrams", "q_text_tfidf", "q_text_tokens",
+    "q_text_langid", "q_text_quality", "q_text_repetition",
+    "q_text_fingerprint", "q_text_surprisal", "q_text_keywords",
+    "q_text_vocab_coverage", "q_text_inverted_index", "q_text_bpe_merges",
+    "q_text_bpe_encode", "q_text_langid_confusion",
+    "q_pipe_sample_hash", "q_pipe_split_assign", "q_pipe_quota_cap",
+    "q_pipe_keep_first", "q_pipe_length_hist", "q_pipe_mixture",
+    "q_pipe_pack_chunks", "q_pipe_chunk_overlap", "q_pipe_upsample_epochs",
+    "q_pipe_shuffle_order", "q_pipe_token_budget", "q_pipe_filter_cascade",
+    "q_pipe_end_to_end", "q_pipe_dataset_card", "q_pipe_interleave",
+    "q_pipe_quantile_norm", "q_pipe_split_leakage", "q_pipe_pii_scrub",
+    "q_pipe_snapshot_diff", "q_privacy_kanonymity",
+]
+
+
+def build() -> str:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    rows = EDGE_DOCS + FILLER
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        f"COPY (SELECT doc_id, text, lang, source, length(text) AS n_chars "
+        f"FROM d ORDER BY doc_id) TO '{DST}/documents.parquet' (FORMAT PARQUET)"
+    )
+    for t in os.listdir(SRC):
+        if t.endswith(".parquet") and t != "documents.parquet":
+            link = os.path.join(DST, t)
+            if os.path.lexists(link):
+                os.unlink(link)
+            os.symlink(os.path.join(SRC, t), link)
+    return DST
+
+
+def main() -> int:
+    dst = build()
+    names = sys.argv[1:] or DOC_QUERIES
+    here = os.path.dirname(os.path.abspath(__file__))
+    return subprocess.call(
+        [sys.executable, os.path.join(here, "check_oracle.py"), dst, *names]
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
