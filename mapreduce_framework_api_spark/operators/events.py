@@ -324,7 +324,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) * {_DAY_US} AS day_us,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY day_us, event_type
 ORDER BY day_us, event_type
@@ -340,13 +340,13 @@ def q_agg_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the difference between scanning 24x fewer rows for
     every daily/weekly/monthly report and re-scanning raw events each
     time; the hourly table is what a production pipeline persists. Sums
-    run over DECIMAL(12,2) (value is 2-decimal data) because double
+    run over DECIMAL(18,2) (value is 2-decimal data) because double
     addition is NOT associative — the decimal sums make the two-level
     rollup byte-identical to the direct aggregate on both engines."""
     e = table(spark, sf_dir, "events").select(
         F.unix_micros("ts").alias("ts_us"),
         "event_type",
-        F.col("value").cast("decimal(12,2)").alias("dv"),
+        F.col("value").cast("decimal(18,2)").alias("dv"),
     )
     hourly = e.groupBy(
         ((F.col("ts_us") / _HOUR_US).cast("long") * _HOUR_US).alias("hour_us"),
@@ -372,7 +372,7 @@ def q_agg_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US}) * {_HOUR_US} AS hour_us,
          event_type,
-         CAST(value AS DECIMAL(12,2)) AS dv
+         CAST(value AS DECIMAL(18,2)) AS dv
   FROM events
 ), hourly AS (
   SELECT hour_us, event_type, COUNT(*) AS n,
@@ -411,7 +411,7 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         ((F.unix_micros("ts") / _HOUR_US).cast("long") * _HOUR_US).alias("hour_us"),
         "event_type",
-        F.col("value").cast("decimal(12,2)").alias("dv"),
+        F.col("value").cast("decimal(18,2)").alias("dv"),
     )
     hourly = e.groupBy("hour_us", "event_type").agg(
         F.count("*").alias("n"), F.sum("dv").cast("double").alias("sum_value")
@@ -512,21 +512,27 @@ WITH hourly AS (
          CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
   FROM events GROUP BY hour_us, event_type
 ), trail AS (
+  -- 128-bit statistics (HUGEINT; the Spark twin uses decimal(38,0)):
+  -- m is cents, so m*m overflows int64 at m = 3e9 cents (~$3e7/hour) —
+  -- comfortably reachable at volume. The edge-corpus harness caught the
+  -- int64 form erroring on a 1e12-valued event.
   SELECT hour_us, event_type, m,
-         COUNT(*)     OVER w AS cnt,
-         SUM(m)       OVER w AS sm,
-         SUM(m * m)   OVER w AS sm2
+         COUNT(*)                        OVER w AS cnt,
+         SUM(CAST(m AS HUGEINT))         OVER w AS sm,
+         SUM(CAST(m AS HUGEINT) * m)     OVER w AS sm2
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
                RANGE BETWEEN {_ANOM_TRAIL_HOURS * _HOUR_US} PRECEDING
                          AND {_HOUR_US} PRECEDING)
 )
 SELECT hour_us, event_type, m AS m_cents, CAST(cnt AS BIGINT) AS n_trailing,
-       ROUND((m * cnt - sm) / sqrt(CAST(cnt * sm2 - sm * sm AS DOUBLE)), 2) AS z
+       ROUND(CAST(CAST(m AS HUGEINT) * cnt - sm AS DOUBLE)
+             / sqrt(CAST(cnt * sm2 - sm * sm AS DOUBLE)), 2) AS z
 FROM trail
 WHERE cnt >= {_ANOM_MIN_HOURS}
   AND cnt * sm2 - sm * sm > 0
-  AND (m * cnt - sm) * (m * cnt - sm) > 4 * (cnt * sm2 - sm * sm)
+  AND (CAST(m AS HUGEINT) * cnt - sm) * (CAST(m AS HUGEINT) * cnt - sm)
+      > 4 * (cnt * sm2 - sm * sm)
 ORDER BY event_type, hour_us
 """,
 )
@@ -564,15 +570,18 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_us")
         .rangeBetween(-_ANOM_TRAIL_HOURS * _HOUR_US, -_HOUR_US)
     )
+    # 128-bit statistics (decimal(38,0); the oracle mirrors with HUGEINT):
+    # m*m overflows int64 at m = 3e9 cents — see the oracle comment.
+    md = F.col("m").cast("decimal(38,0)")
     trail = hourly.select(
         "hour_us",
         "event_type",
         "m",
         F.count("*").over(w).alias("cnt"),
-        F.sum("m").over(w).alias("sm"),
-        F.sum(F.col("m") * F.col("m")).over(w).alias("sm2"),
+        F.sum(md).over(w).alias("sm"),
+        F.sum(md * F.col("m")).over(w).alias("sm2"),
     )
-    dev = F.col("m") * F.col("cnt") - F.col("sm")
+    dev = F.col("m").cast("decimal(38,0)") * F.col("cnt") - F.col("sm")
     var_n2 = F.col("cnt") * F.col("sm2") - F.col("sm") * F.col("sm")
     return (
         trail.filter(
@@ -1275,7 +1284,7 @@ def _hourly_grid(e: DataFrame) -> DataFrame:
 WITH e AS (
   SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US} AS hix,
          event_type,
-         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events
 ), hourly AS (
   SELECT hix, event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1354,7 +1363,7 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cents fix above
         F.floor(F.unix_micros("ts") / _HOUR_US).cast("long").alias("hix"),
         "event_type",
-        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
     hourly = e.groupBy("hix", "event_type").agg(
         F.count("*").cast("long").alias("n"),

@@ -317,9 +317,9 @@ SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {3_600 * 1_000_000}) * {3_600 * 1_000
          AS hour_us,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
          AS sum_cents,
-       CAST(MAX(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+       CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
          AS max_cents
 FROM events
 GROUP BY hour_us, event_type
@@ -348,7 +348,7 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # floor-safe bucketing (matches the oracle's //, incl. pre-epoch ts)
         (F.floor(F.unix_micros("ts") / hour_us).cast("long") * hour_us).alias("hour_us"),
         "event_type",
-        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         (
             F.substring(
                 F.md5(F.concat(F.lit("mv#"), F.col("event_id").cast("string"))), 1, 1
@@ -409,7 +409,7 @@ WITH seq AS (
   )
 ), purchases AS (
   SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
 )
 SELECT p.event_id, p.user_id, p.ts_us, p.cents,
@@ -447,7 +447,7 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
     return (
         purchases.join(dim, "user_id")

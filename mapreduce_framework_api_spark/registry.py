@@ -133,9 +133,21 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_search_split",
     "q_text_bpe_encode",
     "q_text_bpe_merges",
-    # (3) staleness rotation (r2 first, then r3-era greens)
-    "q_text_fingerprint",
-    "q_text_tokens",
+    # (2c) arithmetic changed by the edge-corpus hardening: zero-token
+    # shingle/simhash contract (covered above via the dedup rows) plus
+    # the decimal(18,2) widening and 128-bit anomaly statistics.
+    "q_events_anomaly",
+    "q_events_gapfill",
+    "q_events_interpolate",
+    "q_agg_rollup_reuse",
+    "q_mv_incremental",
+    "q_join_temporal",
+    # (3) staleness rotation. The r2-era greens (fingerprint/tokens —
+    # row-local expression pipelines, the lowest-risk class) and the four
+    # plan-asserted simple joins (inner/left/multi/star) yielded their
+    # slots to the (2c) changed-arithmetic queries; q_join_range_binned,
+    # q_join_skew_salted, and the changed q_join_temporal keep the join
+    # family's driver presence.
     # q_agg_percentile rotated out (r3-green row-local exact percentile;
     # q_agg_stats keeps the aggregate family's rotation slot) for
     # q_pipe_snapshot_diff.
@@ -154,12 +166,8 @@ _WINDOW: tuple[str, ...] = (
     # plan-asserted in pytest; q_join_left keeps the outer/filtering-join
     # family's slot) for the similarity queries whose kernels changed
     # this session (ivf_topk, cosine_topk, search_split).
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multi",
     "q_join_range_binned",
     "q_join_skew_salted",
-    "q_join_star",
     # Rotated out to hold the window at 50 with the two queries new this
     # session (q_dedup_minhash_verified, q_sim_knn_classify) added:
     # q_multimodal_meta (r4-green, the freshest rotation entry) and

@@ -1914,10 +1914,17 @@ def test_edge_corpus_zero_token_docs_agree_across_engines():
             "q_dedup_simhash",
             "q_dedup_clusters",
             "q_dedup_minhash_verified",
+            # events-side regressions: the 1e12-valued edge event
+            # overflowed int64 z-score products (q_events_anomaly) and
+            # Decimal(12,2) value casts (gapfill/interpolate) before the
+            # round-6 widenings.
+            "q_events_anomaly",
+            "q_events_gapfill",
+            "q_events_interpolate",
         ],
         capture_output=True,
         text=True,
         cwd="/root/repo",
         timeout=400,
     )
-    assert "0 FAIL" in out.stdout and "4 ok" in out.stdout, out.stdout[-2000:]
+    assert "0 FAIL" in out.stdout and "7 ok" in out.stdout, out.stdout[-2000:]

@@ -53,6 +53,52 @@ FILLER = [
     for i in range(40)
 ]
 
+
+# Adversarial events: duplicate (user, ts) pairs, exact-duplicate full
+# rows, events exactly on hour/window boundaries, a single-event user,
+# zero/negative/extreme values, identical ts across users, and an
+# out-of-order event_id sequence — the tie-break and boundary cases the
+# driver fixture's generator never produces densely.
+EDGE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (0, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),      # exact hour boundary
+    (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),      # full duplicate row (diff id)
+    (2, "2024-01-01 00:00:00", 1, "click", 2.0, "{}"),     # same user+ts, other type
+    (3, "2024-01-01 00:59:59.999999", 1, "view", 0.0, "{}"),  # window edge, zero value
+    (4, "2024-01-01 01:00:00", 1, "purchase", -1.5, "{}"), # negative value on boundary
+    (5, "2024-01-01 00:00:00", 2, "view", 1e12, "{}"),     # same ts as user 1, huge value
+    (6, "2024-01-01 02:00:00", 3, "view", 0.015, "{}"),    # single-event user (ntile/lag edges)
+    (9, "2024-01-01 03:00:00", 2, "click", 1.0, "{}"),     # id gap + out-of-order arrival
+    (8, "2024-01-01 03:00:00", 2, "click", 1.0, "{}"),     # duplicate (user, ts, type, value)
+    (7, "2024-01-01 04:30:00", 2, "purchase", 3.25, "{}"),
+]
+FILLER_EVENTS = [
+    (
+        100 + i,
+        f"2024-01-0{1 + i % 7} {i % 24:02d}:{(7 * i) % 60:02d}:{(13 * i) % 60:02d}",
+        4 + i % 6,
+        ["view", "click", "purchase", "refund"][i % 4],
+        round(0.5 * (i % 9) + 0.25, 2),
+        "{}",
+    )
+    for i in range(80)
+]
+
+EVENT_QUERIES = [
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_late", "q_stream_topk_windowed", "q_stream_attrib",
+    "q_events_funnel", "q_events_retention", "q_events_sessionize",
+    "q_events_gapfill", "q_events_ohlc", "q_events_cdc_compact",
+    "q_events_anomaly", "q_events_timeweighted", "q_events_interpolate",
+    "q_events_transitions", "q_events_streaks", "q_events_cooccurrence",
+    "q_events_rfm", "q_events_latency_bands", "q_events_heatmap",
+    "q_events_burst", "q_events_autocorr",
+    "q_dedup_exact", "q_dedup_latest", "q_pipe_keep_first",
+    "q_win_topk_group", "q_agg_skew_salted",
+    "q_agg_rollup_reuse", "q_mv_incremental", "q_join_temporal",
+]
+
+
 # Queries whose inputs are documents-only (oracle views cover the rest via
 # symlinks anyway; this list keeps the run focused and fast).
 DOC_QUERIES = [
@@ -87,8 +133,16 @@ def build() -> str:
         f"COPY (SELECT doc_id, text, lang, source, length(text) AS n_chars "
         f"FROM d ORDER BY doc_id) TO '{DST}/documents.parquet' (FORMAT PARQUET)"
     )
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?, ?, ?, ?, ?)", EDGE_EVENTS + FILLER_EVENTS)
+    con.execute(
+        f"COPY (SELECT * FROM e ORDER BY event_id) TO '{DST}/events.parquet' (FORMAT PARQUET)"
+    )
     for t in os.listdir(SRC):
-        if t.endswith(".parquet") and t != "documents.parquet":
+        if t.endswith(".parquet") and t not in ("documents.parquet", "events.parquet"):
             link = os.path.join(DST, t)
             if os.path.lexists(link):
                 os.unlink(link)
@@ -98,7 +152,7 @@ def build() -> str:
 
 def main() -> int:
     dst = build()
-    names = sys.argv[1:] or DOC_QUERIES
+    names = sys.argv[1:] or (DOC_QUERIES + EVENT_QUERIES)
     here = os.path.dirname(os.path.abspath(__file__))
     return subprocess.call(
         [sys.executable, os.path.join(here, "check_oracle.py"), dst, *names]
