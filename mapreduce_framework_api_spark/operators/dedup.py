@@ -288,7 +288,12 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate tier (q_dedup_minhash) and the verified tier
     (q_dedup_minhash_verified); the oracle-side twin is
     _MINHASH_CAND_CTES."""
-    docs = parallelized(table(spark, sf_dir, "documents"))
+    # Null-text docs are excluded from the minhash tiers: the oracle
+    # self-excludes them (every min over NULL shingle hashes is NULL and
+    # the est filter never passes), so the engine filters explicitly.
+    docs = parallelized(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     # Arrow-batched kernel == minhash_signature() bit-for-bit (pinned by
     # tests); the expression fold costs ~2x the whole query at sf0.1.
     sig = docs.select("doc_id", _minhash_sig_udf()("text").alias("sig"))
@@ -538,7 +543,11 @@ def _minhash_sig_udf():
     def sig(texts):
         out = []
         for text in texts:
-            toks = tok_re.findall(text)
+            # null text == empty text for crash-safety; the minhash tiers
+            # additionally FILTER null-text docs out upstream (their
+            # oracle self-excludes them: every min-hash of a NULL shingle
+            # is NULL and the est filter never passes NULL).
+            toks = tok_re.findall(text or "")
             if len(toks) >= 3:
                 sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
             else:
@@ -579,7 +588,9 @@ def _simhash_sig_udf():
     def sig(texts):
         out = np.zeros(len(texts), dtype=np.uint64)
         for row, text in enumerate(texts):
-            toks = tok_re.findall(text)
+            # null text == empty token bag -> the defined zero signature,
+            # matching the oracle's inclusive LEFT JOIN + COALESCE(sig, 0)
+            toks = tok_re.findall(text or "")
             if not toks:
                 continue  # fold over an empty array leaves the zero init
             ws = np.array([h64(t) for t in toks], dtype=np.uint64)
@@ -622,7 +633,7 @@ def _shingle_hash_udf(k: int = 3):
     def harr(texts):
         out = []
         for text in texts:
-            toks = tok_re.findall(text)
+            toks = tok_re.findall(text or "")  # null text == zero tokens
             if len(toks) >= k:
                 sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
             elif toks:
@@ -1490,7 +1501,9 @@ def incremental_corpus_index(
     tables; here the checkpoint stands in so neither the signature kernel
     nor the bucket groupBy re-runs per consumer (or per micro-batch in
     the streaming twin)."""
-    docs = parallelized(table(spark, sf_dir, "documents")).filter(~inc_is_new())
+    docs = parallelized(table(spark, sf_dir, "documents")).filter(
+        ~inc_is_new() & F.col("text").isNotNull()  # minhash-tier null contract
+    )
     sigs = docs.select(
         "doc_id", _minhash_sig_udf()("text").alias("sig")
     ).localCheckpoint()
@@ -1575,7 +1588,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash constants keep the full pipeline SQL-mirrorable (_INC_ORACLE
     reuses the estimate tier's CTE chain)."""
     bk, csigs = incremental_corpus_index(spark, sf_dir)
-    new_docs = parallelized(table(spark, sf_dir, "documents")).filter(inc_is_new())
+    new_docs = parallelized(table(spark, sf_dir, "documents")).filter(
+        inc_is_new() & F.col("text").isNotNull()  # minhash-tier null contract
+    )
     return (
         incremental_check(new_docs, bk, csigs)
         .dropDuplicates(["new_id", "corpus_id"])

@@ -762,8 +762,12 @@ WITH hourly AS (
   FROM events GROUP BY win_start_us, event_type
 ), r AS (
   SELECT win_start_us, event_type, n_events,
+         -- NULLS LAST made explicit: a NULL-typed group (dirty data)
+         -- must tie-break identically on both engines (Spark ASC is
+         -- NULLS FIRST by default, DuckDB ASC is NULLS LAST — the
+         -- edge-corpus NULL-typed event flipped rank boundaries)
          ROW_NUMBER() OVER (PARTITION BY win_start_us
-                            ORDER BY n_events DESC, event_type) AS rk
+                            ORDER BY n_events DESC, event_type NULLS LAST) AS rk
   FROM hourly
 )
 SELECT win_start_us, event_type, n_events, CAST(rk AS BIGINT) AS rk
@@ -792,7 +796,9 @@ def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_start_us", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    w = W.partitionBy("win_start_us").orderBy(F.desc("n_events"), "event_type")
+    w = W.partitionBy("win_start_us").orderBy(
+        F.desc("n_events"), F.asc_nulls_last("event_type")
+    )
     return (
         hourly.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _TOPK_PER_WINDOW)
@@ -1459,7 +1465,14 @@ SELECT event_type, n AS n_pairs,
              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
          AS autocorr_lag1
-FROM sums ORDER BY event_type
+FROM sums
+-- a CONSTANT series (zero variance on either side of the lag) has
+-- undefined autocorrelation: excluded on both engines. The edge-corpus
+-- NULL-typed event produced exactly that (NULL never equi-joins the
+-- grid, so its series is all zeros) and the unguarded division threw
+-- under ANSI on Spark while DuckDB emitted NaN.
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY event_type
 """,
 )
 def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1499,14 +1512,19 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_d = F.col("n").cast("double")
     sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
     num = n_d * F.col("sxy") - sx_d * F.col("sy")
-    den = F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx")) * F.sqrt(
-        n_d * F.col("syy") - sy_d * F.col("sy")
+    var_x = n_d * F.col("sxx") - sx_d * F.col("sx")
+    var_y = n_d * F.col("syy") - sy_d * F.col("sy")
+    den = F.sqrt(var_x) * F.sqrt(var_y)
+    return (
+        # constant series (zero variance) excluded — see the oracle note
+        s.filter((var_x > 0) & (var_y > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.round(num / den, 4).alias("autocorr_lag1"),
+        )
+        .orderBy("event_type")
     )
-    return s.select(
-        "event_type",
-        F.col("n").alias("n_pairs"),
-        F.round(num / den, 4).alias("autocorr_lag1"),
-    ).orderBy("event_type")
 
 
 @register(

@@ -616,6 +616,9 @@ WITH t AS (
               AS BIGINT) AS n_tokens,
          md5('budget#' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
+  WHERE text IS NOT NULL  -- null docs carry no tokens; engines disagree
+                          -- on NULL window arithmetic, so they are out
+                          -- of the budget fill on both sides
 ), c AS (
   SELECT doc_id, lang, n_tokens,
          CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
@@ -648,11 +651,15 @@ def q_pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
 
     h = F.md5(F.concat(F.lit("budget#"), F.col("doc_id").cast("string")).cast("binary"))
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.size(tokens_nonempty("text")).cast("long").alias("n_tokens"),
-        h.alias("h"),
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # see the oracle's t CTE note
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens_nonempty("text")).cast("long").alias("n_tokens"),
+            h.alias("h"),
+        )
     )
     # hex prefix = block id; blocks sort identically to h itself, so
     # (blk, h) order within a language equals plain h order.
@@ -1007,7 +1014,11 @@ def q_pipe_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="I",
     oracle="""
 WITH d AS (
-  SELECT doc_id, source, n_chars FROM documents
+  -- null-length docs are excluded: CDF matching over a NULL metric is
+  -- meaningless, and the engines disagree on NULL ordering inside the
+  -- rank windows (Spark NULLS FIRST vs DuckDB NULLS LAST — the
+  -- edge-corpus NULL-text doc shifted every within-source rank)
+  SELECT doc_id, source, n_chars FROM documents WHERE n_chars IS NOT NULL
 ), src AS (
   SELECT doc_id, source, n_chars,
          CAST(ROW_NUMBER() OVER (PARTITION BY source
@@ -1053,7 +1064,11 @@ def q_pipe_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     OVER () spells the semantic; the plan gets N from a broadcast 1-row
     aggregate). The same two-level trick as MAD/latency_bands/
     winsorized, applied per-row instead of per-group."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars").isNotNull())  # see the oracle's d CTE note
+    )
     w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
     n_s = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
     n_tot = d.agg(F.count("*").cast("long").alias("n_total"))

@@ -133,12 +133,20 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_search_split",
     "q_text_bpe_encode",
     "q_text_bpe_merges",
-    # (2c) arithmetic changed by the edge-corpus hardening: zero-token
-    # shingle/simhash contract (covered above via the dedup rows) plus
-    # the decimal(18,2) widening and 128-bit anomaly statistics.
+    # (2c) arithmetic/contract changed by the edge-corpus hardening:
+    # zero-token shingle/simhash semantics (covered via the dedup rows),
+    # decimal(18,2) widening, 128-bit anomaly statistics, the
+    # constant-series autocorr guard, null-text exclusion contracts
+    # (quantile_norm is already in group (1); token_budget here), and the
+    # explicit NULLS LAST rank tie-break in the windowed top-k.
+    # q_agg_stats / q_pipe_keep_first / q_join_range_binned yielded their
+    # rotation slots (r3-greens on code untouched by this round).
     "q_events_anomaly",
     "q_events_gapfill",
     "q_events_interpolate",
+    "q_events_autocorr",
+    "q_pipe_token_budget",
+    "q_stream_topk_windowed",
     "q_agg_rollup_reuse",
     "q_mv_incremental",
     "q_join_temporal",
@@ -151,7 +159,6 @@ _WINDOW: tuple[str, ...] = (
     # q_agg_percentile rotated out (r3-green row-local exact percentile;
     # q_agg_stats keeps the aggregate family's rotation slot) for
     # q_pipe_snapshot_diff.
-    "q_agg_stats",
     "q_dedup_canonical",
     "q_dedup_decontaminate",
     "q_dedup_minhash",
@@ -166,7 +173,6 @@ _WINDOW: tuple[str, ...] = (
     # plan-asserted in pytest; q_join_left keeps the outer/filtering-join
     # family's slot) for the similarity queries whose kernels changed
     # this session (ivf_topk, cosine_topk, search_split).
-    "q_join_range_binned",
     "q_join_skew_salted",
     # Rotated out to hold the window at 50 with the two queries new this
     # session (q_dedup_minhash_verified, q_sim_knn_classify) added:
@@ -176,7 +182,6 @@ _WINDOW: tuple[str, ...] = (
     # q_multimodal_stats rotated out (r3-green; the multimodal family
     # keeps two group-(1) slots via audio_stats/audio_real) for
     # q_dedup_incremental.
-    "q_pipe_keep_first",
     # q_pipe_quota_cap rotated out (r3-green row-local window pipeline)
     # for q_sim_ivf_recall.
     "q_sim_ann_lsh",

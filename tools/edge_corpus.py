@@ -41,6 +41,7 @@ EDGE_DOCS = [
     (7, "spark " * 200, "en", "edge"),           # one token repeated 200x
     (8, "the quick brown fox jumps over the lazy dog", "en", "dup"),
     (9, "the quick brown fox jumps over the lazy dog", "en", "dup"),
+    (10, None, "en", "edge"),                    # NULL text (dirty row)
 ]
 FILLER = [
     (
@@ -71,6 +72,7 @@ EDGE_EVENTS = [
     (9, "2024-01-01 03:00:00", 2, "click", 1.0, "{}"),     # id gap + out-of-order arrival
     (8, "2024-01-01 03:00:00", 2, "click", 1.0, "{}"),     # duplicate (user, ts, type, value)
     (7, "2024-01-01 04:30:00", 2, "purchase", 3.25, "{}"),
+    (10, "2024-01-01 05:00:00", 9, None, None, None),  # NULL type/value/props
 ]
 FILLER_EVENTS = [
     (
