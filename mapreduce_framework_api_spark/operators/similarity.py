@@ -39,6 +39,18 @@ tests/test_fixture_canary.py::test_embeddings_have_nonzero_norm alarms if
 a regenerated fixture ever stops honoring it; a production ingest drops
 or re-embeds zero vectors at the door.
 
+Second input contract (the integer-exact tiers: IVF / PQ / MaxSim /
+outliers): coordinates must satisfy |x| <= 1024 (2^10). The exactness
+design quantizes coordinates to integers (x * 2^18 for IVF, x * 1000 for
+PQ/MaxSim) and relies on 64-dim integer dots staying below 2^63 — the
+bound gives 64 * (2^10 * 2^18)^2 = 2^62 of headroom. Beyond it, DuckDB's
+BIGINT casts error loudly but numpy's int64 matmuls WRAP SILENTLY (the
+worse failure), so the edge-corpus battery pins a contract-maximal
+vector (1e3-scale coordinates, norm ratio 1e9 across the corpus) rather
+than an out-of-contract one. Real encoder outputs are orders of
+magnitude inside the bound; a production ingest clips or normalizes at
+the door, same as the zero-norm rule.
+
 Design note: Spark has no vector index; all tiers are DataFrame plans plus
 Arrow-batched kernels. The block-pair cogroup is the same shape a
 1000-executor cluster needs: block size bounds per-task memory, every

@@ -1931,10 +1931,15 @@ def test_edge_corpus_zero_token_docs_agree_across_engines():
             "q_stream_topk_windowed",
             "q_dedup_minhash",
             "q_dedup_incremental",
+            # exact-duplicate-vector tie stress + the contract-maximal
+            # norm ratio (1e9) across the integer-exact tiers
+            "q_sim_cosine_topk",
+            "q_sim_ivf_topk",
+            "q_sim_knn_classify",
         ],
         capture_output=True,
         text=True,
         cwd="/root/repo",
         timeout=400,
     )
-    assert "0 FAIL" in out.stdout and "13 ok" in out.stdout, out.stdout[-2000:]
+    assert "0 FAIL" in out.stdout and "16 ok" in out.stdout, out.stdout[-2000:]

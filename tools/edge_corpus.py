@@ -101,6 +101,45 @@ EVENT_QUERIES = [
 ]
 
 
+# Adversarial embeddings: EXACT duplicate vectors under distinct ids (the
+# realistic tie stress — bitwise-identical rows give exactly equal cosines
+# on both engines, so every tier's (score, id) tie-break actually fires),
+# plus near-identical vectors (one nudged element) and a skewed-norm pair.
+# All norms are nonzero (the documented input contract).
+def _edge_embeddings():
+    rows = []
+    for i in range(40):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        v[(i * 7 + 3) % 64] = 0.5 + (i % 5) * 0.1
+        v[(i * 13 + 9) % 64] = -0.25
+        rows.append((i, [float(x) for x in v], i % 4))
+    # ids 100..119: exact duplicates of vectors 0..19 (distinct ids)
+    for i in range(20):
+        rows.append((100 + i, list(rows[i][1]), rows[i][2]))
+    # ids 200..204: one nudged element off vector 0..4
+    for i in range(5):
+        v = list(rows[i][1])
+        v[0] = float(v[0]) + 0.01
+        rows.append((200 + i, v, rows[i][2]))
+    # extreme norms WITHIN the coordinate contract (|x| <= 1024, see the
+    # similarity module docstring): tiny and contract-maximal multiples of
+    # vector 5 — a 1e9 norm ratio across the corpus, the integer-exact
+    # tiers' documented worst case (beyond the bound numpy int64 matmuls
+    # wrap silently, so the battery pins the boundary, not the abyss)
+    rows.append((300, [x * 1e-6 for x in rows[5][1]], 0))
+    rows.append((301, [x * 1e3 for x in rows[5][1]], 1))
+    return rows
+
+
+EMB_QUERIES = [
+    "q_sim_cosine_topk", "q_sim_search_split", "q_sim_ann_lsh",
+    "q_sim_ivf_topk", "q_sim_pq_topk", "q_sim_maxsim_topk",
+    "q_sim_knn_classify", "q_sim_outliers", "q_sim_pq_recall",
+    "q_sim_ivf_recall", "q_sim_lsh_recall", "q_dedup_embedding",
+]
+
+
 # Queries whose inputs are documents-only (oracle views cover the rest via
 # symlinks anyway; this list keeps the run focused and fast).
 DOC_QUERIES = [
@@ -143,8 +182,26 @@ def build() -> str:
     con.execute(
         f"COPY (SELECT * FROM e ORDER BY event_id) TO '{DST}/events.parquet' (FORMAT PARQUET)"
     )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = _edge_embeddings()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in emb], pa.int64()),
+                "embedding": pa.array([r[1] for r in emb], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in emb], pa.int32()),
+            }
+        ),
+        f"{DST}/embeddings.parquet",
+    )
     for t in os.listdir(SRC):
-        if t.endswith(".parquet") and t not in ("documents.parquet", "events.parquet"):
+        if t.endswith(".parquet") and t not in (
+            "documents.parquet",
+            "events.parquet",
+            "embeddings.parquet",
+        ):
             link = os.path.join(DST, t)
             if os.path.lexists(link):
                 os.unlink(link)
@@ -154,7 +211,7 @@ def build() -> str:
 
 def main() -> int:
     dst = build()
-    names = sys.argv[1:] or (DOC_QUERIES + EVENT_QUERIES)
+    names = sys.argv[1:] or (DOC_QUERIES + EVENT_QUERIES + EMB_QUERIES)
     here = os.path.dirname(os.path.abspath(__file__))
     return subprocess.call(
         [sys.executable, os.path.join(here, "check_oracle.py"), dst, *names]
