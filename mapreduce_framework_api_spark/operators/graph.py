@@ -245,16 +245,23 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the oriented edge list — a node-count-sized aggregate.
     outd = adj.select(F.col("u").alias("node"), F.size("nbrs").alias("outd"))
     ind = e.groupBy(F.col("v").alias("node")).agg(F.count("*").alias("ind"))
-    wedge_total = (
-        outd.join(ind, "node")
-        .agg(F.sum(F.col("ind") * F.col("outd")).cast("long").alias("n_wedges"))
+    # COALESCE to 0: a wedge-free graph (every node degree <= 1 after
+    # orientation) makes these SUMs aggregate zero rows, which is SQL
+    # NULL — the oracle's COUNT(*) forms say 0 (edge-corpus finding on a
+    # 2-edge graph).
+    wedge_total = outd.join(ind, "node").agg(
+        F.coalesce(F.sum(F.col("ind") * F.col("outd")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
     )
     return (
         e.agg(F.count("*").cast("long").alias("n_edges"))
         .crossJoin(F.broadcast(wedge_total))
         .crossJoin(
             F.broadcast(
-                tri_per_edge.agg(F.sum("t").cast("long").alias("n_triangles"))
+                tri_per_edge.agg(
+                    F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
+                )
             )
         )
         .select("n_edges", "n_wedges", "n_triangles")

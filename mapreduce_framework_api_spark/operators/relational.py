@@ -373,7 +373,17 @@ def asof_join(
     per-row top-1 materializes every (left, earlier-right) pair first,
     which is unboundedly worse for long key histories at 100 TB. Ties on
     equal times resolve to the LAST right row in (time, *payload_cols)
-    order. Left rows with no prior right row are dropped (inner as-of)."""
+    order. Left rows with no prior right row are dropped (inner as-of).
+
+    Null-time contract: a right row with NULL time has no position on the
+    timeline and can never be "the latest at-or-before" — it is dropped,
+    matching the SQL form's ``right_time <= left_time`` predicate (NULL
+    compares to nothing). Without the filter, the merged window's
+    NULLS-FIRST ordering silently treated NULL-dated rows as
+    earliest-ever matches (edge-corpus finding). NULL-time left rows are
+    likewise droppable: no position, no match."""
+    right = right.filter(F.col(right_time).isNotNull())
+    left = left.filter(F.col(left_time).isNotNull())
     pay_struct = F.struct(*[F.col(c) for c in payload_cols]).alias("__pay")
     pay_type = right.select(pay_struct).schema[0].dataType
     ltagged = left.select(
@@ -712,7 +722,20 @@ WITH sums AS (
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd
   FROM lineitem
+  -- measure-complete rows only: COUNT(*) must count exactly the rows the
+  -- null-skipping SUMs saw, or every moment is computed over a wrong n
+  -- (edge-corpus finding); degenerate groups (n < 2, zero variance)
+  -- have undefined sample moments and are excluded on both engines
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
   GROUP BY l_returnflag
+  HAVING COUNT(*) >= 2
+     AND SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+         * COUNT(*)
+         <> SUM(CAST(l_quantity AS DECIMAL(18,2))) * SUM(CAST(l_quantity AS DECIMAL(18,2)))
+     AND SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+         * COUNT(*)
+         <> SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
 )
 SELECT l_returnflag,
        CAST(FLOOR(SQRT((sqq - sq * sq / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS sd_qty_x100,
@@ -741,7 +764,12 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same moment algebra (same operation order, so IEEE-correctly-rounded
     doubles stay bit-identical) — not spark.sql of the oracle text, keeping
     the oracle a genuine cross-check."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").filter(
+        # see the oracle note: measure-complete rows; degenerate groups out
+        F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     dsc = F.col("l_discount").cast("decimal(18,2)")
     prc = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -763,6 +791,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp, spp = F.col("sp"), F.col("spp")
     sqp, sqd = F.col("sqp"), F.col("sqd")
     var_q = (sqq - sq * sq / n) / n1
+    sums = sums.filter(
+        (F.col("n") >= 2)
+        & (F.col("sqq") * n != sq * sq)
+        & (F.col("spp") * n != sp * sp)
+    )
     return sums.select(
         "l_returnflag",
         F.floor(F.sqrt(var_q) * 100.0 + 0.5).cast("bigint").alias("sd_qty_x100"),
@@ -1057,8 +1090,11 @@ def q_subquery_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="D",
     oracle="""
 WITH c AS (
+  -- NULL values carry no mode vote (standard SQL mode() semantics; a
+  -- NULL qty group also tie-breaks oppositely across engines — Spark ASC
+  -- is NULLS FIRST, DuckDB NULLS LAST; edge-corpus finding)
   SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
-  FROM lineitem GROUP BY l_returnflag, qty
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag, qty
 ), r AS (
   SELECT l_returnflag, qty, n,
          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, qty ASC) AS rk
@@ -1081,8 +1117,10 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort materializes. No value list is ever collected per group (the
     ``mode()``/collect-based forms hold per-group state proportional to
     distinct values; this holds one row)."""
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())  # see the oracle note
+        .select("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
     )
     c = li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("n"))
     w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
@@ -1219,11 +1257,18 @@ WITH t AS (
          CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
                               e -> e <> '')) AS BIGINT) AS y
   FROM documents
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL
 ), s AS (
   SELECT lang, COUNT(*) AS n,
          SUM(x) AS sx, SUM(y) AS sy,
          SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
   FROM t GROUP BY lang
+  -- measure-complete rows; degenerate groups (n < 2 or zero variance on
+  -- either axis) have undefined correlation — excluded on both engines
+  -- (edge-corpus finding)
+  HAVING COUNT(*) >= 2
+     AND COUNT(*) * SUM(x * x) <> SUM(x) * SUM(x)
+     AND COUNT(*) * SUM(y * y) <> SUM(y) * SUM(y)
 )
 SELECT lang, CAST(n AS BIGINT) AS n_docs,
        ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -1248,10 +1293,14 @@ def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, map-side combinable."""
     from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
 
-    t = table(spark, sf_dir, "documents").select(
-        "lang",
-        F.col("n_chars").cast("long").alias("x"),
-        F.size(tokens_nonempty("text")).cast("long").alias("y"),
+    t = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "lang",
+            F.col("n_chars").cast("long").alias("x"),
+            F.size(tokens_nonempty("text")).cast("long").alias("y"),
+        )
     )
     s = t.groupBy("lang").agg(
         F.count("*").alias("n"),
@@ -1266,12 +1315,24 @@ def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_num = n_d * F.col("sxy") - sx_d * F.col("sy")
     var_x = n_d * F.col("sxx") - sx_d * F.col("sx")
     var_y = n_d * F.col("syy") - sy_d * F.col("sy")
-    return s.select(
-        "lang",
-        F.col("n").cast("long").alias("n_docs"),
-        F.round(cov_num / (F.sqrt(var_x) * F.sqrt(var_y)), 4).alias("corr_chars_tokens"),
-        F.round(cov_num / var_x, 4).alias("slope_tokens_per_char"),
-    ).orderBy("lang")
+    return (
+        # degenerate groups excluded — mirrors the oracle's HAVING (the
+        # integer-sum forms of the same variance tests)
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") != F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") != F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(cov_num / (F.sqrt(var_x) * F.sqrt(var_y)), 4).alias(
+                "corr_chars_tokens"
+            ),
+            F.round(cov_num / var_x, 4).alias("slope_tokens_per_char"),
+        )
+        .orderBy("lang")
+    )
 
 
 @register(
@@ -1328,9 +1389,14 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="D",
     oracle="""
 WITH g AS (
+  -- rows must carry both a value and a weight: a NULL price cannot be a
+  -- median candidate and a NULL weight is no vote, and the engines
+  -- disagree on NULL ordering/НULL window sums otherwise (edge corpus)
   SELECT l_returnflag AS flag, l_extendedprice AS price,
          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wgt
-  FROM lineitem GROUP BY flag, price
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY flag, price
 ), c AS (
   SELECT flag, price, wgt,
          CAST(SUM(wgt) OVER (PARTITION BY flag ORDER BY price
@@ -1372,7 +1438,10 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
        domain per flag, bounded by bin width, not corpus or domain size.
     Two scans of the base table beat one scan + an unbounded per-group
     window at any real scale; both aggregations are map-side partial."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").filter(
+        # see the oracle's g CTE note: value + weight both required
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     rows = li.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
@@ -1630,7 +1699,17 @@ def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-execution: one customer shuffle on nationkey, per-group limit
     pushed below the sort, 25-row broadcast of nation. Declarative SQL
     and the DataFrame API meet in the same physical space — the reason
-    the engine needs no separate SQL executor."""
+    the engine needs no separate SQL executor.
+
+    HAZARD (edge-corpus discovery, pinned there with aligned types): if
+    the correlation key types MISMATCH (e.g. customer.c_nationkey
+    bigint vs nation.n_nationkey int, so the equality carries an
+    implicit cast), Spark 4.1 does NOT decorrelate per group — it plans
+    a GLOBAL LocalLimit/GlobalLimit over the subquery table before the
+    join, silently returning the first-k rows of the whole table with
+    both the ORDER BY and the correlation ignored. Keep lateral
+    correlation keys byte-type-aligned (the fixture schemas are); never
+    introduce a cast into the correlated predicate."""
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
@@ -1700,10 +1779,13 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="D",
     oracle="""
 WITH rollup_ AS (
+  -- NULL values are out of the robust stat on both engines: a NULL cents
+  -- group otherwise lands at opposite ends of the cumulative quantile
+  -- walk on the two engines (edge-corpus finding)
   SELECT l_returnflag AS flag,
          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM lineitem GROUP BY flag, cents
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY flag, cents
 ), tot AS (
   SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM rollup_ GROUP BY flag
 ), cum AS (
@@ -1761,6 +1843,7 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's flooring // exactly)."""
     r = (
         table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())  # see the oracle note
         .groupBy(
             F.col("l_returnflag").alias("flag"),
             (F.col("l_quantity").cast("decimal(12,2)") * 100)

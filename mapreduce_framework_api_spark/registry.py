@@ -150,6 +150,14 @@ _WINDOW: tuple[str, ...] = (
     "q_agg_rollup_reuse",
     "q_mv_incremental",
     "q_join_temporal",
+    # (2d) relational null/degenerate contracts from the edge-corpus
+    # battery: q_join_asof carries the shared asof_join null-time fix
+    # (q_join_asof_nearest uses the same helper); the sibling
+    # measure-complete moment contracts (corr_exact / mode /
+    # weighted_median / winsorized) are represented by the in-window
+    # q_agg_stats and q_agg_winsorized rows and hold local sf0.01 +
+    # edge-corpus receipts.
+    "q_join_asof",
     # (3) staleness rotation. The r2-era greens (fingerprint/tokens —
     # row-local expression pipelines, the lowest-risk class) and the four
     # plan-asserted simple joins (inner/left/multi/star) yielded their
@@ -173,7 +181,6 @@ _WINDOW: tuple[str, ...] = (
     # plan-asserted in pytest; q_join_left keeps the outer/filtering-join
     # family's slot) for the similarity queries whose kernels changed
     # this session (ivf_topk, cosine_topk, search_split).
-    "q_join_skew_salted",
     # Rotated out to hold the window at 50 with the two queries new this
     # session (q_dedup_minhash_verified, q_sim_knn_classify) added:
     # q_multimodal_meta (r4-green, the freshest rotation entry) and

@@ -1936,10 +1936,19 @@ def test_edge_corpus_zero_token_docs_agree_across_engines():
             "q_sim_cosine_topk",
             "q_sim_ivf_topk",
             "q_sim_knn_classify",
+            # relational null/degenerate regressions: measure-complete
+            # moment contracts (stats/corr/mode/weighted_median/
+            # winsorized), null-time asof exclusion, wedge-free graph
+            # COALESCE, and the type-aligned lateral decorrelation pin
+            "q_agg_stats",
+            "q_agg_mode",
+            "q_join_asof",
+            "q_join_lateral_topn",
+            "q_graph_triangles",
         ],
         capture_output=True,
         text=True,
         cwd="/root/repo",
         timeout=400,
     )
-    assert "0 FAIL" in out.stdout and "16 ok" in out.stdout, out.stdout[-2000:]
+    assert "0 FAIL" in out.stdout and "21 ok" in out.stdout, out.stdout[-2000:]

@@ -140,6 +140,64 @@ EMB_QUERIES = [
 ]
 
 
+# Adversarial relational tables: NULL join keys, dangling foreign keys, a
+# customer with no orders, NULL sort/measure columns (the NULLS FIRST vs
+# NULLS LAST divergence class), duplicate natural keys, and boundary
+# dates. nation/region/supplier/part symlink through from sf0.001, so
+# nationkeys stay in their real 0..24 domain and lineitem part/supp refs
+# can dangle realistically.
+EDGE_CUSTOMERS = [
+    # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    (1, "Customer#1", 0, 100.25, "BUILDING"),
+    (2, "Customer#2", 1, -50.75, "AUTOMOBILE"),   # negative balance
+    (3, "Customer#1", 2, 0.0, "BUILDING"),        # duplicate name, zero bal
+    (4, "Customer#4", 3, None, None),             # NULL bal + segment
+    (5, "Customer#5", None, 10.0, "MACHINERY"),   # NULL nationkey
+    (6, "Customer#6", 4, 999999.99, "HOUSEHOLD"), # no orders at all
+]
+EDGE_ORDERS = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+    (1, 1, "O", 1000.50, "1995-01-01", "1-URGENT"),
+    (2, 1, "F", 2000.25, "1995-01-01", "2-HIGH"),      # same cust+date
+    (3, 2, "O", None, "1995-06-15", "3-MEDIUM"),        # NULL totalprice
+    (4, None, "F", 500.00, "1995-07-01", "4-NOT SPEC"), # NULL custkey
+    (5, 999, "O", 750.10, "1995-08-01", "5-LOW"),       # dangling custkey
+    (6, 3, "P", 1234.56, None, "1-URGENT"),             # NULL orderdate
+    (7, 4, "O", 100.00, "1996-02-29", "2-HIGH"),        # leap day
+    (8, 5, "F", 0.0, "1995-01-01", "3-MEDIUM"),         # zero price
+]
+EDGE_LINEITEMS = [
+    # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+    (1, 1, 1, 1, 10.0, 1000.0, 0.05, 0.02, "N", "O", "1995-01-10"),
+    (1, 2, 1, 2, 10.0, 1000.0, 0.05, 0.02, "N", "O", "1995-01-10"),  # dup measures
+    (2, 1, 2, 1, None, 500.0, 0.0, 0.0, "R", "F", "1995-02-01"),     # NULL quantity
+    (2, 3, 2, 2, 5.0, None, 0.10, 0.04, "A", "F", "1995-02-01"),     # NULL price
+    (3, 99999, 999, 1, 1.0, 10.0, None, None, "N", "O", None),       # dangling part/supp, NULLs
+    (4, 2, 1, 1, 2.0, 20.0, 1.0, 0.0, "R", "F", "1995-07-02"),       # 100% discount
+    (9, 1, 1, 1, 3.0, 30.0, 0.0, 0.08, "N", "O", "1995-09-01"),      # dangling orderkey
+]
+
+REL_QUERIES = [
+    "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
+    "q_join_full_outer", "q_join_broadcast", "q_join_multi", "q_join_star",
+    "q_join_theta_range", "q_join_range_binned", "q_join_interval_overlap",
+    "q_join_asof", "q_join_asof_nearest", "q_join_lateral_topn",
+    "q_join_fuzzy", "q_join_skew_salted",
+    "q_agg_basic", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_agg_grouping_sets", "q_agg_stats", "q_agg_pivot", "q_agg_unpivot",
+    "q_agg_mode", "q_agg_mad", "q_agg_weighted_median", "q_agg_winsorized",
+    "q_agg_corr_exact", "q_agg_string_agg", "q_agg_percentile",
+    "q_win_rank", "q_win_running", "q_win_topk_group", "q_win_lag_lead",
+    "q_win_ntile_dist", "q_win_range_frame", "q_win_first_last",
+    "q_sort_multi", "q_limit_offset", "q_set_ops", "q_set_ops_all",
+    "q_subquery_scalar", "q_subquery_exists", "q_subquery_corr_agg",
+    "q_scan_project", "q_filter_pred", "q_profile_columns",
+    "q_privacy_kanonymity", "q_graph_pagerank", "q_graph_triangles",
+    "q_graph_bfs",
+]
+
+
 # Queries whose inputs are documents-only (oracle views cover the rest via
 # symlinks anyway; this list keeps the run focused and fast).
 DOC_QUERIES = [
@@ -182,6 +240,27 @@ def build() -> str:
     con.execute(
         f"COPY (SELECT * FROM e ORDER BY event_id) TO '{DST}/events.parquet' (FORMAT PARQUET)"
     )
+    con.execute(
+        "CREATE TABLE c (c_custkey BIGINT, c_name VARCHAR, c_nationkey INTEGER, "
+        "c_acctbal DOUBLE, c_mktsegment VARCHAR)"
+    )
+    con.executemany("INSERT INTO c VALUES (?, ?, ?, ?, ?)", EDGE_CUSTOMERS)
+    con.execute(f"COPY (SELECT * FROM c ORDER BY c_custkey) TO '{DST}/customer.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR)"
+    )
+    con.executemany("INSERT INTO o VALUES (?, ?, ?, ?, ?, ?)", EDGE_ORDERS)
+    con.execute(f"COPY (SELECT * FROM o ORDER BY o_orderkey) TO '{DST}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE l (l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR, "
+        "l_linestatus VARCHAR, l_shipdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO l VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)", EDGE_LINEITEMS)
+    con.execute(f"COPY (SELECT * FROM l ORDER BY l_orderkey, l_linenumber) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)")
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -201,6 +280,9 @@ def build() -> str:
             "documents.parquet",
             "events.parquet",
             "embeddings.parquet",
+            "customer.parquet",
+            "orders.parquet",
+            "lineitem.parquet",
         ):
             link = os.path.join(DST, t)
             if os.path.lexists(link):
@@ -211,7 +293,7 @@ def build() -> str:
 
 def main() -> int:
     dst = build()
-    names = sys.argv[1:] or (DOC_QUERIES + EVENT_QUERIES + EMB_QUERIES)
+    names = sys.argv[1:] or (DOC_QUERIES + EVENT_QUERIES + EMB_QUERIES + REL_QUERIES)
     here = os.path.dirname(os.path.abspath(__file__))
     return subprocess.call(
         [sys.executable, os.path.join(here, "check_oracle.py"), dst, *names]
