@@ -551,7 +551,11 @@ def _minhash_sig_udf():
             if len(toks) >= 3:
                 sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
             else:
-                sh = {text}
+                # text or "" here too: the null-tolerance contract above
+                # must hold regardless of caller filters (a NULL reaching
+                # the sub-3-token fallback previously crashed h31 — found
+                # via the streaming twin, which shares this kernel)
+                sh = {text or ""}
             hs = np.array([h31(s) for s in sh], dtype=np.int64)
             out.append((A * hs + B) % _MINHASH_P if hs.size else A * 0 + _MINHASH_P + 1)
         return pd.Series([m.min(axis=1) if m.ndim > 1 else m.ravel() for m in out])
@@ -1533,8 +1537,14 @@ def incremental_check(
     dropDuplicates; a production streaming sink's idempotent upsert).
     The joins are plain equi-joins (no broadcast hint): at fixture scale
     AQE broadcasts them, at 100 TB the bucket table is corpus-sized and
-    must shuffle-join."""
-    sig = new_docs.select("doc_id", _minhash_sig_udf()("text").alias("sig"))
+    must shuffle-join.
+
+    The minhash-tier null contract (text IS NOT NULL) is applied HERE, not
+    only in callers, so both runtimes drop dirty rows identically — the
+    streaming twin previously fed NULL text straight to the sig kernel."""
+    sig = new_docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", _minhash_sig_udf()("text").alias("sig")
+    )
     bands = sig.select("doc_id", "sig", _bands_of().alias("band")).select(
         "doc_id", "sig", "band.band_id", "band.bucket"
     )

@@ -724,19 +724,21 @@ WITH sums AS (
   FROM lineitem
   -- measure-complete rows only: COUNT(*) must count exactly the rows the
   -- null-skipping SUMs saw, or every moment is computed over a wrong n
-  -- (edge-corpus finding); degenerate groups (n < 2, zero variance)
-  -- have undefined sample moments and are excluded on both engines
+  -- (edge-corpus finding)
   WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
     AND l_extendedprice IS NOT NULL
   GROUP BY l_returnflag
-  HAVING COUNT(*) >= 2
-     AND SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
-         * COUNT(*)
-         <> SUM(CAST(l_quantity AS DECIMAL(18,2))) * SUM(CAST(l_quantity AS DECIMAL(18,2)))
-     AND SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
-         * COUNT(*)
-         <> SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
 )
+-- Degenerate groups (n < 2, ~zero variance in any sqrt'd moment) have
+-- undefined/NaN outputs and are excluded. The test MUST run on the same
+-- representation both engines hash from: the DOUBLE-cast exact sums, with
+-- the identical expression text (identical correctly-rounded IEEE inputs
+-- + identical op order = bit-identical comparisons). A decimal-side
+-- HAVING here previously diverged from the engine's double-side filter on
+-- constant groups of non-binary-representable values (5 rows of 0.01:
+-- exact equality in decimal, inequality in doubles → one engine kept a
+-- NaN group the other dropped). Strict positivity (not <>) also kills
+-- tiny-NEGATIVE double numerators, which would NaN the sqrt.
 SELECT l_returnflag,
        CAST(FLOOR(SQRT((sqq - sq * sq / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS sd_qty_x100,
        CAST(FLOOR(((sqq - sq * sq / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS var_qty_x100,
@@ -746,6 +748,10 @@ SELECT l_returnflag,
                   * 10000.0 + 0.5) AS BIGINT) AS corr_qty_price_x10000,
        CAST(FLOOR(((sqd - sq * sd / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS cov_qty_disc_x10000
 FROM sums
+WHERE n >= 2
+  AND (sqq - sq * sq / CAST(n AS DOUBLE)) > 0
+  AND (spp - sp * sp / CAST(n AS DOUBLE)) > 0
+  AND (sdd - sd * sd / CAST(n AS DOUBLE)) > 0
 ORDER BY l_returnflag
 """
 
@@ -791,10 +797,16 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp, spp = F.col("sp"), F.col("spp")
     sqp, sqd = F.col("sqp"), F.col("sqd")
     var_q = (sqq - sq * sq / n) / n1
+    # Degenerate-group exclusion mirrors the oracle's outer WHERE exactly:
+    # same double-cast exact sums, same expression text, strict positivity
+    # of every sqrt'd numerator (see the _AGG_STATS_SQL comment — a
+    # decimal-vs-double split here kept/dropped different groups on
+    # constant 0.01-valued groups).
     sums = sums.filter(
         (F.col("n") >= 2)
-        & (F.col("sqq") * n != sq * sq)
-        & (F.col("spp") * n != sp * sp)
+        & (sqq - sq * sq / n > 0)
+        & (spp - sp * sp / n > 0)
+        & (sdd - sd * sd / n > 0)
     )
     return sums.select(
         "l_returnflag",

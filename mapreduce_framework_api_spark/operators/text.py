@@ -785,10 +785,25 @@ def _bpe_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFram
     (application, sf_dir) — every intermediate is localCheckpoint'ed, so
     when merges and encode run in the same session (the bench and the
     driver window both do) the trainer's corpus aggregate and checkpoint
-    jobs run ONCE (the jaccard_dup_pairs discipline, dedup.py)."""
+    jobs run ONCE (the jaccard_dup_pairs discipline, dedup.py). The key
+    carries a fixture fingerprint (mtime_ns + size of the documents
+    parquet), not just the path — a fixture regenerated in place within
+    one Spark application must retrain, not serve stale trainer output."""
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    doc_path = _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
+    if _os.path.isdir(doc_path):
+        fp = tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in _os.scandir(doc_path)
+                if e.is_file()
+            )
+        )
+    else:
+        st = _os.stat(doc_path)
+        fp = (("", st.st_mtime_ns, st.st_size),)
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), fp)
     cached = _BPE_RUN_CACHE.get(key)
     if cached is not None:
         return cached

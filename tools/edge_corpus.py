@@ -176,6 +176,23 @@ EDGE_LINEITEMS = [
     (3, 99999, 999, 1, 1.0, 10.0, None, None, "N", "O", None),       # dangling part/supp, NULLs
     (4, 2, 1, 1, 2.0, 20.0, 1.0, 0.0, "R", "F", "1995-07-02"),       # 100% discount
     (9, 1, 1, 1, 3.0, 30.0, 0.0, 0.08, "N", "O", "1995-09-01"),      # dangling orderkey
+    # returnflag "C": constant quantity 0.01 (zero variance, but 0.01 is
+    # not binary-representable — exact-decimal equality vs double
+    # inequality was the q_agg_stats engine/oracle divergence; both
+    # engines must now DROP this group via the shared double-side test)
+    (5, 1, 1, 1, 0.01, 100.0, 0.05, 0.01, "C", "O", "1995-03-01"),
+    (5, 2, 1, 2, 0.01, 200.0, 0.10, 0.02, "C", "O", "1995-03-02"),
+    (5, 3, 2, 3, 0.01, 300.0, 0.15, 0.03, "C", "O", "1995-03-03"),
+    (5, 4, 2, 4, 0.01, 400.0, 0.20, 0.04, "C", "O", "1995-03-04"),
+    (5, 1, 1, 5, 0.01, 500.0, 0.25, 0.05, "C", "O", "1995-03-05"),
+    # returnflag "D": constant DISCOUNT 0.07 with varying qty/price — the
+    # discount moment had no degeneracy guard at all (sqrt of a tiny
+    # negative double → NaN → CAST error in one engine); both engines must
+    # drop this group via the new sdd guard
+    (6, 1, 1, 1, 1.0, 10.0, 0.07, 0.01, "D", "F", "1995-04-01"),
+    (6, 2, 1, 2, 2.0, 20.0, 0.07, 0.02, "D", "F", "1995-04-02"),
+    (6, 3, 2, 3, 3.0, 30.0, 0.07, 0.03, "D", "F", "1995-04-03"),
+    (6, 4, 2, 4, 4.0, 40.0, 0.07, 0.04, "D", "F", "1995-04-04"),
 ]
 
 REL_QUERIES = [
