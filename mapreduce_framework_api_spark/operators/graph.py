@@ -28,9 +28,17 @@ _PR_DAMP_PPM = 850_000  # 0.85 in ppm
 _PR_BASE_PPM = 150_000  # (1 - d) in ppm
 
 
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct co-purchase part pairs (u < v): parts appearing in the same
-    order. Shared by pagerank and triangles.
+    order. Shared by pagerank and triangles — built and MATERIALIZED once
+    per (application, sf_dir) (localCheckpoint + cache dict, the
+    jaccard_dup_pairs / _bpe_run discipline): both consumers previously
+    re-ran the identical groupBy+explode+distinct, so whichever ran second
+    paid the whole edge build again (~1.9 s at sf0.1) for bytes already
+    sitting in block storage.
 
     Built ARRAY-SIDE, not as a self-join: one groupBy(l_orderkey) collects
     each order's distinct sorted parts, and the u<v pairs are generated
@@ -41,11 +49,17 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by order width squared (~7² here), never
     corpus-quadratic — the same array-side pair-generation trade the dedup
     tiers make."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
     grouped = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("pks"))
-    return (
+    pairs = (
         grouped.select(
             F.explode(
                 F.expr(
@@ -57,7 +71,10 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.u", "p.v")
         .distinct()
+        .localCheckpoint()
     )
+    _PAIR_CACHE[key] = pairs
+    return pairs
 
 
 def _pr_round(scores: DataFrame, edges: DataFrame, deg: DataFrame) -> DataFrame:
@@ -158,14 +175,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs; for a billion-vertex graph the round falls back to the
     shuffled vertex-keyed join (the pre-round-6 shape, kept in git
     history), which is the same plan minus the broadcast hints."""
+    # _copurchase_pairs is already materialized (localCheckpoint, shared
+    # with triangles); the mirror union stays lazy on top of it — each
+    # round re-SCANS the checkpointed pair blocks (cheap), never re-runs
+    # the groupBy/explode/distinct build.
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("node"), F.col("v").alias("dst")).unionAll(
         pairs.select(F.col("v").alias("node"), F.col("u").alias("dst"))
     )
-    # Materialize the (small) edge list once: every round re-reads it, and
-    # without this the round-k lineage would re-plan the self-join k times
-    # (same reasoning as the label-propagation checkpoint, dedup.py:931).
-    edges = edges.localCheckpoint()
     deg = edges.groupBy("node").agg(F.count("*").alias("deg"))
     scores = deg.select("node", F.lit(1_000_000).cast("long").alias("s_ppm"))
     for _ in range(_PR_ITERS):
@@ -232,7 +249,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation shrinks the forward arrays further (documented). The
     wedge total still rides along from degree products (a 20k-row
     aggregate), so the output also supports the clustering coefficient."""
-    e = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir)  # materialized, shared with pagerank
     adj = e.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nv"))
@@ -328,9 +345,27 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("ln"),
         F.col("l_partkey").alias("pk"),
     )
-    a = li.select("ok", "ln", F.col("pk").alias("u"))
-    b = li.select("ok", (F.col("ln") - 1).alias("ln"), F.col("pk").alias("v"))
-    raw = a.join(b, ["ok", "ln"]).filter(F.col("u") != F.col("v")).select("u", "v")
+    # Adjacent-line pairs built ARRAY-SIDE (the _copurchase_pairs trade):
+    # one groupBy(ok) collects each order's (ln, pk) structs, and the
+    # ln+1 pairing runs inside a codegen'd nested transform over that
+    # array — one lineitem shuffle instead of shuffling BOTH sides of the
+    # (ok, ln) self-equi-join. The inner filter pairs x with EVERY y at
+    # y.ln = x.ln + 1 (not just the next array slot), so semantics match
+    # the oracle's self-join exactly even if (ok, ln) were ever non-unique.
+    raw = (
+        li.groupBy("ok")
+        .agg(F.collect_list(F.struct("ln", "pk")).alias("arr"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, x -> "
+                    "transform(filter(arr, y -> y.ln = x.ln + 1 AND y.pk <> x.pk), "
+                    "y -> struct(x.pk AS u, y.pk AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+    )
     # One distinct over the already-mirrored rows (not distinct-pairs THEN
     # distinct-union): (u,v) and (v,u) can both occur in the raw adjacency,
     # so mirroring first and deduping once saves a whole shuffle of the
