@@ -296,19 +296,29 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4,
 # rank expression on both engines — the output is an exact table element,
 # no interpolation, no FP ambiguity. CEIL(n*p) is safe in double: n*p is
 # > 1/10 away from any integer it could cross, far beyond one ulp.
+#
+# NULL n_chars contract (edge-corpus finding): Spark ranks NULLS FIRST by
+# default, DuckDB NULLS LAST, so a bare ORDER BY n_chars put the percentile
+# rank on DIFFERENT elements when a dirty row was in the group. The
+# percentiles are now defined over the OBSERVED values only: rank with
+# explicit NULLS FIRST on both engines, and the target rank is
+# (n - nn) + CEIL(p * nn) — the null prefix offset plus the discrete rank
+# within the nn non-null values. The average divides by COUNT(n_chars)
+# (measure-complete denominator), not COUNT(*).
 _MM_STATS_SQL = """
 WITH ranked AS (
   SELECT lang, source, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,
-         COUNT(*) OVER (PARTITION BY lang, source) AS n
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY n_chars NULLS FIRST) AS rn,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n,
+         COUNT(n_chars) OVER (PARTITION BY lang, source) AS nn
   FROM documents
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS avg_chars_x100,
-       MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN n_chars END) AS p50_chars,
-       MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN n_chars END) AS p90_chars
+       CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(n_chars) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS avg_chars_x100,
+       MAX(CASE WHEN rn = n - nn + CAST(CEIL(CAST(nn AS DOUBLE) * 0.5) AS BIGINT) THEN n_chars END) AS p50_chars,
+       MAX(CASE WHEN rn = n - nn + CAST(CEIL(CAST(nn AS DOUBLE) * 0.9) AS BIGINT) THEN n_chars END) AS p90_chars
 FROM ranked
 GROUP BY lang, source
 ORDER BY lang, source
@@ -338,24 +348,35 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_chars",
-        F.row_number().over(wp.orderBy("n_chars")).alias("rn"),
+        # explicit NULLS FIRST (Spark's asc default, DuckDB's is NULLS
+        # LAST): the rank target below skips the null prefix, so the
+        # percentiles are over OBSERVED values on both engines
+        F.row_number().over(wp.orderBy(F.col("n_chars").asc_nulls_first())).alias("rn"),
         F.count("*").over(wp).alias("n"),
+        F.count("n_chars").over(wp).alias("nn"),
     )
-    n_dbl = F.col("n").cast("double")
+    nn_dbl = F.col("nn").cast("double")
+    null_off = F.col("n") - F.col("nn")
     total = F.sum("n_chars")
     return (
         ranked.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
             total.cast("bigint").alias("total_chars"),
-            F.floor(total.cast("double") / F.count("*").cast("double") * 100.0 + 0.5)
+            F.floor(total.cast("double") / F.count("n_chars").cast("double") * 100.0 + 0.5)
             .cast("bigint")
             .alias("avg_chars_x100"),
             F.max(
-                F.when(F.col("rn") == F.ceil(n_dbl * 0.5).cast("bigint"), F.col("n_chars"))
+                F.when(
+                    F.col("rn") == null_off + F.ceil(nn_dbl * 0.5).cast("bigint"),
+                    F.col("n_chars"),
+                )
             ).alias("p50_chars"),
             F.max(
-                F.when(F.col("rn") == F.ceil(n_dbl * 0.9).cast("bigint"), F.col("n_chars"))
+                F.when(
+                    F.col("rn") == null_off + F.ceil(nn_dbl * 0.9).cast("bigint"),
+                    F.col("n_chars"),
+                )
             ).alias("p90_chars"),
         )
         .orderBy("lang", "source")
@@ -368,7 +389,7 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        'image' AS kind,
-       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5,
        source
 FROM documents
@@ -584,7 +605,9 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 if doc_id % 10 == 0:
                     payloads.append(b"not-a-riff" + bytes([doc_id % 251]))
                     continue
-                nf = int(n_chars) % 50 + 10
+                # NULL text => NULL n_chars (dirty row): synth from 0, the
+                # oracle mirrors with COALESCE(n_chars, 0)
+                nf = (0 if pd.isna(n_chars) else int(n_chars)) % 50 + 10
                 samples = [
                     ((doc_id * 31 + i * 17) % 2001) - 1000 for i in range(nf)
                 ]
@@ -605,7 +628,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     group="I",
     oracle=f"""
 WITH d AS (
-  SELECT doc_id, source, (n_chars % 50) + 10 AS nf FROM documents
+  SELECT doc_id, source, (COALESCE(n_chars, 0) % 50) + 10 AS nf FROM documents
 ), samp AS (
   SELECT doc_id, nf, ((doc_id * 31 + i * 17) % 2001) - 1000 AS v
   FROM (
@@ -660,6 +683,142 @@ def q_multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("duration_ms").cast("long").alias("total_duration_ms"),
             F.max("peak_abs").cast("long").alias("max_peak"),
             F.sum("energy").cast("long").alias("total_energy"),
+        )
+        .orderBy("source")
+    )
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG payload synth for the REAL-codec image lane
+    (the mirror of synth_wav_media): each document becomes an 8-bit RGB
+    PNG of (COALESCE(n_chars,0) % 12) + 4 × (doc_id % 10) + 3 pixels whose
+    channel bytes are pure integer functions of (doc_id, pixel index) —
+    r=(id*7+i*13)%256, g=(id*11+i*17)%256, b=(id*3+i*19)%256 — so every
+    downstream luminance stat has an exact SQL mirror. Every 10th doc gets
+    a deliberately undecodable payload (dirty-row lane, oracle-visible).
+
+    Arrow-batched mapInPandas: pure map stage, parallelism = scan splits,
+    no shuffle."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from mapreduce_framework_api_spark.functions.pngcodec import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                if doc_id % 10 == 0:
+                    payloads.append(b"not-a-png" + bytes([doc_id % 251]))
+                    continue
+                nc = 0 if pd.isna(n_chars) else int(n_chars)
+                w, h = nc % 12 + 4, doc_id % 10 + 3
+                i = np.arange(w * h, dtype=np.int64)
+                rgb = np.stack(
+                    [
+                        (doc_id * 7 + i * 13) % 256,
+                        (doc_id * 11 + i * 17) % 256,
+                        (doc_id * 3 + i * 19) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                payloads.append(encode_png(w, h, rgb.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(_synth, schema=schema)
+
+
+@register(
+    "q_multimodal_image_real",
+    group="I",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         (COALESCE(n_chars, 0) % 12) + 4 AS w,
+         (doc_id % 10) + 3 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         ((299 * ((doc_id * 7 + i * 13) % 256)
+         + 587 * ((doc_id * 11 + i * 17) % 256)
+         + 114 * ((doc_id * 3 + i * 19) % 256)) // 1000) // 16 AS bin
+  FROM (
+    SELECT doc_id, unnest(range(0, w * h)) AS i
+    FROM d WHERE doc_id % 10 <> 0
+  )
+), per_doc AS (
+  SELECT doc_id,
+         SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS dark,
+         SUM(CASE WHEN bin = 15 THEN 1 ELSE 0 END) AS bright,
+         SUM(bin + 1) AS checksum,
+         COUNT(*) AS n_px
+  FROM px GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS n_decoded,
+       CAST(SUM(p.n_px) AS BIGINT) AS total_pixels,
+       CAST(SUM(p.dark) AS BIGINT) AS total_dark,
+       CAST(SUM(p.bright) AS BIGINT) AS total_bright,
+       CAST(SUM(p.checksum) AS BIGINT) AS hist_checksum
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source ORDER BY d.source
+""",
+)
+def q_multimodal_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec image lane, end to end and ORACLE-CHECKED — the mirror
+    of q_multimodal_audio_real that closes the last pytest-only codec
+    residue: synthesized 8-bit RGB PNGs (synth_png_media — deterministic
+    integer channel bytes with a SQL mirror, every 10th doc deliberately
+    undecodable) are decoded by the fake=False decode_media path — the
+    actual functions/pngcodec.py zlib+filter parse, not the stand-in —
+    and the 16-bin integer-luma histograms roll up per source. The oracle
+    recomputes every luminance stat (bin-0/bin-15 pixel counts and the
+    Σ(bin+1) histogram checksum, which pins ALL 16 bins) from the synth
+    formula, so the codec's chunk framing, scanline filtering, the Arrow
+    nullable dtypes, AND the dirty-row null-tolerance (n_payloads vs
+    n_decoded) are all under the value hash.
+
+    Scale shape: one documents scan -> two Arrow-batched map stages
+    (synth, decode) -> doc_id->source attach -> one source-keyed
+    aggregate. Integer end to end; the checksum is bounded by 16 x 208
+    pixels per doc, nowhere near int64."""
+    docs = table(spark, sf_dir, "documents")
+    media = synth_png_media(docs)
+    feats = decode_media(media, fake=False)
+    bins = F.zip_with(
+        "feature",
+        F.sequence(F.lit(1), F.lit(16)).cast("array<double>"),
+        lambda c, i: c * i,
+    )
+    checksum = F.aggregate(bins, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        feats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_payloads"),
+            F.count("width").cast("long").alias("n_decoded"),
+            F.sum(F.col("width").cast("long") * F.col("height")).cast("long").alias("total_pixels"),
+            F.sum(F.element_at("feature", 1)).cast("long").alias("total_dark"),
+            F.sum(F.element_at("feature", 16)).cast("long").alias("total_bright"),
+            F.sum(checksum).cast("long").alias("hist_checksum"),
         )
         .orderBy("source")
     )
