@@ -46,11 +46,17 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.unboundedPreceding, W.currentRow
     )
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    # NULL-safe change detection (IS DISTINCT FROM, mirrored in both
+    # oracles and the streaming maintainer): the previous `prev IS NULL OR
+    # prev <> cur` form merged a NULL state into the preceding run's g
+    # while still splitting it in the groupBy — two runs sharing one g, a
+    # nondeterministic version order (streaming edge-battery finding). A
+    # leading NULL-state run simply starts at g=0; row numbering by g is
+    # unaffected.
     flagged = ev.withColumn(
         "chg",
         F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -83,7 +89,7 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), flagged AS (
   SELECT user_id, event_type, ts, event_id,
-         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+         CASE WHEN prev_type IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS chg
   FROM seq
 ), grp AS (
@@ -389,7 +395,7 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), grp AS (
   SELECT user_id, event_type, ts, event_id,
-         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+         SUM(CASE WHEN prev_type IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g

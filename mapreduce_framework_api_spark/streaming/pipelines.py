@@ -586,10 +586,16 @@ def _scd2_update(key, pdf_iter, state: GroupState):
         )
     closed = []
     for typ, ts in zip(rows["event_type"], rows["ts_us"]):
+        # NULL event_type is a real attribute VALUE (a version of its
+        # own, IS-DISTINCT-FROM semantics like the batch twin), so the
+        # no-open-version sentinel is ver == 0, NOT cur is None — the
+        # old sentinel silently swallowed NULL-state events (streaming
+        # edge-battery finding).
+        typ = None if pd.isna(typ) else typ
         ts = int(ts)
-        if cur is None:
+        if ver == 0:
             cur, vfrom, ver, nev = typ, ts, 1, 1
-        elif typ == cur:
+        elif typ == cur or (typ is None and cur is None):
             nev += 1
         else:
             closed.append((key[0], cur, ver, vfrom, ts, nev))
