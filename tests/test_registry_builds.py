@@ -62,3 +62,49 @@ def test_every_oracle_has_matching_registration(spark):
     oracle may be empty/whitespace."""
     for name, q in QUERIES.items():
         assert q.oracle is None or q.oracle.strip(), f"{name}: empty oracle"
+
+
+def test_window_policy():
+    """The external-verification window rotation (registry._WINDOW) is
+    asserted, not just documented: (a) exactly 50 well-formed slots;
+    (b) every query with NO driver receipt at all is scheduled;
+    (c) no registered query is stranded past the steady-state staleness
+    bound — with 159 queries and a 50-slot window every query must be
+    EITHER in this round's window OR have a driver-green receipt within
+    the last 3 completed rounds. Reads the committed CORRECTNESS_r*.json
+    receipts, so the assertion tracks the actual driver history rather
+    than a hand-maintained table."""
+    import glob
+    import json
+    import os
+    import re
+
+    from mapreduce_framework_api_spark.registry import _WINDOW
+
+    assert len(_WINDOW) == 50
+    assert len(set(_WINDOW)) == 50
+    assert all(n in QUERIES for n in _WINDOW)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for qname in json.load(open(path)):
+            latest[qname] = max(latest.get(qname, 0), rnd)
+    if not rounds:  # fresh clone without receipts: only shape checks apply
+        return
+    horizon = max(rounds) - 2  # receipts >=3 rounds old are stale NEXT round
+    stranded = [
+        n
+        for n in QUERIES
+        if n not in _WINDOW and latest.get(n, 0) < horizon
+    ]
+    assert not stranded, (
+        f"queries stranded past the staleness bound (last receipt < r{horizon}, "
+        f"not scheduled this round): {stranded}"
+    )
