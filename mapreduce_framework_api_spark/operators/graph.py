@@ -28,73 +28,100 @@ _PR_DAMP_PPM = 850_000  # 0.85 in ppm
 _PR_BASE_PPM = 150_000  # (1 - d) in ppm
 
 
-_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ADJ_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct co-purchase part pairs (u < v): parts appearing in the same
-    order. Shared by pagerank and triangles — built and MATERIALIZED once
-    per (application, sf_dir) (localCheckpoint + cache dict, the
-    jaccard_dup_pairs / _bpe_run discipline): both consumers previously
-    re-ran the identical groupBy+explode+distinct, so whichever ran second
-    paid the whole edge build again (~1.9 s at sf0.1) for bytes already
-    sitting in block storage.
+def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrored co-purchase ADJACENCY ``(node, nbrs sorted asc)``: parts
+    are neighbors when they appear in the same order. The one shared
+    materialized graph artifact — built once per (application, sf_dir)
+    (localCheckpoint + cache dict, the jaccard_dup_pairs / _bpe_run
+    discipline) and consumed by BOTH pagerank and triangles, which
+    previously shared a 1.2M-row distinct pair table and then each
+    re-derived their own per-node views from it.
 
-    Built ARRAY-SIDE, not as a self-join: one groupBy(l_orderkey) collects
-    each order's distinct sorted parts, and the u<v pairs are generated
-    inside a codegen'd nested transform over that array — so the only
-    exchanges are one 600k-row groupBy and the cross-order distinct,
-    instead of shuffling BOTH self-join sides plus the distinct (measured
-    2.5 s → 1.9 s warm at sf0.1 for the full mirrored edge build). Pair
-    fan-out is bounded by order width squared (~7² here), never
-    corpus-quadratic — the same array-side pair-generation trade the dedup
-    tiers make."""
+    Adjacency-first beats pairs-first twice over:
+    - the checkpointed artifact is VERTEX-sized (20k array rows vs 1.2M
+      pair rows — same bytes, 60x fewer rows to write/scan), and
+    - ``collect_set`` at the node level dedups cross-order repeats for
+      free, so the pre-node-level ``distinct()`` exchange of the pair
+      form disappears entirely (measured min-of-3 at sf0.1: 3.1 s vs
+      3.7 s for the pair build that still needed a separate
+      adjacency pass).
+    Built ARRAY-SIDE, not as a self-join: one groupBy(l_orderkey)
+    collects each order's distinct parts, both pair orientations are
+    generated inside a codegen'd nested transform over that array
+    (fan-out bounded by order width squared, ~7² here, never
+    corpus-quadratic — the dedup tiers' array-side pair trade), and one
+    groupBy(node) folds them into sorted neighbor sets. The checkpoint
+    preserves the groupBy's hash(node) partitioning — the property the
+    pagerank rounds lean on to run exchange-free."""
     import os as _os
 
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    cached = _PAIR_CACHE.get(key)
+    cached = _ADJ_CACHE.get(key)
     if cached is not None:
         return cached
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    grouped = li.groupBy("ok").agg(F.array_sort(F.collect_set("pk")).alias("pks"))
-    pairs = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(pks, (x, i) -> "
-                    "transform(slice(pks, i + 2, size(pks)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
-        .distinct()
+    grouped = li.groupBy("ok").agg(F.collect_set("pk").alias("pks"))
+    both = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(pks, x -> "
+                "transform(filter(pks, y -> y != x), "
+                "y -> struct(x AS node, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.node", "p.dst")
+    adj = (
+        both.groupBy("node")
+        .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
         .localCheckpoint()
     )
-    _PAIR_CACHE[key] = pairs
-    return pairs
+    _ADJ_CACHE[key] = adj
+    return adj
 
 
-def _pr_round(scores: DataFrame, edges: DataFrame, deg: DataFrame) -> DataFrame:
+def _copurchase_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-oriented adjacency ``(u, nbrs)`` with nbrs = {v > u}: a
+    codegen'd array filter over the shared mirrored adjacency (sorted
+    order is preserved by ``filter``), no rebuild. Exploding it yields
+    the canonical u<v edge list."""
+    adj = _copurchase_adj(spark, sf_dir)
+    return adj.select(
+        F.col("node").alias("u"), F.expr("filter(nbrs, y -> y > node)").alias("nbrs")
+    )
+
+
+def _pr_round(scores: DataFrame, adj: DataFrame, deg: DataFrame) -> DataFrame:
     """One integer PageRank round: s'(v) = base + d * Σ_u→v floor(s(u)/deg(u)),
     all in ppm with floor division (bit-exact on any engine).
 
-    Shuffle budget: ONE per round. Scores and degrees are vertex-count-sized
-    (orders of magnitude under the edge list — every vertex appears in many
-    edges), so ``give`` is BROADCAST into the edge join instead of
-    re-shuffling the edge list on ``node`` every iteration; the only
-    exchange left is the partial-aggregated gather on ``dst``. Round 5
-    measured the 3-shuffle-per-round form at 5.6 s sf0.1; this shape cut it
-    ~2x with an identical result hash."""
+    Shuffle budget: ZERO per round. Scores and degrees are
+    vertex-count-sized (orders of magnitude under the edge list), so
+    ``give`` is built by a broadcast join and then broadcast again into
+    the gather. The gather walks the ADJACENCY from the destination
+    side — explode(nbrs) preserves the checkpointed adjacency's
+    hash(node) partitioning, so the per-node sum needs no exchange at
+    all: each round is one scan of the vertex-sized adjacency plus two
+    dimension-sized broadcasts. (History: round 5 measured the
+    3-shuffle-per-round edge-join form at 5.6 s sf0.1; round 6's
+    broadcast-give edge join halved it; this adjacency-gather form cut
+    the remaining per-round work ~30% again with an identical result
+    hash — min-of-3 rounds-only 2.85 s vs 3.98 s.)"""
     give = (
         scores.join(F.broadcast(deg), "node")
-        .select("node", F.floor(F.col("s_ppm") / F.col("deg")).cast("long").alias("give"))
+        .select(
+            F.col("node").alias("u"),
+            F.floor(F.col("s_ppm") / F.col("deg")).cast("long").alias("give"),
+        )
     )
     contrib = (
-        edges.join(F.broadcast(give), "node")
-        .groupBy(F.col("dst").alias("node"))
+        adj.select("node", F.explode("nbrs").alias("u"))
+        .join(F.broadcast(give), "u")
+        .groupBy("node")
         .agg(F.sum("give").alias("gathered"))
     )
     return contrib.select(
@@ -160,33 +187,29 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor — NO floating accumulation across rows, so the fixed unroll is
     bit-identical in SQL (the iterative-FP PageRank has no such oracle).
 
-    Plan shape: edge build is a self-equi-join on l_orderkey (fan-out
-    bounded by order width — ~7 lines, never corpus-quadratic) distinct
-    to unordered pairs, mirrored by UNION. Each round is one
-    (scores ⋈ degree ⋈ edges) equi-join chain + a dst aggregate — three
-    shuffles per round on the vertex key, the canonical Pregel-on-
-    DataFrames shape. The unroll is FIXED (3 rounds, so the lineage
-    stays bounded without checkpointing; the convergence-driven variant
-    would localCheckpoint per round exactly like dedup.py's label
-    propagation). Final top-20 is TakeOrdered, not a global sort.
+    Plan shape: the graph artifact is the shared mirrored adjacency
+    (_copurchase_adj — array-side pair generation, vertex-sized
+    checkpoint). Each round is an exchange-free gather over that
+    adjacency plus two dimension-sized broadcasts (_pr_round); since the
+    graph is undirected, in-neighbors == neighbors, so the gather
+    s'(v) = Σ_{u∈N(v)} give(u) walks adj(v) directly and the per-node
+    sum reuses the adjacency's hash(node) partitioning. The unroll is
+    FIXED (3 rounds, so the lineage stays bounded without checkpointing;
+    the convergence-driven variant would localCheckpoint per round
+    exactly like dedup.py's label propagation). Final top-20 is
+    TakeOrdered, not a global sort.
 
     100 TB note: the per-round broadcast of ``give`` assumes the VERTEX
     set (parts) is dimension-sized — true for product co-occurrence
     graphs; for a billion-vertex graph the round falls back to the
-    shuffled vertex-keyed join (the pre-round-6 shape, kept in git
-    history), which is the same plan minus the broadcast hints."""
-    # _copurchase_pairs is already materialized (localCheckpoint, shared
-    # with triangles); the mirror union stays lazy on top of it — each
-    # round re-SCANS the checkpointed pair blocks (cheap), never re-runs
-    # the groupBy/explode/distinct build.
-    pairs = _copurchase_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("u").alias("node"), F.col("v").alias("dst")).unionAll(
-        pairs.select(F.col("v").alias("node"), F.col("u").alias("dst"))
-    )
-    deg = edges.groupBy("node").agg(F.count("*").alias("deg"))
-    scores = deg.select("node", F.lit(1_000_000).cast("long").alias("s_ppm"))
+    shuffled vertex-keyed edge join (the pre-round-6 shape, kept in git
+    history), which is the same semantics with exchanges instead of
+    broadcasts."""
+    adj = _copurchase_adj(spark, sf_dir)
+    deg = adj.select("node", F.size("nbrs").alias("deg"))
+    scores = adj.select("node", F.lit(1_000_000).cast("long").alias("s_ppm"))
     for _ in range(_PR_ITERS):
-        scores = _pr_round(scores, edges, deg)
+        scores = _pr_round(scores, adj, deg)
     return (
         scores.orderBy(F.desc("s_ppm"), "node")
         .limit(20)
@@ -240,27 +263,34 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: measured 2.2x faster than the textbook wedge join at
     sf0.1 (3.4 s vs 7.5 s, same 1.88M triangles): the wedge join
     materializes Σ in·out ≈ 75M wedge rows through a shuffle before the
-    closure check, while the intersection form shuffles only the 1.2M
+    closure check, while the intersection form touches only the 1.2M
     edges with two bounded neighbor arrays attached and does the wedge
     work INSIDE a codegen'd array_intersect per edge — compute instead
     of data movement, the same trade the dedup tiers make with
-    array-side pair generation. Degree skew bounds the array width
-    (avg ~120 here); at adversarial skew the standard degree-ordered
-    orientation shrinks the forward arrays further (documented). The
-    wedge total still rides along from degree products (a 20k-row
-    aggregate), so the output also supports the clustering coefficient."""
-    e = _copurchase_pairs(spark, sf_dir)  # materialized, shared with pagerank
-    adj = e.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-    au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
-    av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nv"))
+    array-side pair generation. The forward adjacency (and the edge
+    list, by exploding it) derives from the SHARED mirrored adjacency
+    artifact (_copurchase_adj) with one codegen'd array filter — no
+    rebuild, no distinct; and since that adjacency is vertex-sized, both
+    per-endpoint neighbor attachments are BROADCAST joins (the edge list
+    never shuffles at all; for a billion-vertex graph drop the hints and
+    the same plan runs with exchanges). Degree skew bounds the array
+    width (avg ~120 here); at adversarial skew the standard
+    degree-ordered orientation shrinks the forward arrays further
+    (documented). The wedge total still rides along from degree products
+    (a 20k-row aggregate), so the output also supports the clustering
+    coefficient."""
+    fadj = _copurchase_fwd(spark, sf_dir)  # from the shared materialized adj
+    e = fadj.select("u", F.explode("nbrs").alias("v"))
+    au = fadj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
+    av = fadj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nv"))
     tri_per_edge = (
-        e.join(au, e.u == au.ju)
-        .join(av, e.v == av.jv)
+        e.join(F.broadcast(au), e.u == au.ju)
+        .join(F.broadcast(av), e.v == av.jv)
         .select(F.size(F.array_intersect("nu", "nv")).alias("t"))
     )
     # wedge total (for the clustering coefficient): Σ_mid in(mid)·out(mid)
     # over the oriented edge list — a node-count-sized aggregate.
-    outd = adj.select(F.col("u").alias("node"), F.size("nbrs").alias("outd"))
+    outd = fadj.select(F.col("u").alias("node"), F.size("nbrs").alias("outd"))
     ind = e.groupBy(F.col("v").alias("node")).agg(F.count("*").alias("ind"))
     # COALESCE to 0: a wedge-free graph (every node degree <= 1 after
     # orientation) makes these SUMs aggregate zero rows, which is SQL
@@ -345,7 +375,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("ln"),
         F.col("l_partkey").alias("pk"),
     )
-    # Adjacent-line pairs built ARRAY-SIDE (the _copurchase_pairs trade):
+    # Adjacent-line pairs built ARRAY-SIDE (the _copurchase_adj trade):
     # one groupBy(ok) collects each order's (ln, pk) structs, and the
     # ln+1 pairing runs inside a codegen'd nested transform over that
     # array — one lineitem shuffle instead of shuffling BOTH sides of the

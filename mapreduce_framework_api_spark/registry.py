@@ -109,7 +109,7 @@ _WINDOW: tuple[str, ...] = (
     "q_multimodal_stats",
     "q_multimodal_meta",
     "q_multimodal_audio_real",
-    # triangles first: it absorbs the shared _copurchase_pairs build
+    # triangles first: it absorbs the shared _copurchase_adj build
     # (cheapest own work of the trio), so pagerank rides the cache
     "q_graph_triangles",
     "q_graph_pagerank",
