@@ -1673,3 +1673,83 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_x10000"),
         )
     )
+
+
+# ------------------------------------------------- prefix/truncation dup ----
+
+_PREFIX_BLOCK = 40  # chars; lossless blocking for docs >= this length
+
+
+@register(
+    "q_dedup_prefix",
+    group="I",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n, substr(text, 1, {_PREFIX_BLOCK}) AS blk
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {_PREFIX_BLOCK}
+)
+SELECT a.doc_id AS doc_trunc, b.doc_id AS doc_full,
+       CAST(a.n AS BIGINT) AS len_trunc, CAST(b.n AS BIGINT) AS len_full
+FROM d a JOIN d b
+  ON a.blk = b.blk AND a.n < b.n AND substr(b.text, 1, a.n) = a.text
+ORDER BY doc_trunc, doc_full
+""",
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate pairs: document A whose ENTIRE text is a
+    strict prefix of document B's — the cut-off re-crawl / pagination
+    artifact that Jaccard and MinHash systematically under-score (a 10%
+    fragment of a long page shares only ~10% of its shingles yet is pure
+    duplicated content). Emits (doc_trunc, doc_full) with both lengths,
+    for keep-longest resolution downstream.
+
+    Contract: docs shorter than _PREFIX_BLOCK (40) chars are out of
+    scope (the blocking key is the first 40 chars, which is LOSSLESS
+    exactly when the truncated side is at least that long);
+    NULL texts drop; equal-length (identical) texts are q_dedup_exact's
+    tier, excluded here by the strict n < m.
+
+    Plan shape: one projected scan builds (doc_id, n, head-block), the
+    self-equi-join keys on xxhash64(block) — an 8-byte shuffle key in
+    place of a 40-char string, same trade as the jaccard tier's hashed
+    shingles — and the full-prefix verification (substring compare) runs
+    codegen'd on the joined rows, which filters hash collisions as a
+    side effect. Candidate fan-out is bounded by shared-head cardinality
+    squared, never corpus-quadratic; a boilerplate-head-heavy corpus
+    widens blocks, and the documented fallback is a longer block prefix
+    (the cap/overflow-audit discipline of the minhash tier applies the
+    same way)."""
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") >= _PREFIX_BLOCK))
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n"),
+            F.xxhash64(F.substring("text", 1, _PREFIX_BLOCK)).alias("bh"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_trunc"),
+        F.col("text").alias("ta"),
+        F.col("n").alias("na"),
+        "bh",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_full"),
+        F.col("text").alias("tb"),
+        F.col("n").alias("nb"),
+        "bh",
+    )
+    return (
+        a.join(b, "bh")
+        .filter((F.col("na") < F.col("nb")) & (F.expr("substring(tb, 1, na)") == F.col("ta")))
+        .select(
+            "doc_trunc",
+            "doc_full",
+            F.col("na").cast("long").alias("len_trunc"),
+            F.col("nb").cast("long").alias("len_full"),
+        )
+        .orderBy("doc_trunc", "doc_full")
+    )

@@ -1026,3 +1026,91 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+_ZIPF_HEAD = 1000
+
+
+@register(
+    "q_text_zipf",
+    group="I",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_ORACLE_TOKS}) AS token FROM documents
+), tc AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens
+  FROM tc
+), head AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+  FROM tc ORDER BY cnt DESC, token LIMIT {_ZIPF_HEAD}
+), fit AS (
+  SELECT ROUND(regr_slope(ln(cnt), ln(rk)), 2) AS zipf_slope,
+         ROUND(regr_intercept(ln(cnt), ln(rk)), 2) AS zipf_intercept,
+         ROUND(regr_r2(ln(cnt), ln(rk)), 2) AS zipf_r2,
+         CAST(SUM(cnt) AS BIGINT) AS head_tokens
+  FROM head
+)
+SELECT n_types, n_tokens, zipf_slope, zipf_intercept, zipf_r2,
+       ROUND(CAST(head_tokens AS DOUBLE) / n_tokens, 2) AS head_share
+FROM tot, fit
+""",
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution: OLS of
+    ln(frequency) on ln(rank) over the top-1000 types, plus the head's
+    share of total token mass — the one-row corpus-health statistic
+    that catches template/boilerplate corpora (slope near 0, head_share
+    near 1) and degenerate tokenization (|slope| >> 1) before a corpus
+    ships to training. Natural-language corpora sit near slope -1
+    (Zipf's law); this corpus's fit is the declared, differential-
+    checked number.
+
+    Engine-exactness: rank ties break on (cnt DESC, token ASC) — a
+    total order, so both engines fit the identical 1000 (rank, cnt)
+    points; the regression sums run over 1000 O(1)-magnitude doubles,
+    orders of magnitude inside the ROUND(x, 2) contract.
+
+    Plan shape: one token hash-agg (the wordcount exchange), a
+    TakeOrdered top-1000 head (never a global sort), and the OLS as a
+    built-in regr_* aggregate over the 1000-row head — the corpus-sized
+    work is exactly one aggregation; everything after is
+    dimension-sized. n_types/n_tokens ride the same counts frame and
+    broadcast-join into the single output row."""
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(explode_tokens("text"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tc.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+    head = (
+        tc.orderBy(F.desc("cnt"), "token")
+        .limit(_ZIPF_HEAD)
+        .select(
+            "cnt",
+            F.row_number().over(W.orderBy(F.desc("cnt"), "token")).alias("rk"),
+        )
+    )
+    y, x = F.log(F.col("cnt")), F.log(F.col("rk"))
+    fit = head.agg(
+        F.round(F.regr_slope(y, x), 2).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 2).alias("zipf_r2"),
+        F.sum("cnt").cast("long").alias("head_tokens"),
+    )
+    return tot.crossJoin(F.broadcast(fit)).select(
+        "n_types",
+        "n_tokens",
+        "zipf_slope",
+        "zipf_intercept",
+        "zipf_r2",
+        F.round(F.col("head_tokens").cast("double") / F.col("n_tokens"), 2).alias(
+            "head_share"
+        ),
+    )

@@ -1945,10 +1945,53 @@ def test_edge_corpus_zero_token_docs_agree_across_engines():
             "q_join_asof",
             "q_join_lateral_topn",
             "q_graph_triangles",
+            # round-7 additions: truncation-dup blocking/verification on
+            # the engineered head-collision trio, and the power-law fit
+            # over the tiny adversarial vocabulary
+            "q_dedup_prefix",
+            "q_text_zipf",
         ],
         capture_output=True,
         text=True,
         cwd="/root/repo",
         timeout=400,
     )
-    assert "0 FAIL" in out.stdout and "21 ok" in out.stdout, out.stdout[-2000:]
+    assert "0 FAIL" in out.stdout and "23 ok" in out.stdout, out.stdout[-2000:]
+
+
+def test_prefix_dup_detects_truncation_and_rejects_head_collision(spark):
+    """q_dedup_prefix on the adversarial corpus: doc 11 is a strict prefix
+    of doc 12 (must pair); doc 13 shares the exact 40-char blocking head
+    with both but diverges after it (must survive blocking and die in the
+    full-prefix verification); NULL-text and sub-40-char docs are out of
+    contract and must not appear."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    import tools.edge_corpus as ec
+
+    dst = ec.build()
+    rows = load_all_queries()["q_dedup_prefix"].fn(spark, dst).collect()
+    pairs = {(r["doc_trunc"], r["doc_full"]) for r in rows}
+    assert (11, 12) in pairs
+    assert (11, 13) not in pairs and (12, 13) not in pairs and (13, 12) not in pairs
+    by_pair = {(r["doc_trunc"], r["doc_full"]): r for r in rows}
+    r = by_pair[(11, 12)]
+    assert r["len_trunc"] < r["len_full"]
+    assert all(t != 10 and f != 10 for t, f in pairs)  # NULL-text doc
+
+
+def test_zipf_fit_is_sane_on_fixture(spark):
+    """q_text_zipf at sf0.001: a natural-ish corpus must fit a negative
+    slope with r2 in [0, 1], and the top-1000 head can't carry more than
+    the whole corpus."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    row = (
+        load_all_queries()["q_text_zipf"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_types"] > 0 and row["n_tokens"] >= row["n_types"]
+    assert row["zipf_slope"] < 0
+    assert 0.0 <= row["zipf_r2"] <= 1.0
+    assert 0.0 < row["head_share"] <= 1.0

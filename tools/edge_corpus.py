@@ -42,6 +42,15 @@ EDGE_DOCS = [
     (8, "the quick brown fox jumps over the lazy dog", "en", "dup"),
     (9, "the quick brown fox jumps over the lazy dog", "en", "dup"),
     (10, None, "en", "edge"),                    # NULL text (dirty row)
+    # prefix/truncation-dup stress (q_dedup_prefix): 11 is a strict prefix
+    # of 12; 13 shares the exact 40-char blocking head with both but
+    # diverges after it, so it must survive blocking and DIE in the
+    # full-prefix verification against 11.
+    (11, "prefix stress shared head 0123456789 abcd continuing body text", "en", "dup"),
+    (12, "prefix stress shared head 0123456789 abcd continuing body text"
+         " extended tail beyond the truncation point", "en", "dup"),
+    (13, "prefix stress shared head 0123456789 abcdZ divergent continuation"
+         " after the identical head", "en", "dup"),
 ]
 FILLER = [
     (
@@ -226,7 +235,8 @@ DOC_QUERIES = [
     "q_text_langid", "q_text_quality", "q_text_repetition",
     "q_text_fingerprint", "q_text_surprisal", "q_text_keywords",
     "q_text_vocab_coverage", "q_text_inverted_index", "q_text_bpe_merges",
-    "q_text_bpe_encode", "q_text_langid_confusion",
+    "q_text_bpe_encode", "q_text_langid_confusion", "q_text_zipf",
+    "q_dedup_prefix",
     "q_pipe_sample_hash", "q_pipe_split_assign", "q_pipe_quota_cap",
     "q_pipe_keep_first", "q_pipe_length_hist", "q_pipe_mixture",
     "q_pipe_pack_chunks", "q_pipe_chunk_overlap", "q_pipe_upsample_epochs",
