@@ -1753,3 +1753,115 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_trunc", "doc_full")
     )
+
+
+def prefix_corpus_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Persisted index artifacts for the prefix/truncation ingest lane
+    over the frozen 7/8 corpus: ``head_idx`` (bh = xxhash64 of the
+    40-char head, corpus_id, corpus_n) — THREE LONGS PER DOC, eagerly
+    materialized (localCheckpoint, standing in for the written index
+    table) — plus a LAZY text-lookup frame over the corpus store
+    (corpus_id, corpus_text) for the verification fetch. The split of
+    responsibilities is the scale point: the persisted probe index
+    carries no text at all; document bodies are fetched by equi-join on
+    corpus_id only for head-block-colliding candidates, exactly like a
+    production point lookup against the corpus table."""
+    corpus = parallelized(table(spark, sf_dir, "documents")).filter(
+        ~inc_is_new() & F.col("text").isNotNull() & (F.length("text") >= _PREFIX_BLOCK)
+    )
+    head_idx = corpus.select(
+        F.xxhash64(F.substring("text", 1, _PREFIX_BLOCK)).alias("bh"),
+        F.col("doc_id").alias("corpus_id"),
+        F.length("text").alias("corpus_n"),
+    ).localCheckpoint()
+    lookup = corpus.select(
+        F.col("doc_id").alias("corpus_id"), F.col("text").alias("corpus_text")
+    )
+    return head_idx, lookup
+
+
+def prefix_check(
+    new_docs: DataFrame, head_idx: DataFrame, corpus_lookup: DataFrame
+) -> DataFrame:
+    """Classify arriving documents against the persisted head-block index:
+    hash the 40-char head, equi-join the index on the 8-byte bh key,
+    fetch colliding corpus texts by corpus_id, and verify the shared
+    prefix with one codegen'd substring compare over min(len) chars —
+    which simultaneously filters xxhash64 collisions. Emits
+    (new_id, corpus_id, relation, new_len, corpus_len) with relation ∈
+    truncation (the arrival is a cut-off copy of a corpus doc),
+    extension (the arrival supersedes a truncated corpus doc — the
+    keep-longest upgrade signal), exact (same length, same text).
+    Every stage is a stateless per-row transform or stream-static
+    equi-join, so the SAME function serves the batch query
+    (q_dedup_prefix_incremental) and the Structured Streaming twin
+    (streaming/pipelines.py::prefix_dedup_stream) — one semantics, two
+    runtimes, like incremental_check for the minhash tier."""
+    n = new_docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= _PREFIX_BLOCK)
+    ).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("text").alias("new_text"),
+        F.length("text").alias("new_n"),
+        F.xxhash64(F.substring("text", 1, _PREFIX_BLOCK)).alias("bh"),
+    )
+    fetched = n.join(head_idx, "bh").join(corpus_lookup, "corpus_id")
+    verified = fetched.filter(
+        F.expr(
+            "substring(new_text, 1, least(new_n, corpus_n)) = "
+            "substring(corpus_text, 1, least(new_n, corpus_n))"
+        )
+    )
+    relation = (
+        F.when(F.col("new_n") < F.col("corpus_n"), "truncation")
+        .when(F.col("new_n") > F.col("corpus_n"), "extension")
+        .otherwise("exact")
+    )
+    return verified.select(
+        "new_id",
+        "corpus_id",
+        relation.alias("relation"),
+        F.col("new_n").cast("long").alias("new_len"),
+        F.col("corpus_n").cast("long").alias("corpus_len"),
+    )
+
+
+@register(
+    "q_dedup_prefix_incremental",
+    group="I",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n, substr(text, 1, {_PREFIX_BLOCK}) AS blk,
+         substr(md5('incsplit#' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {_PREFIX_BLOCK}
+)
+SELECT a.doc_id AS new_id, c.doc_id AS corpus_id,
+       CASE WHEN a.n < c.n THEN 'truncation'
+            WHEN a.n > c.n THEN 'extension'
+            ELSE 'exact' END AS relation,
+       CAST(a.n AS BIGINT) AS new_len, CAST(c.n AS BIGINT) AS corpus_len
+FROM d a JOIN d c
+  ON a.blk = c.blk AND a.is_new AND NOT c.is_new
+WHERE substr(a.text, 1, LEAST(a.n, c.n)) = substr(c.text, 1, LEAST(a.n, c.n))
+ORDER BY new_id, corpus_id
+""",
+)
+def q_dedup_prefix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/truncation dedup at INGEST: the arriving 1/8 batch (the
+    same deterministic md5 split as q_dedup_incremental) classified
+    against the frozen corpus's persisted head-block index — catching
+    re-crawls that arrive truncated (drop them) and arrivals that
+    EXTEND a truncated corpus doc (the keep-longest upgrade a minhash
+    probe misses when the fragment is small). Per-batch cost is
+    |batch| × head-collision occupancy, independent of corpus size;
+    the persisted index is three longs per corpus doc, and document
+    bodies move only for verified-candidate fetches (prefix_check).
+    The oracle blocks on the literal 40-char head (the engine's
+    xxhash64 is an internal key whose collisions the substring
+    verification removes), so both engines emit identical rows."""
+    bk, lookup = prefix_corpus_index(spark, sf_dir)
+    new_docs = parallelized(table(spark, sf_dir, "documents")).filter(inc_is_new())
+    return prefix_check(new_docs, bk, lookup).orderBy("new_id", "corpus_id")

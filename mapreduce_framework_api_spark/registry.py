@@ -73,8 +73,9 @@ _LOADED = False
 # Round-7 window, by the standing policy:
 # (1) queries NEW this round: q_multimodal_image_real (the
 # real-PNG-codec lane, closing the fake/real codec symmetry),
-# q_dedup_prefix (truncation-duplicate tier), q_text_zipf
-# (corpus power-law fit);
+# q_dedup_prefix + q_dedup_prefix_incremental (truncation-duplicate
+# tier: corpus self-join + the persisted-index ingest shape),
+# q_text_zipf (corpus power-law fit);
 # (2) the queries whose CODE or ORACLE changed this round:
 # q_agg_stats (degenerate-group test now evaluated on the same
 # double-cast sums on both engines — the round-6 ADVICE divergence),
@@ -97,14 +98,15 @@ _LOADED = False
 # five q_fn_* scalars, filter_pred, percentile, dedup_clusters/report,
 # six q_pipe_* row-local pipelines, text_repetition/surprisal), which
 # brings max staleness board-wide to <= 2 rounds after this round;
-# the final 7 slots rotate the stalest r4 greens, one per family
-# (windows x2, events x2, sketches x2, stream_session); r4-receipted
-# q_sketch_bloom/q_text_tfidf yielded their slots to the two new
-# round-7 queries and rotate next round.
+# the final 6 slots rotate the stalest r4 greens, one per family
+# (windows x2, events x2, sketch hll, stream_session); r4-receipted
+# q_sketch_bloom/q_sketch_cms/q_text_tfidf yielded their slots to the
+# three new round-7 queries and rotate next round.
 _WINDOW: tuple[str, ...] = (
     # (1) new this round
     "q_multimodal_image_real",
     "q_dedup_prefix",
+    "q_dedup_prefix_incremental",
     "q_text_zipf",
     # (2) code/oracle changed this round
     "q_agg_stats",
@@ -156,7 +158,6 @@ _WINDOW: tuple[str, ...] = (
     "q_events_funnel",
     "q_events_retention",
     "q_sketch_hll",
-    "q_sketch_cms",
     "q_stream_session",
 )
 

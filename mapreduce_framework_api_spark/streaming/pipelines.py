@@ -688,3 +688,32 @@ def incremental_dedup_stream(
 
     bk, sigs = incremental_corpus_index(spark, sf_dir)
     return incremental_check(docs_stream.filter(inc_is_new()), bk, sigs)
+
+
+def prefix_dedup_stream(
+    spark: SparkSession, docs_stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of q_dedup_prefix_incremental: arriving documents
+    (the deterministic 1/8 ingest split) are classified against the
+    frozen corpus's persisted head-block index through the SAME
+    prefix_check transformation the batch query uses — truncated
+    re-crawls flagged for drop, extensions flagged for keep-longest
+    upgrade, exact copies flagged as dups.
+
+    Like incremental_dedup_stream, statelessness is the design point:
+    the head hash, the two stream-static equi-joins (8-byte index probe,
+    then the corpus-text fetch for verified candidates only), and the
+    substring verification are all per-row, so the stream needs NO
+    watermark and NO state store — per-micro-batch cost follows arrival
+    rate and head-collision occupancy, never corpus size or stream
+    lifetime. The (new_id, corpus_id) pair key is unique by
+    construction (one index row per corpus doc), so append mode needs
+    no downstream dedup at all."""
+    from mapreduce_framework_api_spark.operators.dedup import (
+        inc_is_new,
+        prefix_check,
+        prefix_corpus_index,
+    )
+
+    bk, lookup = prefix_corpus_index(spark, sf_dir)
+    return prefix_check(docs_stream.filter(inc_is_new()), bk, lookup)

@@ -1949,6 +1949,7 @@ def test_edge_corpus_zero_token_docs_agree_across_engines():
             # the engineered head-collision trio, and the power-law fit
             # over the tiny adversarial vocabulary
             "q_dedup_prefix",
+            "q_dedup_prefix_incremental",
             "q_text_zipf",
         ],
         capture_output=True,
@@ -1956,7 +1957,7 @@ def test_edge_corpus_zero_token_docs_agree_across_engines():
         cwd="/root/repo",
         timeout=400,
     )
-    assert "0 FAIL" in out.stdout and "23 ok" in out.stdout, out.stdout[-2000:]
+    assert "0 FAIL" in out.stdout and "24 ok" in out.stdout, out.stdout[-2000:]
 
 
 def test_prefix_dup_detects_truncation_and_rejects_head_collision(spark):

@@ -381,3 +381,27 @@ def test_streaming_incremental_dedup_equals_batch(spark):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_prefix_dedup_stream_equals_batch_twin(spark):
+    """Stateless streaming prefix/truncation ingest == the batch
+    q_dedup_prefix_incremental on drain. The (new_id, corpus_id) pair key
+    is unique by construction (one head-index row per corpus doc), so the
+    comparison is on raw appended rows — no sink-side dedup needed."""
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        prefix_dedup_stream,
+        read_documents_stream,
+    )
+
+    stream = prefix_dedup_stream(spark, read_documents_stream(spark, SF_DIR), SF_DIR)
+    run_to_memory(stream, "t_prefix_dedup", output_mode="append")
+    got = [
+        (r["new_id"], r["corpus_id"], r["relation"], r["new_len"], r["corpus_len"])
+        for r in spark.table("t_prefix_dedup").collect()
+    ]
+    batch = [
+        (r["new_id"], r["corpus_id"], r["relation"], r["new_len"], r["corpus_len"])
+        for r in load_all_queries()["q_dedup_prefix_incremental"].fn(spark, SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(batch)
+    assert len(got) == len(set(got))  # pair key unique, no dedup required
