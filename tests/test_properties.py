@@ -778,3 +778,54 @@ def test_rowwise_topk_property(data, nq, ni, k, as_int, exclude):
     rows, nids, scs = _rowwise_topk(s, ids, k, q_ids=q_ids)
     got = [(int(r), int(n), float(v)) for r, n, v in zip(rows, nids, scs)]
     assert got == expect
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("abAB 01")), min_size=0, max_size=90),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_prefix_pairs_match_python_reference(spark, texts):
+    """q_dedup_prefix's block-then-verify plan == the naive all-pairs
+    Python reference on arbitrary texts: every strict-prefix pair whose
+    truncated side is >= 40 chars is found (blocking is lossless there),
+    and nothing else is emitted — hash collisions and equal-head
+    non-prefixes die in verification."""
+    from mapreduce_framework_api_spark.operators import dedup as dd
+
+    # pad half the rows so some clear the 40-char contract with shared heads
+    texts = [("headblock-" * 5) + t if i % 2 else t for i, t in enumerate(texts)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.xxhash64(F.substring("text", 1, dd._PREFIX_BLOCK)).alias("bh"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_trunc"), F.col("text").alias("ta"),
+        F.col("n").alias("na"), "bh",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_full"), F.col("text").alias("tb"),
+        F.col("n").alias("nb"), "bh",
+    )
+    got = {
+        (r["doc_trunc"], r["doc_full"])
+        for r in a.join(b, "bh")
+        .filter(
+            (F.col("na") < F.col("nb"))
+            & (F.expr("substring(tb, 1, na)") == F.col("ta"))
+        )
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, ti in enumerate(texts)
+        for j, tj in enumerate(texts)
+        if len(ti) >= dd._PREFIX_BLOCK and len(ti) < len(tj) and tj.startswith(ti)
+    }
+    assert got == want

@@ -256,12 +256,40 @@ def main() -> None:
         "gate_flat": bool(times) and max(times) <= 2.5 * median,
     }
 
+    # Lane 4: stateless prefix-ingest classification (round-7 lane). Same
+    # gates as lane 3: zero state rows, flat per-batch cost while the
+    # cumulative ingested volume grows 10x.
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        prefix_dedup_stream,
+    )
+
+    t0 = time.time()
+    docs2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(DOCS_DIR)
+    )
+    q = _drain(prefix_dedup_stream(spark, docs2, SF1), "prefixdedup", "append")
+    rows = _progress_rows(q)
+    times = [r["batch_ms"] for r in rows[1:] if r["batch_ms"]]
+    times_sorted = sorted(times)
+    median = times_sorted[len(times_sorted) // 2] if times_sorted else 0
+    receipt["prefix_dedup"] = {
+        "wall_s": round(time.time() - t0, 1),
+        "batches": rows,
+        "state_rows_any": any(r["state_rows"] for r in rows),
+        "batch_ms_median": median,
+        "batch_ms_max": max(times) if times else 0,
+        "gate_flat": bool(times) and max(times) <= 2.5 * median,
+    }
+
     with open(RECEIPT, "w") as f:
         json.dump(receipt, f, indent=1)
     gates = {
         "sessionize_plateau": receipt["sessionize"]["gate_plateau"],
         "session_window_evicts": receipt["session_window"]["gate_evicts"],
         "incremental_dedup_flat": receipt["incremental_dedup"]["gate_flat"],
+        "prefix_dedup_flat": receipt["prefix_dedup"]["gate_flat"],
     }
     print(json.dumps({"receipt": RECEIPT, "gates": gates}))
     spark.stop()
