@@ -43,19 +43,21 @@ def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adjacency-first beats pairs-first twice over:
     - the checkpointed artifact is VERTEX-sized (20k array rows vs 1.2M
       pair rows — same bytes, 60x fewer rows to write/scan), and
-    - ``collect_set`` at the node level dedups cross-order repeats for
-      free, so the pre-node-level ``distinct()`` exchange of the pair
-      form disappears entirely (measured min-of-3 at sf0.1: 3.1 s vs
-      3.7 s for the pair build that still needed a separate
-      adjacency pass).
-    Built ARRAY-SIDE, not as a self-join: one groupBy(l_orderkey)
-    collects each order's distinct parts, both pair orientations are
-    generated inside a codegen'd nested transform over that array
-    (fan-out bounded by order width squared, ~7² here, never
-    corpus-quadratic — the dedup tiers' array-side pair trade), and one
-    groupBy(node) folds them into sorted neighbor sets. The checkpoint
-    preserves the groupBy's hash(node) partitioning — the property the
-    pagerank rounds lean on to run exchange-free."""
+    - set-fold aggregation at the node level dedups cross-order repeats
+      for free, so the pre-node-level ``distinct()`` exchange of the
+      pair form disappears entirely.
+    Built ARRAY-SIDE, not as a self-join, and TRANSPOSED without a pair
+    explosion: one groupBy(l_orderkey) collects each order's distinct
+    parts, then each member is exploded carrying its order's WHOLE part
+    set (one row per (order, member) — corpus-linear, vs the
+    width-squared pair fan-out), and one groupBy(node) folds the
+    collected sets with codegen'd array ops
+    (flatten -> array_distinct -> remove self -> sort). Measured
+    min-of-3 at sf0.1: 1.1 s vs 1.5 s for the pair-explosion form that
+    shuffled ~1.8M pair rows instead of 600k set-carrying rows, both
+    bit-identical. The checkpoint preserves the groupBy's hash(node)
+    partitioning — the property the pagerank rounds lean on to run
+    exchange-free."""
     import os as _os
 
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
@@ -66,18 +68,14 @@ def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
     grouped = li.groupBy("ok").agg(F.collect_set("pk").alias("pks"))
-    both = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(pks, x -> "
-                "transform(filter(pks, y -> y != x), "
-                "y -> struct(x AS node, y AS dst))))"
-            )
-        ).alias("p")
-    ).select("p.node", "p.dst")
+    member = grouped.select(F.explode("pks").alias("node"), "pks")
     adj = (
-        both.groupBy("node")
-        .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
+        member.groupBy("node")
+        .agg(
+            F.expr(
+                "array_sort(array_remove(array_distinct(flatten(collect_list(pks))), node))"
+            ).alias("nbrs")
+        )
         .localCheckpoint()
     )
     _ADJ_CACHE[key] = adj
@@ -352,13 +350,15 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same order — unlike the dense co-purchase clique graph pagerank
     uses, this one has bounded degree, so BFS levels stay interesting).
 
-    Spark-first iterative shape: level k's frontier joins the edge list
-    once (an equi-join keyed on vertex id), new nodes are the left-anti
-    against everything already visited, and each level is
-    localCheckpoint'ed — the lineage cut that keeps iteration k from
-    replaying 0..k-1 (same discipline as dedup's label propagation,
-    dedup.py:975). Hop count is the ONLY driver loop, fixed at
-    _BFS_MAX_HOPS (3); every per-level step is one shuffle. First-visit
+    Spark-first iterative shape: the edge multiset is folded ONCE into a
+    checkpointed vertex-sized adjacency (node -> distinct neighbor set);
+    level k's frontier equi-joins that adjacency and explodes the
+    matched neighbor arrays, new nodes are the left-anti against
+    everything already visited, and each level is localCheckpoint'ed —
+    the lineage cut that keeps iteration k from replaying 0..k-1 (same
+    discipline as dedup's label propagation, dedup.py:975). Hop count is
+    the ONLY driver loop, fixed at _BFS_MAX_HOPS (3); every per-level
+    step is one shuffle over a frontier-bounded row set. First-visit
     level IS min level, so no min-aggregate is needed.
 
     The oracle is DuckDB's recursive CTE (UNION-dedup'd frontier +
@@ -377,11 +377,14 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Adjacent-line pairs built ARRAY-SIDE (the _copurchase_adj trade):
     # one groupBy(ok) collects each order's (ln, pk) structs, and the
-    # ln+1 pairing runs inside a codegen'd nested transform over that
+    # ln±1 pairing runs inside a codegen'd nested transform over that
     # array — one lineitem shuffle instead of shuffling BOTH sides of the
-    # (ok, ln) self-equi-join. The inner filter pairs x with EVERY y at
-    # y.ln = x.ln + 1 (not just the next array slot), so semantics match
-    # the oracle's self-join exactly even if (ok, ln) were ever non-unique.
+    # (ok, ln) self-equi-join. BOTH orientations come out of the SAME
+    # transform (|y.ln - x.ln| = 1 pairs x with its predecessor AND its
+    # successor), so the old union-of-two-scans over the grouped output
+    # is gone. The inner filter pairs x with EVERY y at adjacent ln (not
+    # just the next array slot), so semantics match the oracle's
+    # self-join exactly even if (ok, ln) were ever non-unique.
     raw = (
         li.groupBy("ok")
         .agg(F.collect_list(F.struct("ln", "pk")).alias("arr"))
@@ -389,22 +392,22 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "flatten(transform(arr, x -> "
-                    "transform(filter(arr, y -> y.ln = x.ln + 1 AND y.pk <> x.pk), "
-                    "y -> struct(x.pk AS u, y.pk AS v))))"
+                    "transform(filter(arr, y -> abs(y.ln - x.ln) = 1 AND y.pk <> x.pk), "
+                    "y -> struct(x.pk AS src, y.pk AS dst))))"
                 )
             ).alias("p")
         )
-        .select("p.u", "p.v")
+        .select("p.src", "p.dst")
     )
-    # One distinct over the already-mirrored rows (not distinct-pairs THEN
-    # distinct-union): (u,v) and (v,u) can both occur in the raw adjacency,
-    # so mirroring first and deduping once saves a whole shuffle of the
-    # pair set with the same result as the oracle's UNION.
-    edges = (
-        raw.selectExpr("u AS src", "v AS dst")
-        .union(raw.selectExpr("v AS src", "u AS dst"))
-        .distinct()
-        .localCheckpoint()
+    # Fold the mirrored multi-edges straight into a VERTEX-sized
+    # adjacency: collect_set dedups per node, so the old standalone
+    # ``distinct()`` exchange over 587k (src, dst) rows disappears into
+    # the same groupBy(src) shuffle, and the checkpointed artifact is
+    # ~17k array rows instead of 587k pair rows (~30x fewer rows for the
+    # materialize + every per-hop scan; measured min-of-3 at sf0.1:
+    # edge stage 1.23 s -> ~0.6 s, whole query ~2.4 s -> ~1.6 s calm).
+    adj = (
+        raw.groupBy("src").agg(F.collect_set("dst").alias("nbrs")).localCheckpoint()
     )
     seeds = (
         table(spark, sf_dir, "part")
@@ -427,13 +430,15 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for hop in range(1, _BFS_MAX_HOPS + 1):
         # The frontier and visited sets are vertex-count-bounded (tiny next
         # to the edge list), so BOTH sides of the per-hop work broadcast:
-        # the frontier into the edge join (edges are never re-shuffled per
-        # hop) and the visited set into the left-anti (BroadcastHashJoin
-        # LeftAnti, not a shuffled anti-join). The only per-hop exchange
-        # left is the distinct on the matched dst set.
+        # the frontier into the adjacency join (the vertex-sized adjacency
+        # is never re-shuffled per hop) and the visited set into the
+        # left-anti (BroadcastHashJoin LeftAnti, not a shuffled anti-join).
+        # The only per-hop exchange left is the distinct on the exploded
+        # neighbor set, and the scan side is the ~vertex-count adjacency,
+        # not the edge multiset.
         nxt = (
-            edges.join(F.broadcast(frontier), frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
+            adj.join(F.broadcast(frontier), frontier.node == adj.src)
+            .select(F.explode("nbrs").alias("node"))
             .distinct()
             .join(F.broadcast(visited), "node", "left_anti")
             .withColumn("level", F.lit(hop).cast("long"))
