@@ -756,24 +756,21 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register(
-    "q_dedup_simhash",
-    group="I",
-    oracle=_SIMHASH_ORACLE,
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature from md5-derived token
-    hashes (bit k of the signature = sign of Σ±1 over tokens), candidates
-    via 4×16-bit block banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
-    block), exact bit_count(xor) ≤ 3 filter. The md5 base hash makes the
-    whole bit-level pipeline reproducible in SQL (_SIMHASH_ORACLE), so
-    this query is hash-checked, not rows-only.
+_SIMHASH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-    Scale note: 16-bit blocks give 65536 buckets per band — an 8-bit
-    scheme caps at 256 and turns into m² hot-bucket blowups beyond ~10^5
-    docs. Residual hot blocks (e.g. a zero block from short docs) are
-    width-capped by capped_bucket before pair expansion; the banding/verify
-    plan shape is unchanged."""
+
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (doc_a, doc_b, hamming ≤ 3), deduped on the
+    pair key — the shared intermediate behind q_dedup_simhash and its
+    recall evaluation. Cached per (application, sf_dir) and eagerly
+    materialized (localCheckpoint), the jaccard_dup_pairs /
+    minhash_candidate_pairs discipline: the 64-bit Arrow signature
+    kernel and the block-bucket groupBy run once per session, not once
+    per consumer."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _SIMHASH_PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = parallelized(table(spark, sf_dir, "documents"))
     # Arrow-batched kernel == simhash_signature() bit-for-bit (pinned by
     # tests); the 64-bit-carrying expression fold is the slow path.
@@ -808,12 +805,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.b.simhash").alias("sim_b"),
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    out = (
         cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)
         .dropDuplicates(["doc_a", "doc_b"])
-        .orderBy("doc_a", "doc_b")
+        .localCheckpoint()
     )
+    _SIMHASH_PAIR_CACHE[key] = out
+    return out
+
+
+@register(
+    "q_dedup_simhash",
+    group="I",
+    oracle=_SIMHASH_ORACLE,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature from md5-derived token
+    hashes (bit k of the signature = sign of Σ±1 over tokens), candidates
+    via 4×16-bit block banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+    block), exact bit_count(xor) ≤ 3 filter. The md5 base hash makes the
+    whole bit-level pipeline reproducible in SQL (_SIMHASH_ORACLE), so
+    this query is hash-checked, not rows-only. Pipeline shared with the
+    recall evaluation via the cached simhash_dup_pairs table.
+
+    Scale note: 16-bit blocks give 65536 buckets per band — an 8-bit
+    scheme caps at 256 and turns into m² hot-bucket blowups beyond ~10^5
+    docs. Residual hot blocks (e.g. a zero block from short docs) are
+    width-capped by capped_bucket before pair expansion; the banding/verify
+    plan shape is unchanged."""
+    return simhash_dup_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------- n-gram Jaccard ----------
@@ -1671,7 +1692,7 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-keyed equi-join over two thin pair tables + three single-row
     broadcast-crossed aggregates."""
     truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cand = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    cand = simhash_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_hit = (
