@@ -22,6 +22,8 @@ aggregate).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -57,13 +59,34 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(*) per token; byte-wise ascending order (Spark's default binary
     UTF-8 string ordering == the reference's strcmp BST order).
     """
-    docs = parallelized(table(spark, sf_dir, "documents"))
-    return (
-        docs.select(explode_tokens("text"))
+    return corpus_wordcount(spark, sf_dir).orderBy("token")
+
+
+_WORDCOUNT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def corpus_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus token-frequency table (token, cnt) — the wordcount
+    exchange that FOUR declared queries start from (wordcount itself,
+    the Zipf fit, the surprisal unigram LM, the vocabulary-coverage
+    curve). Computed once per (application, sf_dir), eagerly
+    materialized (localCheckpoint — vocabulary-sized, tens of
+    thousands of rows), and cached: the dedup-family pair-table
+    discipline applied to the text family's shared scan+explode+agg
+    prefix."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _WORDCOUNT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs_wc = parallelized(table(spark, sf_dir, "documents"))
+    out = (
+        docs_wc.select(explode_tokens("text"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
-        .orderBy("token")
+        .localCheckpoint()
     )
+    _WORDCOUNT_CACHE[key] = out
+    return out
 
 
 @register(
@@ -434,7 +457,7 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines with identical operands."""
     docs = parallelized(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", explode_tokens("text"))
-    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = corpus_wordcount(spark, sf_dir)
     buckets = vocab.select("token", _bucket_expr(F.col("cnt")).alias("bucket"))
     return (
         toks.join(buckets, "token")
@@ -501,11 +524,7 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     - rank + running sum run a window over exactly K rows on one
       partition — bounded by construction, not by data volume."""
     docs = parallelized(table(spark, sf_dir, "documents"))
-    tf = (
-        docs.select(explode_tokens("text").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-    )
+    tf = corpus_wordcount(spark, sf_dir)
     # Corpus total WITHOUT a second token rollup: size(tokens) is row-local,
     # so this lineage is scan -> project -> partial/final agg — no explode,
     # no wide exchange (the tf re-aggregation would shuffle the vocabulary
@@ -1079,12 +1098,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is exactly one aggregation; everything after is
     dimension-sized. n_types/n_tokens ride the same counts frame and
     broadcast-join into the single output row."""
-    docs = parallelized(table(spark, sf_dir, "documents"))
-    tc = (
-        docs.select(explode_tokens("text"))
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-    )
+    tc = corpus_wordcount(spark, sf_dir)
     tot = tc.agg(
         F.count("*").cast("long").alias("n_types"),
         F.sum("cnt").cast("long").alias("n_tokens"),
