@@ -37,7 +37,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from mapreduce_framework_api_spark.functions.textfns import tokens_nonempty
 from mapreduce_framework_api_spark.registry import register
-from mapreduce_framework_api_spark.sources import parallelized, table
+from mapreduce_framework_api_spark.sources import parallelized, session_cache_key, table
 
 # Hot-bucket width cap: a degenerate bucket (boilerplate band value, stop
 # shingle, zero block) of width m would otherwise cost m² candidate pairs —
@@ -286,7 +286,7 @@ def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (the banded candidate generator; the incremental corpus
     index), so it is the right shared artifact — in production, the
     signature column a pipeline persists alongside the corpus."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = session_cache_key(spark, sf_dir, "documents")
     cached = _MINHASH_SIG_CACHE.get(key)
     if cached is not None:
         return cached
@@ -325,7 +325,7 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted candidate table a production pipeline writes between the
     cheap tier and verification. The oracle-side twin is
     _MINHASH_CAND_CTES."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = session_cache_key(spark, sf_dir, "documents")
     cached = _MINHASH_CAND_CACHE.get(key)
     if cached is not None:
         return cached
@@ -790,7 +790,7 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_candidate_pairs discipline: the 64-bit Arrow signature
     kernel and the block-bucket groupBy run once per session, not once
     per consumer."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = session_cache_key(spark, sf_dir, "documents")
     cached = _SIMHASH_PAIR_CACHE.get(key)
     if cached is not None:
         return cached
@@ -915,7 +915,7 @@ def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs come from an inverted-index equi-join on shingle (only documents
     sharing a calm shingle ever meet — no cross join), then
     |∩| / (|A| + |B| − |∩|) from pre-aggregated set sizes."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = session_cache_key(spark, sf_dir, "documents")
     cached = _JACCARD_PAIR_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1132,7 +1132,7 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     like jaccard_dup_pairs so downstream consumers (canonical election,
     dedup reporting) never re-run the iterative loop. The final-round
     labels are already localCheckpoint-materialized by the loop."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = session_cache_key(spark, sf_dir, "documents")
     cached = _CLUSTER_LABEL_CACHE.get(key)
     if cached is not None:
         return cached

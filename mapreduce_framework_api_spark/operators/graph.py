@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_framework_api_spark.registry import register
-from mapreduce_framework_api_spark.sources import table
+from mapreduce_framework_api_spark.sources import session_cache_key, table
 
 _PR_ITERS = 3
 _PR_DAMP_PPM = 850_000  # 0.85 in ppm
@@ -58,9 +58,7 @@ def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical. The checkpoint preserves the groupBy's hash(node)
     partitioning — the property the pagerank rounds lean on to run
     exchange-free."""
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    key = session_cache_key(spark, sf_dir, "lineitem")
     cached = _ADJ_CACHE.get(key)
     if cached is not None:
         return cached

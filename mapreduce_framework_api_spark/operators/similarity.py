@@ -74,7 +74,7 @@ from mapreduce_framework_api_spark.operators.dedup import (
     capped_bucket,
 )
 from mapreduce_framework_api_spark.registry import register
-from mapreduce_framework_api_spark.sources import parallelized, table
+from mapreduce_framework_api_spark.sources import parallelized, session_cache_key, table
 
 _TOP_K = 5
 
@@ -160,12 +160,12 @@ def _topk_rerank(
 # materialization (see q_sim_ivf_recall's note: ReusedExchange already
 # dedupes subtrees inside one plan), this CROSS-query cache pays one
 # small checkpoint to delete whole recomputed pipelines in the sibling
-# queries. Keyed like the dedup pair caches: (applicationId, sf_dir).
+# queries. Keyed like the dedup pair caches (fingerprinted session key).
 _TIER_OUT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _tier_cached(tag: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), tag)
+    key = (*session_cache_key(spark, sf_dir, "embeddings"), tag)
     got = _TIER_OUT_CACHE.get(key)
     if got is None:
         got = build().localCheckpoint()
@@ -714,7 +714,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Cache probe FIRST: the quantizer seed fetch below is an eager
     # driver-side job, so a post-build cache would still pay it per call.
-    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "ivf_topk")
+    cache_key = (*session_cache_key(spark, sf_dir, "embeddings"), "ivf_topk")
     cached = _TIER_OUT_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -999,7 +999,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Cache probe before the eager driver-side codebook fetch (see the
     # matching note in q_sim_ivf_topk).
-    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "pq_topk")
+    cache_key = (*session_cache_key(spark, sf_dir, "embeddings"), "pq_topk")
     cached = _TIER_OUT_CACHE.get(cache_key)
     if cached is not None:
         return cached

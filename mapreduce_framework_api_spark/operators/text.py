@@ -33,7 +33,7 @@ from mapreduce_framework_api_spark.functions.textfns import (
     tokens_nonempty,
 )
 from mapreduce_framework_api_spark.registry import register
-from mapreduce_framework_api_spark.sources import parallelized, table
+from mapreduce_framework_api_spark.sources import parallelized, session_cache_key, table
 
 # DuckDB-side equivalent of tokens_nonempty(text).
 _ORACLE_TOKS = "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> t <> '')"
@@ -74,7 +74,7 @@ def corpus_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of rows), and cached: the dedup-family pair-table
     discipline applied to the text family's shared scan+explode+agg
     prefix."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = session_cache_key(spark, sf_dir, "documents")
     cached = _WORDCOUNT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -807,22 +807,10 @@ def _bpe_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFram
     jobs run ONCE (the jaccard_dup_pairs discipline, dedup.py). The key
     carries a fixture fingerprint (mtime_ns + size of the documents
     parquet), not just the path — a fixture regenerated in place within
-    one Spark application must retrain, not serve stale trainer output."""
-    import os as _os
-
-    doc_path = _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
-    if _os.path.isdir(doc_path):
-        fp = tuple(
-            sorted(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in _os.scandir(doc_path)
-                if e.is_file()
-            )
-        )
-    else:
-        st = _os.stat(doc_path)
-        fp = (("", st.st_mtime_ns, st.st_size),)
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), fp)
+    one Spark application must retrain, not serve stale trainer output.
+    (The fingerprint key now comes from the shared session_cache_key
+    helper, which generalized this fix to every session cache.)"""
+    key = session_cache_key(spark, sf_dir, "documents")
     cached = _BPE_RUN_CACHE.get(key)
     if cached is not None:
         return cached

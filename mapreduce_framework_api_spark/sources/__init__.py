@@ -1,3 +1,9 @@
-from mapreduce_framework_api_spark.sources.readers import TABLES, parallelized, table
+from mapreduce_framework_api_spark.sources.readers import (
+    TABLES,
+    fixture_fingerprint,
+    parallelized,
+    session_cache_key,
+    table,
+)
 
 __all__ = ["table", "TABLES", "parallelized"]

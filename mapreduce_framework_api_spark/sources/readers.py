@@ -34,6 +34,42 @@ TABLES = (
 )
 
 
+def fixture_fingerprint(sf_dir: str, name: str) -> tuple:
+    """(filename, mtime_ns, size) fingerprint of one catalog table's
+    parquet file (or file-per-partition directory). Session caches fold
+    this into their keys so a fixture regenerated IN PLACE within one
+    Spark application rebuilds the cached artifact instead of serving
+    stale results (the q_text_bpe_merges trainer-cache fix, round 6
+    advice, generalized to every session cache)."""
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    if os.path.isdir(path):
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(path)
+                if e.is_file()
+            )
+        )
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return (("", st.st_mtime_ns, st.st_size),)
+    # Missing fixture: let the actual read raise the clear error; the
+    # sentinel just keeps key construction total.
+    return (("missing", 0, 0),)
+
+
+def session_cache_key(spark: SparkSession, sf_dir: str, *names: str) -> tuple:
+    """Key for per-session materialized-artifact caches (the
+    jaccard_dup_pairs / _copurchase_adj / corpus_wordcount discipline):
+    (applicationId, abspath(sf_dir), input-table fingerprints). One
+    definition so every cache gets the staleness guard."""
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        tuple(fixture_fingerprint(sf_dir, n) for n in names),
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table as a DataFrame (lazy; pushdown-capable).
 

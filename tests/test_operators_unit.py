@@ -1996,3 +1996,40 @@ def test_zipf_fit_is_sane_on_fixture(spark):
     assert row["zipf_slope"] < 0
     assert 0.0 <= row["zipf_r2"] <= 1.0
     assert 0.0 < row["head_share"] <= 1.0
+
+
+def test_session_cache_key_tracks_fixture_regeneration(spark, tmp_path):
+    """The staleness guard behind every session cache (round-6 advice on
+    the BPE trainer cache, generalized): regenerating a fixture IN PLACE
+    within one Spark application must change the cache key, so cached
+    artifacts (wordcount table, dedup pair tables, graph adjacency, sim
+    tier outputs) rebuild instead of serving stale results."""
+    import shutil
+
+    from conftest import SF_DIR
+
+    from mapreduce_framework_api_spark.operators.text import (
+        _WORDCOUNT_CACHE,
+        corpus_wordcount,
+    )
+    from mapreduce_framework_api_spark.sources import session_cache_key
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    src = f"{SF_DIR}/documents.parquet"
+    dst = f"{sf}/documents.parquet"
+    shutil.copy(src, dst)
+    k1 = session_cache_key(spark, sf, "documents")
+    n1 = corpus_wordcount(spark, sf).count()
+    assert k1 in _WORDCOUNT_CACHE
+    # regenerate in place: same path, new bytes/mtime
+    import os as _os
+    import time as _time
+
+    _time.sleep(0.01)
+    _os.utime(dst)  # any rewrite bumps mtime_ns; utime models it exactly
+    k2 = session_cache_key(spark, sf, "documents")
+    assert k2 != k1, "fingerprint must change when the fixture is rewritten"
+    n2 = corpus_wordcount(spark, sf).count()
+    assert n2 == n1  # same content -> same counts, via a REBUILT artifact
+    assert k2 in _WORDCOUNT_CACHE
