@@ -641,12 +641,13 @@ _IVF_TOP_K = 3
 # same trick sign-LSH uses, with integer dots instead of sign bits).
 _IVF_SCALE = 1 << 18
 
-
-@register(
-    "q_sim_ivf_topk",
-    group="I",
-    oracle=f"""
-WITH iv AS (
+# The deterministic coarse-quantizer CTE chain (hash-sampled seeds →
+# integer-exact assignment → per-vector norms), kept in ONE f-string so
+# the quantizer definition can never drift between its two consumers:
+# the IVF search tier (q_sim_ivf_topk) and the SemDeDup semantic-dedup
+# tier (q_dedup_semdedup / _recall), which clusters with the SAME
+# quantizer before its within-cluster dedup decision.
+_IVF_ASSIGN_CTES = f"""iv AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS q,
@@ -666,14 +667,21 @@ WITH iv AS (
   FROM dots
 ), assigned AS (
   SELECT vec_id, c AS cluster FROM probe_rank WHERE pr = 1
-), probes AS (
+), nrm AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM iv
+)"""
+
+
+@register(
+    "q_sim_ivf_topk",
+    group="I",
+    oracle=f"""
+WITH {_IVF_ASSIGN_CTES}, probes AS (
   SELECT vec_id AS q_id, c AS cluster FROM probe_rank WHERE pr <= {_IVF_NPROBE}
 ), cand AS (
   SELECT DISTINCT p.q_id, a.vec_id AS n_id
   FROM probes p JOIN assigned a USING (cluster)
   WHERE p.q_id <> a.vec_id
-), nrm AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM iv
 ), scored AS (
   SELECT c.q_id AS vec_id, c.n_id AS neighbor_id,
          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
@@ -1716,6 +1724,235 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.floor(
                 F.col("n_hits") * 10000.0 / F.greatest(F.col("n_truth"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_x10000"),
+        )
+    )
+
+
+# ------------------------------------------------- SemDeDup ----------------
+
+# Semantic dedup threshold: the corpus's "semantic duplicate" contract,
+# shared with the exact pair tier (q_dedup_embedding's
+# _COSINE_DUP_THRESHOLD) so the SemDeDup recall evaluation measures the
+# quantizer's candidate loss, never a threshold mismatch.
+_SEMDEDUP_T = 0.4
+
+# Within-cluster scored pairs, built ON TOP of the shared quantizer CTEs
+# (_IVF_ASSIGN_CTES): one f-string so the dedup decision and its recall
+# evaluation can never drift. Cosines come from list_dot_product over
+# the same double-cast vectors as every other cosine oracle.
+_SEMDEDUP_PAIR_CTES = f"""{_IVF_ASSIGN_CTES}, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+         list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+  FROM assigned a JOIN assigned b
+       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       JOIN nrm x ON a.vec_id = x.vec_id
+       JOIN nrm y ON b.vec_id = y.vec_id
+  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= {_SEMDEDUP_T}
+)"""
+
+
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster semantic-dup candidate pairs
+    (vec_a < vec_b, cluster, cos >= _SEMDEDUP_T) — the shared tier behind
+    q_dedup_semdedup and its recall evaluation (cached + checkpointed per
+    session like every other tier output).
+
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): instead of scoring
+    all O(n²) pairs, cluster the embedding space and only compare
+    within a cluster — K clusters cut pair work by ~K while keeping the
+    high-cosine pairs that matter, because true semantic dups land in
+    the same cell of any reasonable quantizer. Here the cluster step is
+    the SAME deterministic integer-exact coarse quantizer the IVF tier
+    uses (_IVF_ASSIGN_CTES / q_sim_ivf_topk's seed recipe), which is
+    what keeps the full pipeline differential-oracle-checkable; a
+    production deployment swaps in k-means centroids, identical shape.
+
+    Scale shape: assignment is one broadcast join against K centroid
+    rows (JVM-side integer dot products — no Python worker in the
+    path), the self-join shuffles on cluster id only, and per-cluster
+    pair cost is bounded by occupancy² — the SemDeDup paper's bound —
+    never a global cross join."""
+
+    def build() -> DataFrame:
+        import numpy as np
+
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # Same bounded driver-side quantizer build as q_sim_ivf_topk: the
+        # _IVF_K seed rows with the smallest md5(vec_id).
+        seed = (
+            e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h", "vec_id")
+            .limit(_IVF_K)
+            .select("vec_id", "embedding")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        if seed.empty:
+            return spark.createDataFrame(
+                [], "vec_a long, vec_b long, cluster long, cos double"
+            )
+        cq = np.floor(
+            np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _IVF_SCALE
+        ).astype(np.int64)
+        cent = spark.createDataFrame(
+            [(int(c), [int(x) for x in row]) for c, row in enumerate(cq)],
+            "c long, cq array<bigint>",
+        )
+        # Integer-exact assignment, fully JVM-side: broadcast the K
+        # centroid rows, sequential-fold integer dots (exact: see
+        # _IVF_SCALE), argmax via max(struct(dot, -c)) — ties to the
+        # LOWER centroid index, mirroring the oracle's (dot DESC, c ASC).
+        iv = e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(float(_IVF_SCALE))).cast(
+                    "bigint"
+                ),
+            ).alias("q"),
+        )
+        dots = iv.join(F.broadcast(cent)).select(
+            "vec_id",
+            "c",
+            F.aggregate(
+                F.zip_with("q", "cq", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+        assigned = dots.groupBy("vec_id").agg(
+            F.max(F.struct(F.col("dot"), (-F.col("c")).alias("nc"))).alias("m")
+        ).select("vec_id", (-F.col("m.nc")).alias("cluster"))
+        nrm = e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+        av = assigned.join(nrm, "vec_id")
+        a = av.select(
+            F.col("vec_id").alias("vec_a"),
+            "cluster",
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        b = av.select(
+            F.col("vec_id").alias("vec_b"),
+            "cluster",
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            a.join(b, "cluster")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "cluster", cos.alias("cos"))
+            .filter(F.col("cos") >= _SEMDEDUP_T)
+        )
+
+    return _tier_cached("semdedup_pairs", spark, sf_dir, build)
+
+
+@register(
+    "q_dedup_semdedup",
+    group="I",
+    oracle=f"""
+WITH {_SEMDEDUP_PAIR_CTES}
+SELECT vec_b AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+       MIN(vec_a) AS kept_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+       ROUND(MAX(cos), 2) AS max_cosine
+FROM pairs
+GROUP BY vec_b, cluster
+ORDER BY vec_id
+""",
+)
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (embedding-cluster near-dup
+    pruning): one row per DROPPED vector — a vector whose cluster holds
+    at least one lower-id vector with cosine >= 0.4 — with the elected
+    keeper (lowest such id, deterministic), how many in-cluster near-dups
+    it had, and the strongest of those cosines. Keep-lowest-id is the
+    same canonical-election rule as q_dedup_exact/q_dedup_canonical, so
+    the whole dedup family shares one election semantics. See
+    semdedup_pairs for the quantizer-sharing and scale story."""
+    p = semdedup_pairs(spark, sf_dir)
+    return (
+        p.groupBy(F.col("vec_b").alias("vec_id"), "cluster")
+        .agg(
+            F.min("vec_a").alias("kept_id"),
+            F.count("*").cast("long").alias("n_near"),
+            F.round(F.max("cos"), 2).alias("max_cosine"),
+        )
+        .select("vec_id", "cluster", "kept_id", "n_near", "max_cosine")
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_recall_oracle() -> str:
+    """Composed oracle (the q_dedup_minhash_recall discipline): the exact
+    all-pairs cosine tier (q_dedup_embedding, the proven truth) and the
+    SemDeDup within-cluster pair tier nested as CTEs, so the metric can
+    never drift from the tiers it evaluates."""
+    from mapreduce_framework_api_spark.registry import REGISTRY
+
+    truth_sql = REGISTRY["q_dedup_embedding"].oracle
+    return f"""
+WITH truth AS ({truth_sql}),
+     semp AS (WITH {_SEMDEDUP_PAIR_CTES} SELECT vec_a, vec_b FROM pairs),
+     hit AS (
+       SELECT COUNT(*) AS n
+       FROM truth t JOIN semp c ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b
+     )
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM semp) AS BIGINT) AS n_candidates,
+       CAST((SELECT n FROM hit) AS BIGINT) AS n_hit,
+       CAST(FLOOR((SELECT n FROM hit) * 10000.0
+                  / GREATEST((SELECT COUNT(*) FROM truth), 1)) AS BIGINT)
+         AS recall_x10000
+"""
+
+
+@register(
+    "q_dedup_semdedup_recall",
+    group="I",
+    oracle=_semdedup_recall_oracle(),
+)
+def q_dedup_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of the SemDeDup within-cluster tier against the exact
+    all-pairs cosine truth (q_dedup_embedding) at the SAME threshold —
+    the quantizer's candidate loss, i.e. how many true semantic-dup
+    pairs were split across coarse clusters. Completes the
+    recall-evaluation harness over the dedup candidate tiers (MinHash,
+    SimHash, SemDeDup). Both sides reuse the registered tiers' cached
+    outputs; the metric adds one pair-keyed join + three broadcast-crossed
+    single-row aggregates.
+
+    Reading the fixture number (~0.20 at sf0.1): the synthetic embeddings
+    are near-isotropic, so the 0.4-threshold "dups" are weak pairs with no
+    cluster locality — exactly the regime the metric SHOULD flag as a bad
+    SemDeDup operating point. On a real encoder's corpus the paper's
+    regime (dup cosine >= ~0.95, strong locality) puts this number near 1;
+    the query is the instrument that verifies that before anyone trusts
+    the tier at 100 TB."""
+    from mapreduce_framework_api_spark.operators.dedup import q_dedup_embedding
+
+    truth = q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    cand = semdedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_hit = truth.join(cand, ["vec_a", "vec_b"]).agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.floor(
+                F.col("n_hit") * 10000.0 / F.greatest(F.col("n_truth"), F.lit(1))
             )
             .cast("long")
             .alias("recall_x10000"),

@@ -75,7 +75,9 @@ _LOADED = False
 # real-PNG-codec lane, closing the fake/real codec symmetry),
 # q_dedup_prefix + q_dedup_prefix_incremental (truncation-duplicate
 # tier: corpus self-join + the persisted-index ingest shape),
-# q_text_zipf (corpus power-law fit);
+# q_text_zipf (corpus power-law fit), q_dedup_semdedup +
+# q_dedup_semdedup_recall (embedding-cluster semantic dedup over the
+# shared IVF quantizer, with its quantizer-loss recall evaluation);
 # (2) the queries whose CODE or ORACLE changed this round:
 # q_agg_stats (degenerate-group test now evaluated on the same
 # double-cast sums on both engines — the round-6 ADVICE divergence),
@@ -108,6 +110,8 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_prefix",
     "q_dedup_prefix_incremental",
     "q_text_zipf",
+    "q_dedup_semdedup",
+    "q_dedup_semdedup_recall",
     # (2) code/oracle changed this round
     "q_agg_stats",
     "q_dim_scd2",
@@ -152,13 +156,14 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_split_assign",
     "q_text_repetition",
     "q_text_surprisal",
-    # (3b) stalest-r4 rotation, one slot per family
+    # (3b) stalest-r4 rotation, one slot per family (q_sketch_hll and
+    # q_stream_session yielded their slots to the two late-round-7
+    # SemDeDup queries — both r4-green on unchanged code, they rotate
+    # next round with the other r4 receipts)
     "q_win_topk_group",
     "q_win_range_frame",
     "q_events_funnel",
     "q_events_retention",
-    "q_sketch_hll",
-    "q_stream_session",
 )
 
 
