@@ -146,6 +146,11 @@ EMB_QUERIES = [
     "q_sim_ivf_topk", "q_sim_pq_topk", "q_sim_maxsim_topk",
     "q_sim_knn_classify", "q_sim_outliers", "q_sim_pq_recall",
     "q_sim_ivf_recall", "q_sim_lsh_recall", "q_dedup_embedding",
+    # SemDeDup: the exact-duplicate block (cosine exactly 1.0 under
+    # distinct ids) exercises keep-lowest-id election; the nudged and
+    # skewed-norm rows stress the within-cluster cosine against the
+    # integer-exact assignment boundary.
+    "q_dedup_semdedup", "q_dedup_semdedup_recall",
 ]
 
 
