@@ -1826,29 +1826,88 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = dots.groupBy("vec_id").agg(
             F.max(F.struct(F.col("dot"), (-F.col("c")).alias("nc"))).alias("m")
         ).select("vec_id", (-F.col("m.nc")).alias("cluster"))
-        nrm = e.select(
+        # Within-cluster scoring through the house block-pair cogroup
+        # (the q_dedup_embedding engine, with cluster as an extra group
+        # key): a cluster×cluster self-join scored with JVM fold
+        # expressions capped parallelism at K and cost occupancy² per
+        # task (sf1 receipt: 5 tasks × 15-22 s); blocking each cluster
+        # into ceil(occupancy / _INDEX_BLOCK_ROWS) hash blocks restores
+        # sub-cluster parallelism and bounds per-task memory, and the
+        # Arrow-batched BLAS matmul replaces the per-pair fold (same
+        # double arithmetic as the exact tier — the shared threshold
+        # means any boundary pair is already proven to agree with the
+        # list_dot_product oracle by q_dedup_embedding's green hash).
+        # An (a < b) pair meets in exactly ONE group —
+        # (cluster, qblk(a), iblk(b)) — so no downstream dedup.
+        # Fresh scan for the vector payload: ``assigned`` derives from
+        # ``e``, and joining a frame with its own ancestor trips Spark's
+        # ambiguous-self-join analyzer; a second read gets fresh
+        # attribute ids (same parquet, no extra IO — both scans prune to
+        # the two columns).
+        av = assigned.join(
+            table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
             "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        ).select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
-        av = assigned.join(nrm, "vec_id")
-        a = av.select(
-            F.col("vec_id").alias("vec_a"),
-            "cluster",
-            F.col("v").alias("va"),
-            F.col("nrm").alias("na"),
         )
-        b = av.select(
-            F.col("vec_id").alias("vec_b"),
-            "cluster",
-            F.col("v").alias("vb"),
-            F.col("nrm").alias("nb"),
+        nb = max(
+            1,
+            math.ceil(
+                _parquet_row_count(sf_dir, "embeddings") / _IVF_K / _INDEX_BLOCK_ROWS
+            ),
         )
-        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        qry = av.alias("qa").select(
+            F.col("qa.cluster").alias("cluster"),
+            F.col("qa.vec_id").alias("q_id"),
+            F.col("qa.embedding").alias("q_emb"),
+            F.pmod(F.xxhash64("qa.vec_id"), F.lit(nb)).cast("int").alias("qblk"),
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("iblk"),
+        )
+        idx = av.alias("ia").select(
+            F.col("ia.cluster").alias("cluster"),
+            F.col("ia.vec_id").alias("vec_id"),
+            F.col("ia.embedding").alias("embedding"),
+            F.pmod(F.xxhash64("ia.vec_id"), F.lit(nb)).cast("int").alias("iblk"),
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("qblk"),
+        )
+
+        def score_pair(qs, idx_pdf):
+            import numpy as np
+            import pandas as pd
+
+            if qs.empty or idx_pdf.empty:
+                return pd.DataFrame(
+                    {"vec_a": [], "vec_b": [], "cluster": [], "cos": []}
+                ).astype(
+                    {
+                        "vec_a": "int64",
+                        "vec_b": "int64",
+                        "cluster": "int64",
+                        "cos": "float64",
+                    }
+                )
+            q_ids = qs["q_id"].to_numpy(dtype="int64")
+            m_ids = idx_pdf["vec_id"].to_numpy(dtype="int64")
+            q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+            m = np.stack(idx_pdf["embedding"].to_numpy()).astype(np.float64)
+            s = (q @ m.T) / (
+                np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :]
+            )
+            keep = (s >= _SEMDEDUP_T) & (q_ids[:, None] < m_ids[None, :])
+            rows, cols = np.nonzero(keep)
+            return pd.DataFrame(
+                {
+                    "vec_a": q_ids[rows],
+                    "vec_b": m_ids[cols],
+                    "cluster": np.full(len(rows), int(qs["cluster"].iloc[0])),
+                    "cos": s[rows, cols],
+                }
+            )
+
         return (
-            a.join(b, "cluster")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", "cluster", cos.alias("cos"))
-            .filter(F.col("cos") >= _SEMDEDUP_T)
+            qry.groupBy("cluster", "qblk", "iblk")
+            .cogroup(idx.groupBy("cluster", "qblk", "iblk"))
+            .applyInPandas(
+                score_pair, schema="vec_a long, vec_b long, cluster long, cos double"
+            )
         )
 
     return _tier_cached("semdedup_pairs", spark, sf_dir, build)
