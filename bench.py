@@ -106,7 +106,8 @@ def main() -> None:
             "q_dedup_embedding",  # blocked-index mapInPandas scan
             "q_sim_ann_lsh",
             "q_sim_ivf_topk",  # quantizer + cogroup scoring plans
-            "q_dedup_semdedup",  # 64-wide integer-dot fold trees
+            "q_dedup_semdedup",  # blocked within-cluster BLAS cogroup
+            "q_dedup_semdedup_incremental",  # 64-wide cosine fold join
             "q_sketch_cms",  # 4x256 counter expression tree
             # round-5 continuation queries with their own heavy codegen
             "q_agg_weighted_median",  # bin windows + refine join

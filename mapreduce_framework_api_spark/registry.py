@@ -77,7 +77,9 @@ _LOADED = False
 # tier: corpus self-join + the persisted-index ingest shape),
 # q_text_zipf (corpus power-law fit), q_dedup_semdedup +
 # q_dedup_semdedup_recall (embedding-cluster semantic dedup over the
-# shared IVF quantizer, with its quantizer-loss recall evaluation);
+# shared IVF quantizer, with its quantizer-loss recall evaluation),
+# q_dedup_semdedup_incremental (the embedding-modality ingest lane:
+# arriving vectors probed against the persisted cluster index);
 # (2) the queries whose CODE or ORACLE changed this round:
 # q_agg_stats (degenerate-group test now evaluated on the same
 # double-cast sums on both engines — the round-6 ADVICE divergence),
@@ -112,6 +114,7 @@ _WINDOW: tuple[str, ...] = (
     "q_text_zipf",
     "q_dedup_semdedup",
     "q_dedup_semdedup_recall",
+    "q_dedup_semdedup_incremental",
     # (2) code/oracle changed this round
     "q_agg_stats",
     "q_dim_scd2",
@@ -156,14 +159,14 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_split_assign",
     "q_text_repetition",
     "q_text_surprisal",
-    # (3b) stalest-r4 rotation, one slot per family (q_sketch_hll and
-    # q_stream_session yielded their slots to the two late-round-7
-    # SemDeDup queries — both r4-green on unchanged code, they rotate
-    # next round with the other r4 receipts)
+    # (3b) stalest-r4 rotation, one slot per family (q_sketch_hll,
+    # q_stream_session and q_events_retention yielded their slots to
+    # the three late-round-7 SemDeDup queries — all r4-green on
+    # unchanged code, they rotate next round with the other r4
+    # receipts)
     "q_win_topk_group",
     "q_win_range_frame",
     "q_events_funnel",
-    "q_events_retention",
 )
 
 

@@ -717,3 +717,55 @@ def prefix_dedup_stream(
 
     bk, lookup = prefix_corpus_index(spark, sf_dir)
     return prefix_check(docs_stream.filter(inc_is_new()), bk, lookup)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet — the arriving-vector
+    side of the SemDeDup ingest. Same staging discipline as
+    read_documents_stream; embeddings carry no event-time column, so no
+    ts normalization is needed."""
+    src = f"{sf_dir}/embeddings.parquet"
+    if os.path.isfile(src):
+        src = _stage_single_file(src, "embeddings_stream")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+
+def semdedup_ingest_stream(
+    spark: SparkSession, vec_stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of q_dedup_semdedup_incremental: arriving vectors
+    (the deterministic 1/8 ingest split) are semantically
+    near-dup-flagged against the PERSISTED cluster index — the assigned
+    + normed corpus table and its frozen-corpus quantizer, built ONCE in
+    batch (semdedup_corpus_index's localCheckpoint stands in for the
+    written index) and probed by every micro-batch through the SAME
+    semdedup_check transformation the batch query uses: one semantics,
+    two runtimes — the embedding modality of the ingest family next to
+    the MinHash and prefix lanes.
+
+    Statelessness is the design point: cluster assignment is a MAP
+    against the closure-captured quantizer (_sem_assign — a streaming
+    groupBy-argmax would need a state store; a map never does), the
+    probe is a stream-static equi-join on cluster id, and the cosine is
+    a per-row fold — so the stream needs NO watermark and NO state
+    store, and per-micro-batch cost follows arrival rate × cluster
+    occupancy, never corpus size or stream lifetime. The
+    (new_id, corpus_id) pair key is unique by construction (one index
+    row per corpus vector), so append mode needs no sink-side dedup."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        sem_is_new,
+        semdedup_check,
+        semdedup_corpus_index,
+    )
+
+    index, cent = semdedup_corpus_index(spark, sf_dir)
+    return semdedup_check(vec_stream.filter(sem_is_new()), index, cent)

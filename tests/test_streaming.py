@@ -405,3 +405,33 @@ def test_prefix_dedup_stream_equals_batch_twin(spark):
     ]
     assert sorted(got) == sorted(batch)
     assert len(got) == len(set(got))  # pair key unique, no dedup required
+
+
+def test_semdedup_ingest_stream_equals_batch_twin(spark):
+    """Stateless streaming SemDeDup ingest == the batch
+    q_dedup_semdedup_incremental on drain. The (new_id, corpus_id) pair
+    key is unique by construction (one cluster-index row per corpus
+    vector), so the comparison is on raw appended rows — no sink-side
+    dedup needed."""
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        read_embeddings_stream,
+        semdedup_ingest_stream,
+    )
+
+    stream = semdedup_ingest_stream(
+        spark, read_embeddings_stream(spark, SF_DIR), SF_DIR
+    )
+    run_to_memory(stream, "t_semdedup_ingest", output_mode="append")
+    got = [
+        (r["new_id"], r["corpus_id"], r["cluster"], r["cosine"])
+        for r in spark.table("t_semdedup_ingest").collect()
+    ]
+    batch = [
+        (r["new_id"], r["corpus_id"], r["cluster"], r["cosine"])
+        for r in load_all_queries()["q_dedup_semdedup_incremental"]
+        .fn(spark, SF_DIR)
+        .collect()
+    ]
+    assert sorted(got) == sorted(batch)
+    assert len(got) == len(set(got))  # pair key unique, no dedup required
+    assert len(got) > 0

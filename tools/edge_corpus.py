@@ -151,6 +151,7 @@ EMB_QUERIES = [
     # skewed-norm rows stress the within-cluster cosine against the
     # integer-exact assignment boundary.
     "q_dedup_semdedup", "q_dedup_semdedup_recall",
+    "q_dedup_semdedup_incremental",
 ]
 
 
