@@ -201,7 +201,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled vertex-keyed edge join (the pre-round-6 shape, kept in git
     history), which is the same semantics with exchanges instead of
     broadcasts."""
-    adj = _copurchase_adj(spark, sf_dir)
+    # Isolated vertices (a part appearing only in single-distinct-part
+    # orders has an empty co-purchase neighborhood) are NOT part of the
+    # graph: the oracle's deg CTE groups the edge list, so such nodes
+    # never get a degree row or a seed score there — and an unfiltered
+    # deg=0 row here is a division by zero under ANSI. Found by the
+    # adversarial relational battery (the driver fixtures have no
+    # single-part-only parts).
+    adj = _copurchase_adj(spark, sf_dir).filter(F.size("nbrs") > 0)
     deg = adj.select("node", F.size("nbrs").alias("deg"))
     scores = adj.select("node", F.lit(1_000_000).cast("long").alias("s_ppm"))
     for _ in range(_PR_ITERS):
