@@ -50,6 +50,7 @@ SCRATCH = os.path.join(ROOT, ".scratch")
 SF1 = os.path.join(SCRATCH, "sf1")
 EVENTS_DIR = os.path.join(SCRATCH, "soak_events")
 DOCS_DIR = os.path.join(SCRATCH, "soak_docs")
+VECS_DIR = os.path.join(SCRATCH, "soak_vecs")
 RECEIPT = os.path.join(SCRATCH, "soak_receipt.json")
 REPLICAS = 10
 EVENT_FILES = 20
@@ -112,6 +113,29 @@ def build_docs() -> None:
         )
 
 
+def build_vecs() -> None:
+    """sf1 embeddings split by replica into 10 arrival chunks (the
+    SemDeDup ingest lane's arrival stream)."""
+    import duckdb
+
+    from tools.scale_receipt import build_sf1
+
+    if not os.path.isdir(SF1):
+        build_sf1()
+    if os.path.isdir(VECS_DIR):
+        shutil.rmtree(VECS_DIR)
+    os.makedirs(VECS_DIR)
+    con = duckdb.connect()
+    for r in range(REPLICAS):
+        lo, hi = r * 1_000_000, (r + 1) * 1_000_000
+        con.execute(
+            f"COPY (SELECT vec_id, embedding, label "
+            f"FROM read_parquet('{SF1}/embeddings.parquet') "
+            f"WHERE vec_id >= {lo} AND vec_id < {hi} ORDER BY vec_id) "
+            f"TO '{VECS_DIR}/part-{r:04d}.parquet' (FORMAT PARQUET)"
+        )
+
+
 def _progress_rows(q) -> list[dict]:
     """Per-batch receipt rows from the query's progress log."""
     rows = []
@@ -163,8 +187,15 @@ def main() -> None:
 
     build_events()
     build_docs()
+    build_vecs()
     spark = get_spark("streaming_soak")
-    receipt: dict = {"built": {"event_files": EVENT_FILES, "doc_files": REPLICAS}}
+    receipt: dict = {
+        "built": {
+            "event_files": EVENT_FILES,
+            "doc_files": REPLICAS,
+            "vec_files": REPLICAS,
+        }
+    }
 
     from pyspark.sql import types as T
 
@@ -283,6 +314,36 @@ def main() -> None:
         "gate_flat": bool(times) and max(times) <= 2.5 * median,
     }
 
+    # Lane 5: stateless SemDeDup ingest (the embedding modality of the
+    # ingest family). Same gates as lanes 3-4: zero state rows, flat
+    # per-batch cost while the cumulative ingested vector volume grows
+    # 10x — assignment is a map against the closure-captured quantizer
+    # and the probe a stream-static equi-join, so nothing accumulates.
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        semdedup_ingest_stream,
+    )
+
+    t0 = time.time()
+    vec_schema = spark.read.parquet(VECS_DIR).schema
+    vecs = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(VECS_DIR)
+    )
+    q = _drain(semdedup_ingest_stream(spark, vecs, SF1), "semdedup", "append")
+    rows = _progress_rows(q)
+    times = [r["batch_ms"] for r in rows[1:] if r["batch_ms"]]
+    times_sorted = sorted(times)
+    median = times_sorted[len(times_sorted) // 2] if times_sorted else 0
+    receipt["semdedup_ingest"] = {
+        "wall_s": round(time.time() - t0, 1),
+        "batches": rows,
+        "state_rows_any": any(r["state_rows"] for r in rows),
+        "batch_ms_median": median,
+        "batch_ms_max": max(times) if times else 0,
+        "gate_flat": bool(times) and max(times) <= 2.5 * median,
+    }
+
     with open(RECEIPT, "w") as f:
         json.dump(receipt, f, indent=1)
     gates = {
@@ -290,6 +351,7 @@ def main() -> None:
         "session_window_evicts": receipt["session_window"]["gate_evicts"],
         "incremental_dedup_flat": receipt["incremental_dedup"]["gate_flat"],
         "prefix_dedup_flat": receipt["prefix_dedup"]["gate_flat"],
+        "semdedup_ingest_flat": receipt["semdedup_ingest"]["gate_flat"],
     }
     print(json.dumps({"receipt": RECEIPT, "gates": gates}))
     spark.stop()
