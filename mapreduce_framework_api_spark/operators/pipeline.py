@@ -1262,3 +1262,68 @@ def q_pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ------------------------------------------- cluster-aware split -----------
+
+
+def _cluster_split_oracle() -> str:
+    """Composed oracle: the recursive-CTE dup-cluster build (dedup.py's
+    proven labels CTEs) LEFT-joined to the corpus so singletons key on
+    their own doc_id, then the standard c/e split thresholds applied to
+    md5 of the CLUSTER key."""
+    from mapreduce_framework_api_spark.operators.dedup import _LABELS_ORACLE_CTES
+
+    return f"""
+WITH RECURSIVE {_LABELS_ORACLE_CTES}, keyed AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_key
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_key,
+       CASE WHEN substr(md5(CAST(cluster_key AS VARCHAR)), 1, 1) < 'c'
+            THEN 'train'
+            WHEN substr(md5(CAST(cluster_key AS VARCHAR)), 1, 1) < 'e'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_pipe_split_by_cluster",
+    group="I",
+    oracle=_cluster_split_oracle(),
+)
+def q_pipe_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: split on the near-dup
+    CLUSTER key instead of the document id, so a whole trigram-Jaccard
+    component lands in exactly one split and no eval document can have a
+    near-copy in the training set — structurally zero leakage, the cure
+    for exactly what q_pipe_split_leakage detects under the naive
+    per-document split (same c/e hash thresholds, different key).
+    Documents in no dup cluster are their own singleton cluster
+    (cluster_key = doc_id), so the assignment covers the full corpus.
+
+    Scale shape: cluster labels are the cached dup-cluster intermediate
+    (one row per dup-involved doc — tiny relative to the corpus) LEFT
+    broadcast-joined onto the corpus ids; the split itself is a
+    row-local hash of the cluster key. No new shuffle beyond the label
+    build the dedup family already shares."""
+    from mapreduce_framework_api_spark.operators.dedup import cluster_labels
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.join(
+        F.broadcast(cluster_labels(spark, sf_dir)), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_key")
+    )
+    h1 = F.substring(_md5_of("cluster_key"), 1, 1)
+    split = (
+        F.when(h1 < "c", F.lit("train"))
+        .when(h1 < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return keyed.select("doc_id", "cluster_key", split.alias("split")).orderBy(
+        "doc_id"
+    )

@@ -79,7 +79,9 @@ _LOADED = False
 # q_dedup_semdedup_recall (embedding-cluster semantic dedup over the
 # shared IVF quantizer, with its quantizer-loss recall evaluation),
 # q_dedup_semdedup_incremental (the embedding-modality ingest lane:
-# arriving vectors probed against the persisted cluster index);
+# arriving vectors probed against the persisted cluster index),
+# q_pipe_split_by_cluster (leakage-safe cluster-keyed split — the cure
+# q_pipe_split_leakage's detector motivates);
 # (2) the queries whose CODE or ORACLE changed this round:
 # q_agg_stats (degenerate-group test now evaluated on the same
 # double-cast sums on both engines — the round-6 ADVICE divergence),
@@ -115,6 +117,7 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_semdedup",
     "q_dedup_semdedup_recall",
     "q_dedup_semdedup_incremental",
+    "q_pipe_split_by_cluster",
     # (2) code/oracle changed this round
     "q_agg_stats",
     "q_dim_scd2",
@@ -159,14 +162,12 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_split_assign",
     "q_text_repetition",
     "q_text_surprisal",
-    # (3b) stalest-r4 rotation, one slot per family (q_sketch_hll,
-    # q_stream_session and q_events_retention yielded their slots to
-    # the three late-round-7 SemDeDup queries — all r4-green on
-    # unchanged code, they rotate next round with the other r4
-    # receipts)
+    # (3b) stalest-r4 rotation (q_sketch_hll, q_stream_session,
+    # q_events_retention and q_events_funnel yielded their slots to the
+    # four late-round-7 queries — all r4-green on unchanged code, they
+    # rotate next round with the other r4 receipts)
     "q_win_topk_group",
     "q_win_range_frame",
-    "q_events_funnel",
 )
 
 

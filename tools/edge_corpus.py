@@ -249,6 +249,7 @@ DOC_QUERIES = [
     "q_pipe_shuffle_order", "q_pipe_token_budget", "q_pipe_filter_cascade",
     "q_pipe_end_to_end", "q_pipe_dataset_card", "q_pipe_interleave",
     "q_pipe_quantile_norm", "q_pipe_split_leakage", "q_pipe_pii_scrub",
+    "q_pipe_split_by_cluster",
     "q_pipe_snapshot_diff", "q_privacy_kanonymity",
     "q_multimodal_stats", "q_multimodal_meta", "q_multimodal_audio_stats",
     "q_multimodal_audio_real", "q_multimodal_image_real",
