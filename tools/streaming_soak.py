@@ -2,7 +2,9 @@
 bench scale through a REAL multi-micro-batch sequence and record the
 state-store trajectory per batch.
 
-Three lanes, three distinct bounded-state contracts:
+Five lanes, three distinct bounded-state contracts (lanes 4 and 5 repeat
+lane 3's stateless contract for the prefix and SemDeDup ingest
+modalities):
 
 1. ``sessionize_state`` (applyInPandasWithState, O(1)-state-per-user
    sessionizer) over 1M events / 10x the bench timeline with the SAME
@@ -26,8 +28,9 @@ the sf0.1 events replicated 10x with replica r time-shifted by r*31 days
 (same user_ids — key cardinality fixed while volume and timeline grow
 10x), written as 20 chronological parquet files so maxFilesPerTrigger=1
 yields 20 in-event-time-order micro-batches (watermarks advance, state
-can retire). Documents are the scale_receipt sf1 corpus (replica 0 exact,
-1-9 perturbed) split round-robin-by-replica into 10 arrival files.
+can retire). Documents and embeddings are the scale_receipt sf1 corpus
+(replica 0 exact, 1-9 perturbed), each split by replica into 10 arrival
+files.
 
 Usage: python tools/streaming_soak.py
 Writes .scratch/soak_receipt.json and prints a gate summary; the receipt
