@@ -72,3 +72,40 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_session_caches() -> None:
+    """Drop every per-(application, sf_dir, fingerprint) materialized-
+    artifact cache (the localCheckpoint'd shared tables: minhash
+    signatures/candidates, SimHash and Jaccard pairs, cluster labels,
+    the incremental and SemDeDup corpus indexes, corpus wordcount, BPE
+    trainer runs, graph adjacency, similarity tier outputs).
+
+    Callers: tests that need a query to genuinely RE-EXECUTE inside one
+    application — e.g. the partitioning-invariance suite, which re-runs
+    a query under a different ``spark.sql.shuffle.partitions`` and must
+    not be served the first run's checkpointed artifact — and any
+    harness that changes runtime confs affecting physical plans.
+    Checkpointed blocks are released by the JVM ContextCleaner once the
+    dropped DataFrames are garbage-collected."""
+    from mapreduce_framework_api_spark.operators import (
+        dedup,
+        graph,
+        similarity,
+        text,
+    )
+
+    for d in (
+        dedup._MINHASH_SIG_CACHE,
+        dedup._MINHASH_CAND_CACHE,
+        dedup._SIMHASH_PAIR_CACHE,
+        dedup._JACCARD_PAIR_CACHE,
+        dedup._CLUSTER_LABEL_CACHE,
+        dedup._INC_INDEX_CACHE,
+        text._WORDCOUNT_CACHE,
+        text._BPE_RUN_CACHE,
+        graph._ADJ_CACHE,
+        similarity._TIER_OUT_CACHE,
+        similarity._SEM_INDEX_CACHE,
+    ):
+        d.clear()
