@@ -8,7 +8,10 @@ order-sensitive FP or batch-sensitive kernel work leaking into declared
 output. tests/test_partition_invariance.py pins an 18-query sample in
 the suite; this tool is the exhaustive one-off receipt.
 
-Usage: python tools/invariance_sweep.py [sf_dir]
+Usage: python tools/invariance_sweep.py [sf_dir] [axis]
+  axis = "shuffle" (default: 32 vs 5 shuffle partitions) or "aqe"
+  (adaptive execution on vs off — different physical strategies, same
+  rows).
 """
 
 from __future__ import annotations
@@ -27,27 +30,35 @@ def canon(df):
     return sorted(tuple(str(x) for x in row) for row in df.collect())
 
 
+AXES = {
+    "shuffle": ("spark.sql.shuffle.partitions", "32", "5"),
+    "aqe": ("spark.sql.adaptive.enabled", "true", "false"),
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    axis = sys.argv[2] if len(sys.argv) > 2 else "shuffle"
+    conf_key, va, vb = AXES[axis]
     registry = load_all_queries()
     spark = get_spark("invariance-sweep")
-    base = spark.conf.get("spark.sql.shuffle.partitions")
+    base = spark.conf.get(conf_key)
     bad, err = [], []
     t0 = time.time()
     for name, q in sorted(registry.items()):
         try:
             clear_session_caches()
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set(conf_key, va)
             a = canon(q.fn(spark, sf_dir))
             clear_session_caches()
-            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            spark.conf.set(conf_key, vb)
             b = canon(q.fn(spark, sf_dir))
         except Exception as exc:
             err.append((name, f"{type(exc).__name__}: {exc}"[:200]))
             print(f"ERR   {name}: {err[-1][1]}", flush=True)
             continue
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", base)
+            spark.conf.set(conf_key, base)
         if a != b:
             bad.append(name)
             print(f"DIVERGED {name}: {len(a)} vs {len(b)} rows", flush=True)
