@@ -54,6 +54,57 @@ def compact_summary(summary: dict, budget: int = 1800) -> dict:
     return compact
 
 
+def isolate(names: list[str]) -> None:
+    """Calm-box adjudication mode: ``bench.py --isolate q1,q2,...`` times
+    each named query best-of-3 in a FRESH session (flagship + Arrow-kernel
+    warmup, session caches cleared between repeats so every run genuinely
+    re-executes) and prints one JSON line. This is the protocol both the
+    round-6/7 BASELINE.md probes and the round-7 judge used by hand to
+    separate burstable-VM throttling from plan regressions — a >2x
+    in-bench cell that reads at its baseline here is environment, not
+    code; a cell that does NOT clear earns a plan diff."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    registry = load_all_queries()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
+    from mapreduce_framework_api_spark.session import clear_session_caches
+
+    spark = get_spark("bench-isolate")
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    flagship_sf = warm_sf if os.path.isdir(warm_sf) else sf_dir
+    try:
+        registry["q_text_wordcount"].fn(spark, flagship_sf).count()
+    except Exception as exc:  # warmup failures cost their own row only
+        print(f"# warmup: {type(exc).__name__}: {exc}", file=sys.stderr)
+    spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
+    out: dict[str, float] = {}
+    for name in names:
+        runs = []
+        for _ in range(3):
+            clear_session_caches()
+            t0 = time.perf_counter()
+            try:
+                registry[name].fn(spark, sf_dir).count()
+            except Exception as exc:
+                print(f"# {name}: ERR {type(exc).__name__}: {exc}", file=sys.stderr)
+                runs = []
+                break
+            runs.append(time.perf_counter() - t0)
+        if runs:
+            out[name] = round(min(runs), 3)
+            print(f"# {name}: best-of-3 {out[name]:.2f}s (all: "
+                  f"{[round(r, 2) for r in runs]})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "isolated_best_of_3_sec",
+        "queries": out,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -175,4 +226,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--isolate":
+        if len(sys.argv) != 3:
+            print("usage: bench.py --isolate q1,q2,...", file=sys.stderr)
+            sys.exit(2)
+        isolate([n.strip() for n in sys.argv[2].split(",") if n.strip()])
+    else:
+        main()

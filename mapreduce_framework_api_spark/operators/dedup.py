@@ -1782,41 +1782,44 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL texts drop; equal-length (identical) texts are q_dedup_exact's
     tier, excluded here by the strict n < m.
 
-    Plan shape: one projected scan builds (doc_id, n, head-block), the
-    self-equi-join keys on xxhash64(block) — an 8-byte shuffle key in
-    place of a 40-char string, same trade as the jaccard tier's hashed
-    shingles — and the full-prefix verification (substring compare) runs
-    codegen'd on the joined rows, which filters hash collisions as a
-    side effect. Candidate fan-out is bounded by shared-head cardinality
-    squared, never corpus-quadratic; a boilerplate-head-heavy corpus
-    widens blocks, and the documented fallback is a longer block prefix
-    (the cap/overflow-audit discipline of the minhash tier applies the
-    same way)."""
+    Plan shape (the same thin-index/fetch split as the ingest lane's
+    prefix_corpus_index/prefix_check): the self-join runs over a THIN
+    frame of three longs per doc — (doc_id, n, bh = xxhash64 of the
+    40-char head) — so the bh-keyed exchange never carries a document
+    body; the strict n < m cut prunes candidates before any text moves.
+    Bodies are then fetched for the surviving candidate pairs only, by
+    doc_id equi-join against the corpus (at scale the candidate frame
+    is the small side and broadcasts, so bodies stay partition-local
+    map-side), and the full-prefix verification (substring compare)
+    runs codegen'd on the fetched rows, which filters xxhash64
+    collisions as a side effect. Candidate fan-out is bounded by
+    shared-head cardinality squared, never corpus-quadratic; a
+    boilerplate-head-heavy corpus widens blocks, and the documented
+    fallback is a longer block prefix (the cap/overflow-audit
+    discipline of the minhash tier applies the same way).
+    tests/test_plan_quality.py::test_prefix_self_join_is_bodiless
+    asserts no string column crosses the bh exchange."""
     docs = table(spark, sf_dir, "documents")
-    d = (
-        docs.filter(F.col("text").isNotNull() & (F.length("text") >= _PREFIX_BLOCK))
-        .select(
-            "doc_id",
-            "text",
-            F.length("text").alias("n"),
-            F.xxhash64(F.substring("text", 1, _PREFIX_BLOCK)).alias("bh"),
-        )
+    d = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= _PREFIX_BLOCK)
+    ).select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.xxhash64(F.substring("text", 1, _PREFIX_BLOCK)).alias("bh"),
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_trunc"),
-        F.col("text").alias("ta"),
-        F.col("n").alias("na"),
-        "bh",
+    thin = d.select("doc_id", "n", "bh")  # three longs per doc
+    a = thin.select(F.col("doc_id").alias("doc_trunc"), F.col("n").alias("na"), "bh")
+    b = thin.select(F.col("doc_id").alias("doc_full"), F.col("n").alias("nb"), "bh")
+    cand = a.join(b, "bh").filter(F.col("na") < F.col("nb")).select(
+        "doc_trunc", "doc_full", "na", "nb"
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_full"),
-        F.col("text").alias("tb"),
-        F.col("n").alias("nb"),
-        "bh",
-    )
+    ta = d.select(F.col("doc_id").alias("doc_trunc"), F.col("text").alias("ta"))
+    tb = d.select(F.col("doc_id").alias("doc_full"), F.col("text").alias("tb"))
     return (
-        a.join(b, "bh")
-        .filter((F.col("na") < F.col("nb")) & (F.expr("substring(tb, 1, na)") == F.col("ta")))
+        cand.join(ta, "doc_trunc")
+        .join(tb, "doc_full")
+        .filter(F.expr("substring(tb, 1, na)") == F.col("ta"))
         .select(
             "doc_trunc",
             "doc_full",
@@ -1825,6 +1828,9 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_trunc", "doc_full")
     )
+
+
+_PREFIX_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def prefix_corpus_index(
@@ -1839,7 +1845,15 @@ def prefix_corpus_index(
     responsibilities is the scale point: the persisted probe index
     carries no text at all; document bodies are fetched by equi-join on
     corpus_id only for head-block-colliding candidates, exactly like a
-    production point lookup against the corpus table."""
+    production point lookup against the corpus table. Cached per
+    (application, sf_dir, fixture fingerprint) like its minhash and
+    SemDeDup twins, so "built ONCE, probed by every batch" holds across
+    repeated callers (and stream setups) in one application instead of
+    leaking a fresh checkpoint per call."""
+    key = session_cache_key(spark, sf_dir, "documents")
+    cached = _PREFIX_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
     corpus = parallelized(table(spark, sf_dir, "documents")).filter(
         ~inc_is_new() & F.col("text").isNotNull() & (F.length("text") >= _PREFIX_BLOCK)
     )
@@ -1851,6 +1865,7 @@ def prefix_corpus_index(
     lookup = corpus.select(
         F.col("doc_id").alias("corpus_id"), F.col("text").alias("corpus_text")
     )
+    _PREFIX_INDEX_CACHE[key] = (head_idx, lookup)
     return head_idx, lookup
 
 

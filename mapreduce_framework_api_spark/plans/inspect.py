@@ -88,6 +88,27 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", final)))
 
 
+def exchange_inputs(df: DataFrame) -> list[tuple[str, str]]:
+    """(partitioning-arguments, input-column-list) per Exchange node in the
+    formatted plan — what each shuffle actually KEYS ON and CARRIES. The
+    scale review this enables: a shuffle whose input list includes a wide
+    string column (a document body) moves that payload through the
+    full-cluster exchange; thin-index designs must show only fixed-width
+    columns here."""
+    plan = formatted_plan(df)
+    out: list[tuple[str, str]] = []
+    # Formatted nodes read e.g.:
+    #   (4) Exchange
+    #   Input [3]: [doc_id#1L, n#5, bh#7L]
+    #   Arguments: hashpartitioning(bh#7L, 32), ENSURE_REQUIREMENTS, ...
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)",
+        plan,
+    ):
+        out.append((m.group(2).strip(), m.group(1).strip()))
+    return out
+
+
 def scans_python_udf(df: DataFrame) -> bool:
     """True if the plan contains a row-at-a-time Python UDF eval (the slow
     path; Arrow-batched mapInPandas shows as MapInPandas/ArrowEvalPython)."""

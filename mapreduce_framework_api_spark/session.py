@@ -102,6 +102,7 @@ def clear_session_caches() -> None:
         dedup._JACCARD_PAIR_CACHE,
         dedup._CLUSTER_LABEL_CACHE,
         dedup._INC_INDEX_CACHE,
+        dedup._PREFIX_INDEX_CACHE,
         text._WORDCOUNT_CACHE,
         text._BPE_RUN_CACHE,
         graph._ADJ_CACHE,

@@ -6,4 +6,4 @@ from mapreduce_framework_api_spark.sources.readers import (
     table,
 )
 
-__all__ = ["table", "TABLES", "parallelized"]
+__all__ = ["table", "TABLES", "parallelized", "session_cache_key", "fixture_fingerprint"]

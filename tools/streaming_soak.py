@@ -227,7 +227,7 @@ def main() -> None:
     q = _drain(sessionize_state(events_stream()), "sessionize", "append")
     rows = _progress_rows(q)
     users = 1500
-    peak = max(r["state_rows"] for r in rows if r["state_rows"] is not None)
+    peak = max((r["state_rows"] for r in rows if r["state_rows"] is not None), default=0)
     tail = [r for r in rows if r["state_rows"] is not None][len(rows) // 2 :]
     receipt["sessionize"] = {
         "wall_s": round(time.time() - t0, 1),
@@ -235,7 +235,9 @@ def main() -> None:
         "distinct_users": users,
         "peak_state_rows": peak,
         "tail_state_rows": sorted({r["state_rows"] for r in tail}),
-        "gate_plateau": peak <= users and all(r["state_rows"] == peak for r in tail),
+        "gate_plateau": 0 < peak <= users
+        and bool(tail)
+        and all(r["state_rows"] == peak for r in tail),
     }
 
     # Lane 2: watermarked session_window aggregate. Gate: the store evicts
@@ -244,10 +246,9 @@ def main() -> None:
     t0 = time.time()
     q = _drain(session_aggregates(events_stream()), "sessionagg", "append")
     rows = _progress_rows(q)
-    import glob
 
     emitted = spark.read.parquet(os.path.join(SCRATCH, "soak_sink_sessionagg")).count()
-    peak = max(r["state_rows"] for r in rows if r["state_rows"] is not None)
+    peak = max((r["state_rows"] for r in rows if r["state_rows"] is not None), default=0)
     removed = sum(r["rows_removed"] or 0 for r in rows)
     receipt["session_window"] = {
         "wall_s": round(time.time() - t0, 1),
