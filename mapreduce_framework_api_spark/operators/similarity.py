@@ -2367,7 +2367,17 @@ def semdedup_check(new_vecs: DataFrame, corpus_index: DataFrame, cent_np) -> Dat
     unique by construction (one index row per corpus vector), so append
     mode needs no sink-side dedup. Per-batch cost is |batch| ×
     cluster occupancy — arrival-rate-proportional, independent of
-    stream lifetime."""
+    stream lifetime.
+
+    Dirty-row contract (owned HERE, like incremental_check owns the
+    null-text filter, so the batch query and the streaming twin can
+    never diverge on it): arrivals with a NULL embedding, an empty or
+    wrong-dimension vector (np.stack in the assignment kernel would
+    crash on ragged input), or a zero norm (cosine undefined; and
+    Spark's NaN ordering treats NaN >= T as TRUE, so an unguarded 0/0
+    would silently EMIT the row that DuckDB drops) are dropped before
+    assignment. tests/test_streaming_edge.py drives all four classes
+    through both runtimes."""
     if cent_np is None:
         # Empty frozen corpus: no quantizer, nothing to collide with.
         # Expressed as a filter-false over the input so the same guard
@@ -2378,12 +2388,21 @@ def semdedup_check(new_vecs: DataFrame, corpus_index: DataFrame, cent_np) -> Dat
             F.lit(0).cast("long").alias("cluster"),
             F.lit(0.0).alias("cosine"),
         ).filter(F.lit(False))
-    a = _sem_assign(new_vecs.select("vec_id", "embedding"), cent_np)
+    d = int(cent_np.shape[1])
+    clean = new_vecs.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == d)
+    )
+    a = _sem_assign(clean, cent_np)
     va = F.transform("embedding", lambda x: x.cast("double"))
-    probe = a.select(
-        F.col("vec_id").alias("new_id"), "cluster", va.alias("va")
-    ).select(
-        "new_id", "cluster", "va", F.sqrt(_dot(F.col("va"), F.col("va"))).alias("na")
+    probe = (
+        a.select(F.col("vec_id").alias("new_id"), "cluster", va.alias("va"))
+        .select(
+            "new_id",
+            "cluster",
+            "va",
+            F.sqrt(_dot(F.col("va"), F.col("va"))).alias("na"),
+        )
+        .filter(F.col("na") > 0)
     )
     j = probe.join(corpus_index, "cluster")
     cos = _dot(F.col("va"), F.col("vc")) / (F.col("na") * F.col("nc"))

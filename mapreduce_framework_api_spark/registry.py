@@ -70,104 +70,88 @@ _LOADED = False
 # bound against the committed CORRECTNESS_r*.json receipts, so a window
 # that strands a query past the bound fails CI, not the judge.
 #
-# Round-7 window, by the standing policy:
-# (1) queries NEW this round: q_multimodal_image_real (the
-# real-PNG-codec lane, closing the fake/real codec symmetry),
-# q_dedup_prefix + q_dedup_prefix_incremental (truncation-duplicate
-# tier: corpus self-join + the persisted-index ingest shape),
-# q_text_zipf (corpus power-law fit), q_dedup_semdedup +
-# q_dedup_semdedup_recall (embedding-cluster semantic dedup over the
-# shared IVF quantizer, with its quantizer-loss recall evaluation),
-# q_dedup_semdedup_incremental (the embedding-modality ingest lane:
-# arriving vectors probed against the persisted cluster index),
-# q_pipe_split_by_cluster (leakage-safe cluster-keyed split — the cure
-# q_pipe_split_leakage's detector motivates);
-# (2) the queries whose CODE or ORACLE changed this round:
-# q_agg_stats (degenerate-group test now evaluated on the same
-# double-cast sums on both engines — the round-6 ADVICE divergence),
-# q_dim_scd2 / q_join_temporal (NULL-state IS-DISTINCT-FROM run
-# encoding, found by the new streaming edge battery),
-# q_dedup_incremental (incremental_check now owns the null-text
-# filter) and q_dedup_minhash (shared _minhash_sig_udf null-fallback
-# fix; the other minhash-tier queries share the kernel but filter
-# upstream — all r5/r6-green, covered by the 159-ok local sweep),
-# q_multimodal_stats / q_multimodal_meta (NULL-n_chars percentile
-# contract + encode() oracle — both ALSO r3-stale),
-# q_multimodal_audio_real (NULL-n_chars synth guard + COALESCE),
-# the graph trio (shared materialized pair build + array-side BFS
-# edge build). q_text_bpe_merges/encode changed only their trainer
-# cache KEY (fixture fingerprint) — no plan or value change, both
-# r6-green, so they yield their slots to staleness rotation.
-# (3) staleness retirement — the round-6 verdict's headline demand:
-# ALL remaining r2/r3-era greens (29 queries: the r2 pair
-# fingerprint/tokens, the full q_join_* simple/star/skew block, the
-# five q_fn_* scalars, filter_pred, percentile, dedup_clusters/report,
-# six q_pipe_* row-local pipelines, text_repetition/surprisal), which
-# brings max staleness board-wide to <= 2 rounds after this round;
-# the final 6 slots rotate the stalest r4 greens, one per family
-# (windows x2, events x2, sketch hll, stream_session); r4-receipted
-# q_sketch_bloom/q_sketch_cms/q_text_tfidf yielded their slots to the
-# three new round-7 queries and rotate next round.
+# Round-8 window, by the standing policy:
+# (1) queries NEW this round: q_dedup_semdedup_recall_planted (the
+# planted-locality SemDeDup receipt — recall at the paper's operating
+# point, next to the honest isotropic number).
+# (2) queries whose CODE or ORACLE changed this round:
+# q_dedup_prefix (the batch tier's self-join de-bodied to the
+# thin-index/fetch shape — the round-7 judge's scale-killer finding),
+# q_dedup_prefix_incremental (prefix_corpus_index now session-cached),
+# q_dedup_semdedup + q_dedup_semdedup_recall (pair pipeline refactored
+# into the shared _semdedup_pairs_build / _pair_recall_frame so the
+# planted receipt can reuse it verbatim; q_sim_ivf_topk's oracle string
+# and engine path are byte-identical post-refactor, and
+# q_dedup_semdedup_incremental's semdedup_check lane is untouched — both
+# r7-green, they yield their slots).
+# (3) staleness retirement — ALL 42 r4-era receipts (the exact list
+# tests/test_registry_builds.py::test_window_policy printed at the
+# round boundary): the Group-H q_stream_* four, q_events_funnel/
+# retention, the q_agg_basic/cube/distinct/grouping_sets/mode/pivot/
+# rollup/skew_salted block, q_dedup_exact/latest, q_fn_json,
+# q_join_full_outer/interval_overlap, q_limit_offset, q_pipe_mixture,
+# q_scan_project, q_set_ops, q_sketch_bloom/cms/hll, q_sort_multi,
+# q_subquery_* three, q_text_langid/ngrams/quality/tfidf/
+# wordcount(+_rdd), five q_win_*, q_filter... (see tuple). The final
+# 3 slots rotate the stalest r5 receipts, one per family (robust
+# stats, events, warehouse); the remaining 29 r5 receipts rotate in
+# round 9 (within the <=3-round staleness bound the policy test
+# enforces).
 _WINDOW: tuple[str, ...] = (
     # (1) new this round
-    "q_multimodal_image_real",
+    "q_dedup_semdedup_recall_planted",
+    # (2) code/oracle changed this round
     "q_dedup_prefix",
     "q_dedup_prefix_incremental",
-    "q_text_zipf",
     "q_dedup_semdedup",
     "q_dedup_semdedup_recall",
-    "q_dedup_semdedup_incremental",
-    "q_pipe_split_by_cluster",
-    # (2) code/oracle changed this round
-    "q_agg_stats",
-    "q_dim_scd2",
-    "q_join_temporal",
-    "q_dedup_incremental",
-    "q_dedup_minhash",
-    "q_multimodal_stats",
-    "q_multimodal_meta",
-    "q_multimodal_audio_real",
-    # triangles first: it absorbs the shared _copurchase_adj build
-    # (cheapest own work of the trio), so pagerank rides the cache
-    "q_graph_triangles",
-    "q_graph_pagerank",
-    "q_graph_bfs",
-    # (3) staleness retirement: every remaining r2/r3-era receipt
-    "q_text_fingerprint",
-    "q_text_tokens",
-    "q_agg_percentile",
-    "q_dedup_clusters",
-    "q_dedup_report",
-    "q_filter_pred",
-    "q_fn_array",
-    "q_fn_conditional",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_string",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multi",
-    "q_join_range_binned",
-    "q_join_semi",
-    "q_join_skew_salted",
-    "q_join_star",
-    "q_join_theta_range",
-    "q_pipe_keep_first",
-    "q_pipe_length_hist",
-    "q_pipe_pii_scrub",
-    "q_pipe_quota_cap",
-    "q_pipe_sample_hash",
-    "q_pipe_split_assign",
-    "q_text_repetition",
-    "q_text_surprisal",
-    # (3b) stalest-r4 rotation (q_sketch_hll, q_stream_session,
-    # q_events_retention and q_events_funnel yielded their slots to the
-    # four late-round-7 queries — all r4-green on unchanged code, they
-    # rotate next round with the other r4 receipts)
-    "q_win_topk_group",
-    "q_win_range_frame",
+    # (3) staleness retirement: every r4-era receipt
+    "q_agg_basic",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_mode",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_skew_salted",
+    "q_dedup_exact",
+    "q_dedup_latest",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_fn_json",
+    "q_join_full_outer",
+    "q_join_interval_overlap",
+    "q_limit_offset",
+    "q_pipe_mixture",
+    "q_scan_project",
+    "q_set_ops",
+    "q_sketch_bloom",
+    "q_sketch_cms",
+    "q_sketch_hll",
+    "q_sort_multi",
+    "q_stream_attrib",
+    "q_stream_late",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_subquery_corr_agg",
+    "q_subquery_exists",
+    "q_subquery_scalar",
+    "q_text_langid",
+    "q_text_ngrams",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_text_wordcount",
+    "q_text_wordcount_rdd",
+    "q_win_first_last",
+    "q_win_lag_lead",
+    "q_win_ntile_dist",
+    "q_win_rank",
+    "q_win_running",
+    # (3b) stalest-r5 rotation, one per family
+    "q_agg_mad",
+    "q_events_sessionize",
+    "q_merge_upsert",
 )
 
 

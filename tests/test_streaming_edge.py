@@ -255,3 +255,172 @@ def test_edge_incremental_dedup_equals_batch(spark, edge_dir):
         for r in load_all_queries()["q_dedup_incremental"].fn(spark, edge_dir).collect()
     }
     assert got == batch
+
+
+def test_edge_prefix_dedup_equals_batch(spark, edge_dir):
+    """The prefix/truncation ingest on the edge DOCUMENTS — NULL text,
+    empty/whitespace/sub-40-char docs, and the planted 11/12/13 prefix
+    stress (shared 40-char head, one true truncation pair, one head-
+    collision that must die in the full-prefix verification): the
+    stateless stream equals the batch twin pair-for-pair."""
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        prefix_dedup_stream,
+    )
+
+    stream = prefix_dedup_stream(
+        spark, read_documents_stream(spark, edge_dir), edge_dir
+    )
+    run_to_memory(stream, "te_prefix_dedup", output_mode="append")
+    got = sorted(tuple(r) for r in spark.table("te_prefix_dedup").collect())
+    batch = sorted(
+        tuple(r)
+        for r in load_all_queries()["q_dedup_prefix_incremental"]
+        .fn(spark, edge_dir)
+        .collect()
+    )
+    assert got == batch
+
+
+def test_edge_semdedup_ingest_equals_batch(spark, edge_dir):
+    """The SemDeDup ingest on the edge EMBEDDINGS — exact-duplicate
+    vectors under distinct ids (cosine exactly 1.0), nudged near-dups,
+    and the 1e9 norm-ratio pair: the stateless stream equals the batch
+    twin pair-for-pair."""
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        read_embeddings_stream,
+        semdedup_ingest_stream,
+    )
+
+    stream = semdedup_ingest_stream(
+        spark, read_embeddings_stream(spark, edge_dir), edge_dir
+    )
+    run_to_memory(stream, "te_sem_ingest", output_mode="append")
+    got = sorted(tuple(r) for r in spark.table("te_sem_ingest").collect())
+    batch = sorted(
+        tuple(r)
+        for r in load_all_queries()["q_dedup_semdedup_incremental"]
+        .fn(spark, edge_dir)
+        .collect()
+    )
+    assert got == batch
+
+
+def _dirty_vec_frame(spark):
+    """Adversarial arriving vectors for the SemDeDup dirty-row contract:
+    NULL embedding, empty list, wrong dimension, all-zero vector
+    (cos = 0/0 — the Spark NaN >= T trap), duplicate ids, and one clean
+    exact duplicate of corpus vector 0 that MUST still emit."""
+    from pyspark.sql import types as T
+
+    clean_dup = [0.0] * 64
+    clean_dup[0] = 1.0
+    clean_dup[3] = 0.5
+    clean_dup[9] = -0.25
+    rows = [
+        (9000, None, 0),                       # NULL embedding
+        (9001, [], 0),                         # empty vector
+        (9002, [1.0, 2.0], 0),                 # wrong dimension
+        (9003, [0.0] * 64, 0),                 # zero norm
+        (9004, clean_dup, 0),                  # exact dup of corpus vec 0
+        (9004, clean_dup, 0),                  # duplicate id (full dup row)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema), schema
+
+
+def test_edge_semdedup_dirty_arrivals(spark, edge_dir, tmp_path):
+    """semdedup_check owns the dirty-row contract: NULL / empty /
+    wrong-dim / zero-norm arrivals DROP (identically in both runtimes —
+    an unguarded zero norm would emit under Spark's NaN ordering and
+    crash np.stack on NULL), duplicate ids pass through per-row, and the
+    clean exact-dup arrival still matches its corpus twin at cosine 1.0."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        semdedup_check,
+        semdedup_corpus_index,
+    )
+
+    batch_df, schema = _dirty_vec_frame(spark)
+    stage = str(tmp_path / "dirty_vecs")
+    batch_df.write.parquet(stage)
+    index, cent = semdedup_corpus_index(spark, edge_dir)
+    assert cent is not None
+
+    batch = sorted(
+        tuple(r) for r in semdedup_check(batch_df, index, cent).collect()
+    )
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    run_to_memory(
+        semdedup_check(stream_in, index, cent), "te_sem_dirty", output_mode="append"
+    )
+    got = sorted(tuple(r) for r in spark.table("te_sem_dirty").collect())
+    assert got == batch
+    emitted_ids = {r[0] for r in got}
+    assert emitted_ids == {9004}, emitted_ids
+    # duplicate arriving id -> one row PER input row (append semantics)
+    per_pair = [r for r in got if r[0] == 9004 and r[1] == 0]
+    assert len(per_pair) == 2 and all(r[3] == 1.0 for r in per_pair), got
+
+
+def test_edge_prefix_dirty_arrivals(spark, edge_dir, tmp_path):
+    """prefix_check owns the dirty-row contract for the prefix lane:
+    NULL-text and sub-40-char arrivals drop, a true truncation arrival
+    classifies against the frozen corpus, and a same-head divergent
+    arrival dies in the substring verification — stream == batch."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.operators.dedup import (
+        prefix_check,
+        prefix_corpus_index,
+    )
+
+    head = "prefix stress shared head 0123456789 abcd"
+    rows = [
+        (9100, None, "en", "edge", None),            # NULL text
+        (9101, "short doc", "en", "edge", 9),        # sub-40 chars
+        (9102, head, "en", "dup", len(head)),        # truncation of corpus 11/12
+        (9103, head + "Z divergence", "en", "dup", len(head) + 12),  # head collision, fails verify
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    stage = str(tmp_path / "dirty_docs")
+    batch_df.write.parquet(stage)
+    bk, lookup = prefix_corpus_index(spark, edge_dir)
+
+    batch = sorted(tuple(r) for r in prefix_check(batch_df, bk, lookup).collect())
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    run_to_memory(
+        prefix_check(stream_in, bk, lookup), "te_prefix_dirty", output_mode="append"
+    )
+    got = sorted(tuple(r) for r in spark.table("te_prefix_dirty").collect())
+    assert got == batch
+    emitted = {r[0] for r in got}
+    assert 9100 not in emitted and 9101 not in emitted
+    assert 9103 not in emitted, "head collision must die in verification"
+    # 9102 is a strict prefix of whichever of docs 11/12 sit in the FROZEN
+    # corpus split (at least one does only if the md5 split put it there;
+    # assert classification correctness for every emitted row instead of
+    # presence, then pin presence if the corpus side exists)
+    frozen_ids = {r["corpus_id"] for r in bk.select("corpus_id").collect()}
+    if {11, 12} & frozen_ids:
+        assert 9102 in emitted
+        for r in got:
+            if r[0] == 9102:
+                assert r[2] == "truncation", r
