@@ -73,7 +73,9 @@ _LOADED = False
 # Round-8 window, by the standing policy:
 # (1) queries NEW this round: q_dedup_semdedup_recall_planted (the
 # planted-locality SemDeDup receipt — recall at the paper's operating
-# point, next to the honest isotropic number).
+# point, next to the honest isotropic number) and q_dedup_containment
+# (asymmetric |∩|/min partial-inclusion dedup over the shared
+# scored-pair table).
 # (2) queries whose CODE or ORACLE changed this round:
 # q_dedup_prefix (the batch tier's self-join de-bodied to the
 # thin-index/fetch shape — the round-7 judge's scale-killer finding),
@@ -83,7 +85,12 @@ _LOADED = False
 # planted receipt can reuse it verbatim; q_sim_ivf_topk's oracle string
 # and engine path are byte-identical post-refactor, and
 # q_dedup_semdedup_incremental's semdedup_check lane is untouched — both
-# r7-green, they yield their slots).
+# r7-green, they yield their slots), q_dedup_ngram_jaccard (the pair
+# pipeline now caches the UNFILTERED scored_pair_table that feeds both
+# set-similarity tiers; q_dedup_clusters / q_dedup_report /
+# q_dedup_decontaminate consume jaccard_dup_pairs whose output contract
+# is byte-identical — all r6/r7-green and covered by the local 169-ok
+# sweep, they yield their slots).
 # (3) staleness retirement — ALL 42 r4-era receipts (the exact list
 # tests/test_registry_builds.py::test_window_policy printed at the
 # round boundary): the Group-H q_stream_* four, q_events_funnel/
@@ -100,11 +107,13 @@ _LOADED = False
 _WINDOW: tuple[str, ...] = (
     # (1) new this round
     "q_dedup_semdedup_recall_planted",
+    "q_dedup_containment",
     # (2) code/oracle changed this round
     "q_dedup_prefix",
     "q_dedup_prefix_incremental",
     "q_dedup_semdedup",
     "q_dedup_semdedup_recall",
+    "q_dedup_ngram_jaccard",
     # (3) staleness retirement: every r4-era receipt
     "q_agg_basic",
     "q_agg_cube",
@@ -148,10 +157,11 @@ _WINDOW: tuple[str, ...] = (
     "q_win_ntile_dist",
     "q_win_rank",
     "q_win_running",
-    # (3b) stalest-r5 rotation, one per family
+    # (3b) stalest-r5 rotation (q_events_sessionize and q_merge_upsert
+    # yielded their slots to the two late-round-8 dedup-tier entries —
+    # both r5-green on unchanged code, they rotate in round 9 with the
+    # rest of the r5 block)
     "q_agg_mad",
-    "q_events_sessionize",
-    "q_merge_upsert",
 )
 
 
