@@ -1951,13 +1951,17 @@ def test_edge_corpus_zero_token_docs_agree_across_engines():
             "q_dedup_prefix",
             "q_dedup_prefix_incremental",
             "q_text_zipf",
+            # round-8 addition: asymmetric containment over the same
+            # engineered corpus (the 11-in-12 truncation is a containment
+            # pair; zero-token and NULL-text docs stay out of contract)
+            "q_dedup_containment",
         ],
         capture_output=True,
         text=True,
         cwd="/root/repo",
         timeout=400,
     )
-    assert "0 FAIL" in out.stdout and "24 ok" in out.stdout, out.stdout[-2000:]
+    assert "0 FAIL" in out.stdout and "25 ok" in out.stdout, out.stdout[-2000:]
 
 
 def test_prefix_dup_detects_truncation_and_rejects_head_collision(spark):
@@ -2033,3 +2037,26 @@ def test_session_cache_key_tracks_fixture_regeneration(spark, tmp_path):
     n2 = corpus_wordcount(spark, sf).count()
     assert n2 == n1  # same content -> same counts, via a REBUILT artifact
     assert k2 in _WORDCOUNT_CACHE
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """q_dedup_containment on the adversarial corpus: doc 11 is a literal
+    prefix of doc 12, so every trigram of 11 appears in 12 — containment
+    is exactly 1.0 with 11 as the contained (smaller) side; the
+    head-collision doc 13 diverges after the shared 40 chars and must not
+    pair at the 0.8 bar; NULL-text and zero-token docs never appear. The
+    carried jaccard column is <= containment by construction (|∪| >=
+    min), which is the tier's whole reason to exist."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    import tools.edge_corpus as ec
+
+    dst = ec.build()
+    rows = load_all_queries()["q_dedup_containment"].fn(spark, dst).collect()
+    by_pair = {(r["doc_contained"], r["doc_container"]): r for r in rows}
+    assert (11, 12) in by_pair
+    assert by_pair[(11, 12)]["containment"] == 1.0
+    assert all(13 not in p for p in by_pair)
+    assert all(10 not in p for p in by_pair)
+    for r in rows:
+        assert r["jaccard"] <= r["containment"] + 1e-9, r
