@@ -103,3 +103,64 @@ def write_formatted_text(
     if coalesce_to_one:
         out = out.coalesce(1)
     out.write.mode("overwrite").text(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    100 TB lakehouse table needs: streaming ingests and fine-grained
+    partition writes accumulate thousands of KB-sized files, and each one
+    costs a task-schedule + open + footer-parse on every later scan (a
+    10k-file partition can spend more time in scheduling than in IO).
+
+    Rewrites ``path`` in place to ceil(total_bytes / target_bytes) files
+    via a round-robin repartition (no shuffle KEY — repartition(n) is a
+    pure rebalance exchange; row content is unchanged and row order was
+    never part of the files' contract). The write goes to a sibling
+    staging directory first and swaps in atomically-enough for a
+    maintenance window (write-then-rename, the classic non-transactional
+    compactor; a lake-format table would instead commit a replace
+    snapshot through read_lake's formats). Returns
+    {files_before, files_after, bytes_total} for the maintenance log.
+
+    Driver cost: one file listing (the same listing any scan does).
+    Cluster cost: one read + one rebalance exchange + one write — linear,
+    no aggregation state."""
+    import math
+    import os
+    import shutil
+
+    from mapreduce_framework_api_spark.sources.readers import read_any
+
+    def _data_files(p):
+        out = []
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                if not n.startswith(("_", ".")):
+                    out.append(os.path.join(root, n))
+        return out
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = read_any(spark, path, fmt)
+    staging = path.rstrip("/") + "._compact_staging"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(staging)
+    rows_before = df.count()
+    rows_after = read_any(spark, staging, fmt).count()
+    if rows_after != rows_before:  # paranoia gate before the destructive swap
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} -> {rows_after}; aborted"
+        )
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes_total": total,
+    }

@@ -122,3 +122,22 @@ def test_lake_read_path_when_jars_present(spark, tmp_path):
         spark.range(10).withColumn("v", F.col("id") * 2).write.format(fmt).save(p)
         got = read_lake(spark, p, fmt)
         assert got.count() == 10
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Small-file compaction: a deliberately fragmented table (64 files for
+    ~100KB of data) compacts to the size-targeted file count with
+    byte-identical row content; the row-count paranoia gate and the
+    staging-then-swap protect the destructive rewrite."""
+    from mapreduce_framework_api_spark.sources.readers import read_any
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "fragged")
+    src = spark.range(20000).withColumn("v", F.md5(F.col("id").cast("string")))
+    src.repartition(64).write.parquet(p)
+    before = sorted(tuple(r) for r in read_any(spark, p).collect())
+    stats = compact_small_files(spark, p, target_bytes=1 << 20)
+    assert stats["files_before"] == 64
+    assert 1 <= stats["files_after"] <= 4, stats
+    after = sorted(tuple(r) for r in read_any(spark, p).collect())
+    assert after == before
