@@ -110,6 +110,7 @@ def compact_small_files(
     path: str,
     fmt: str = "parquet",
     target_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """Small-file compaction — the table-maintenance pass every long-lived
     100 TB lakehouse table needs: streaming ingests and fine-grained
@@ -126,6 +127,12 @@ def compact_small_files(
     compactor; a lake-format table would instead commit a replace
     snapshot through read_lake's formats). Returns
     {files_before, files_after, bytes_total} for the maintenance log.
+
+    ``partition_cols`` preserves a directory-partitioned layout: the
+    rewrite then targets ceil(bytes/target) files PER PARTITION VALUE
+    (repartition on the partition key + partitionBy at the sink) instead
+    of flattening the directory tree — compacting a dt=.../ partitioned
+    ingest keeps every later scan's partition pruning intact.
 
     Driver cost: one file listing (the same listing any scan does).
     Cluster cost: one read + one rebalance exchange + one write — linear,
@@ -149,7 +156,27 @@ def compact_small_files(
     n_files = max(1, math.ceil(total / target_bytes))
     df = read_any(spark, path, fmt)
     staging = path.rstrip("/") + "._compact_staging"
-    df.repartition(n_files).write.mode("overwrite").format(fmt).save(staging)
+    if partition_cols:
+        # Rebalance rows onto their partition key (plus a within-partition
+        # round-robin split when one value alone exceeds the target), then
+        # let partitionBy lay out the tree. The per-value split count is
+        # sized from the MEAN partition-dir bytes (one listing, no extra
+        # scan); a skewed value compacts to fewer, larger files than ideal
+        # — a maintenance-op estimate, not a contract.
+        n_dirs = max(1, len({os.path.dirname(f) for f in before}))
+        per_dir = max(1, math.ceil(total / n_dirs / target_bytes))
+        split = F.pmod(F.monotonically_increasing_id(), F.lit(per_dir))
+        (
+            df.withColumn("_split", split)
+            .repartition(*[F.col(c) for c in partition_cols], F.col("_split"))
+            .drop("_split")
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(fmt)
+            .save(staging)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").format(fmt).save(staging)
     rows_before = df.count()
     rows_after = read_any(spark, staging, fmt).count()
     if rows_after != rows_before:  # paranoia gate before the destructive swap

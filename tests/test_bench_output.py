@@ -49,3 +49,36 @@ def test_compact_counts_errors():
     s = _fake_summary(3)
     s["errors"] = {"q_broken": "AnalysisException: boom"}
     assert compact_summary(s)["n_errors"] == 1
+
+
+def test_isolate_rejects_unknown_query_before_spark():
+    """bench.py --isolate validates names against the registry and exits 2
+    BEFORE creating a SparkSession — a typo'd adjudication run fails in
+    seconds, not after a JVM launch + warmup."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--isolate", "q_no_such_query"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert out.returncode == 2
+    assert "unknown queries" in out.stderr
+    assert "Spark" not in out.stderr.split("unknown queries")[0]
+
+
+def test_isolate_usage_error():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--isolate"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert out.returncode == 2 and "usage:" in out.stderr

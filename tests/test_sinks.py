@@ -141,3 +141,32 @@ def test_compact_small_files(spark, tmp_path):
     assert 1 <= stats["files_after"] <= 4, stats
     after = sorted(tuple(r) for r in read_any(spark, p).collect())
     assert after == before
+
+
+def test_compact_small_files_preserves_partition_layout(spark, tmp_path):
+    """Partitioned compaction: the rewrite keeps the dt=... directory tree
+    (partition pruning stays intact for every later scan) while collapsing
+    the per-partition file fragmentation."""
+    import glob as _glob
+
+    from mapreduce_framework_api_spark.sources.readers import read_any
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "part_fragged")
+    src = spark.range(9000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("dt"),
+        F.md5(F.col("id").cast("string")).alias("v"),
+    )
+    src.repartition(16).write.partitionBy("dt").parquet(p)
+    before_rows = sorted(tuple(r) for r in read_any(spark, p).collect())
+    n_before = len(_glob.glob(f"{p}/dt=*/part-*"))
+    assert n_before >= 30  # ~16 files x 3 partitions
+    stats = compact_small_files(
+        spark, p, target_bytes=1 << 20, partition_cols=["dt"]
+    )
+    dirs = sorted(os.path.basename(d) for d in _glob.glob(f"{p}/dt=*"))
+    assert dirs == ["dt=0", "dt=1", "dt=2"], dirs
+    assert stats["files_after"] <= 6, stats
+    after_rows = sorted(tuple(r) for r in read_any(spark, p).collect())
+    assert after_rows == before_rows
