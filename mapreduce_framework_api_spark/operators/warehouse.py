@@ -588,3 +588,66 @@ def q_privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+_LDIV_L = 3
+
+
+@register(
+    "q_privacy_ldiversity",
+    group="I",
+    oracle=f"""
+WITH j AS (
+  SELECT c.c_mktsegment, c.c_nationkey, o.o_orderpriority
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive
+  FROM j GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment, c_nationkey, n_rows, n_sensitive,
+       CAST(n_sensitive >= {_LDIV_L} AS BOOLEAN) AS diverse
+FROM g
+ORDER BY c_mktsegment, c_nationkey
+""",
+)
+def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    attribute-disclosure counterpart of q_privacy_kanonymity: a
+    quasi-identifier group can be large enough to pass k-anonymity and
+    STILL leak, if (nearly) every row in it shares the same sensitive
+    value — an attacker who maps a person to the group learns the
+    attribute without re-identifying the row. Here the QI tuple is
+    (market segment, nation) and the sensitive attribute is the order
+    priority of the customer's orders; a group is l-diverse iff it
+    contains >= l = 3 distinct sensitive values. Emits every QI group
+    with its row count, distinct-sensitive count, and verdict — the
+    release gate suppresses or generalizes the non-diverse groups.
+
+    Scale shape: one fact-side scan, the dimension broadcast into the
+    join (customer is QI-bearing and dimension-sized), then ONE hash
+    aggregate keyed by the QI tuple (count + exact count-distinct over
+    a 5-value domain — Spark plans the distinct as a two-level expand
+    aggregate, still bounded by |QI| x |domain| partial rows). No
+    row-level data leaves the scan; output is |QI groups| rows."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        j.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("o_orderpriority").cast("long").alias("n_sensitive"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "n_rows",
+            "n_sensitive",
+            (F.col("n_sensitive") >= _LDIV_L).alias("diverse"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )

@@ -73,9 +73,10 @@ _LOADED = False
 # Round-8 window, by the standing policy:
 # (1) queries NEW this round: q_dedup_semdedup_recall_planted (the
 # planted-locality SemDeDup receipt — recall at the paper's operating
-# point, next to the honest isotropic number) and q_dedup_containment
+# point, next to the honest isotropic number), q_dedup_containment
 # (asymmetric |∩|/min partial-inclusion dedup over the shared
-# scored-pair table).
+# scored-pair table), and q_privacy_ldiversity (the attribute-
+# disclosure audit next to k-anonymity).
 # (2) queries whose CODE or ORACLE changed this round:
 # q_dedup_prefix (the batch tier's self-join de-bodied to the
 # thin-index/fetch shape — the round-7 judge's scale-killer finding),
@@ -108,6 +109,7 @@ _WINDOW: tuple[str, ...] = (
     # (1) new this round
     "q_dedup_semdedup_recall_planted",
     "q_dedup_containment",
+    "q_privacy_ldiversity",
     # (2) code/oracle changed this round
     "q_dedup_prefix",
     "q_dedup_prefix_incremental",
@@ -157,11 +159,11 @@ _WINDOW: tuple[str, ...] = (
     "q_win_ntile_dist",
     "q_win_rank",
     "q_win_running",
-    # (3b) stalest-r5 rotation (q_events_sessionize and q_merge_upsert
-    # yielded their slots to the two late-round-8 dedup-tier entries —
-    # both r5-green on unchanged code, they rotate in round 9 with the
-    # rest of the r5 block)
-    "q_agg_mad",
+    # (3b) stalest-r5 rotation: all three provisional picks (q_agg_mad,
+    # q_events_sessionize, q_merge_upsert) yielded their slots to the
+    # three late-round-8 NEW queries — r5-green on unchanged code, they
+    # rotate in round 9 with the rest of the r5 block (the <=3-round
+    # bound holds: r5 receipts become due exactly at the r9 window).
 )
 
 
