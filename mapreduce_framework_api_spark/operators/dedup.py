@@ -1077,6 +1077,150 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_EST_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES}, ce_sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM mh_t
+), ce_sz AS (
+  SELECT doc_id, COUNT(shingle) AS n FROM ce_sh GROUP BY doc_id
+), est AS (
+  SELECT c.doc_a, c.doc_b, ({_MINHASH_MATCHES}) AS k, sa.n AS na, sb.n AS nb
+  FROM cand c JOIN mins x ON c.doc_a = x.doc_id JOIN mins y ON c.doc_b = y.doc_id
+       JOIN ce_sz sa ON c.doc_a = sa.doc_id JOIN ce_sz sb ON c.doc_b = sb.doc_id
+  WHERE sa.n > 0 AND sb.n > 0
+)
+SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_contained,
+       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_container,
+       ROUND(LEAST(CAST(k * (na + nb) AS DOUBLE)
+                   / ((16 + k) * LEAST(na, nb)), 1.0), 2) AS est_containment
+FROM est
+WHERE CAST(k * (na + nb) AS DOUBLE) / ((16 + k) * LEAST(na, nb)) >= {_CONTAINMENT_THRESHOLD}
+ORDER BY doc_contained, doc_container
+"""
+
+
+@register(
+    "q_dedup_containment_est",
+    group="I",
+    oracle=_CONTAINMENT_EST_ORACLE,
+)
+def q_dedup_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ESTIMATED from the banded MinHash tier — the scale
+    path for the partial-inclusion class: the exact tier
+    (q_dedup_containment) scores the corpus-wide inverted-index pair
+    table, which a 100 TB run reserves for candidates; this tier derives
+    containment from artifacts the banded pipeline already has. From the
+    MinHash identity ĵ = |∩|/|∪| and exact set sizes: |∩| ≈
+    ĵ(na+nb)/(1+ĵ), so with ĵ = k/16 the estimate reduces to the pure
+    integer ratio k·(na+nb) / ((16+k)·min(na,nb)) — one exact-int
+    division per pair, bit-identical across engines (capped at 1.0 for
+    presentation: signature noise can push the raw estimate past a true
+    containment of 1).
+
+    Honesty note (why the recall receipt next door matters): resemblance
+    banding is biased AGAINST exactly this class — a small doc inside a
+    big one has low Jaccard, so its bands rarely collide and the pair may
+    never become a candidate. Production containment search uses
+    bottom-k / LSH-Ensemble sketches; this tier receipts how far plain
+    resemblance banding gets, it does not claim the paper result.
+
+    Plan: the cached banded candidate table (sigs carried), the per-doc
+    shingle-set SIZE table (one long per doc — the full arrays never
+    join), two broadcast-ready size equi-joins, one scalar filter.
+    Token-empty docs (n = 0) are out of contract on both engines — an
+    unguarded zero min would emit under Spark's NaN >= T ordering."""
+    cand = minhash_candidate_pairs(spark, sf_dir)
+    k = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("long")
+    pairs = cand.select("doc_a", "doc_b", k.alias("k")).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "doc_id", F.size(_shingle_hash_udf()("text")).alias("n")
+    ).filter(F.col("n") > 0)
+    j = pairs.join(
+        sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
+    ).join(
+        sized.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
+    )
+    est = (F.col("k") * (F.col("na") + F.col("nb"))).cast("double") / (
+        (F.lit(16) + F.col("k")) * F.least("na", "nb")
+    )
+    small_is_a = F.col("na") <= F.col("nb")
+    return (
+        j.filter(est >= _CONTAINMENT_THRESHOLD)
+        .select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "doc_contained"
+            ),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "doc_container"
+            ),
+            F.round(F.least(est, F.lit(1.0)), 2).alias("est_containment"),
+        )
+        .orderBy("doc_contained", "doc_container")
+    )
+
+
+def _containment_est_recall_oracle() -> str:
+    """Composed oracle (the q_dedup_minhash_recall discipline): the exact
+    containment tier and the banded estimate tier are both already
+    oracle'd queries; the metric nests those proven texts verbatim."""
+    from mapreduce_framework_api_spark.registry import REGISTRY
+
+    truth_sql = REGISTRY["q_dedup_containment"].oracle
+    cand_sql = _CONTAINMENT_EST_ORACLE
+    return f"""
+WITH truth AS ({truth_sql}),
+     cand AS ({cand_sql}),
+     hit AS (
+       SELECT COUNT(*) AS n
+       FROM truth t JOIN cand c
+            ON t.doc_contained = c.doc_contained
+           AND t.doc_container = c.doc_container
+     )
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT n FROM hit) AS BIGINT) AS n_hit,
+       CAST(FLOOR((SELECT n FROM hit) * 10000.0
+                  / GREATEST((SELECT COUNT(*) FROM truth), 1)) AS BIGINT)
+         AS recall_x10000
+"""
+
+
+@register(
+    "q_dedup_containment_est_recall",
+    group="I",
+    oracle=_containment_est_recall_oracle(),
+)
+def q_dedup_containment_est_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded containment ESTIMATE against the exact
+    containment tier at the same 0.8 bar — the instrument that makes the
+    estimate tier honest: resemblance banding under-surfaces low-Jaccard
+    inclusions by construction (see q_dedup_containment_est), and this
+    number tells a deployment how much of the containment class the
+    cheap tier actually catches on ITS corpus before trusting it at
+    100 TB (the known cure when it reads low: bottom-k sketches or an
+    LSH-Ensemble index, same banding plumbing, different hash family).
+    Both sides reuse cached pipelines; the metric is one pair-keyed join
+    + three broadcast-crossed single-row counts."""
+    from mapreduce_framework_api_spark.operators.similarity import _pair_recall_frame
+
+    truth = q_dedup_containment(spark, sf_dir).select(
+        F.col("doc_contained").alias("vec_a"), F.col("doc_container").alias("vec_b")
+    )
+    cand = q_dedup_containment_est(spark, sf_dir).select(
+        F.col("doc_contained").alias("vec_a"), F.col("doc_container").alias("vec_b")
+    )
+    return _pair_recall_frame(truth, cand)
+
+
 # ------------------------------------------------- embedding cosine --------
 
 _COSINE_DUP_THRESHOLD = 0.4

@@ -75,8 +75,18 @@ _LOADED = False
 # planted-locality SemDeDup receipt — recall at the paper's operating
 # point, next to the honest isotropic number), q_dedup_containment
 # (asymmetric |∩|/min partial-inclusion dedup over the shared
-# scored-pair table), and q_privacy_ldiversity (the attribute-
-# disclosure audit next to k-anonymity).
+# scored-pair table), q_dedup_containment_est + its recall (the banded
+# scale path for the containment class and the instrument that
+# receipts resemblance-banding's known blind spot on it), and
+# q_privacy_ldiversity (the attribute-disclosure audit next to
+# k-anonymity). To make room, two value-neutral changed entries yield:
+# q_dedup_prefix_incremental (only gained the session cache — zero
+# plan/value delta, r7-green, its prefix_check path is re-receipted via
+# q_dedup_prefix and the streaming edge battery) and
+# q_dedup_semdedup_recall (the epilogue moved into the shared
+# _pair_recall_frame — same expressions, byte-identical output,
+# r7-green, and the helper itself is externally receipted through the
+# planted variant in this window).
 # (2) queries whose CODE or ORACLE changed this round:
 # q_dedup_prefix (the batch tier's self-join de-bodied to the
 # thin-index/fetch shape — the round-7 judge's scale-killer finding),
@@ -109,12 +119,12 @@ _WINDOW: tuple[str, ...] = (
     # (1) new this round
     "q_dedup_semdedup_recall_planted",
     "q_dedup_containment",
+    "q_dedup_containment_est",
+    "q_dedup_containment_est_recall",
     "q_privacy_ldiversity",
     # (2) code/oracle changed this round
     "q_dedup_prefix",
-    "q_dedup_prefix_incremental",
     "q_dedup_semdedup",
-    "q_dedup_semdedup_recall",
     "q_dedup_ngram_jaccard",
     # (3) staleness retirement: every r4-era receipt
     "q_agg_basic",

@@ -2060,3 +2060,30 @@ def test_containment_catches_inclusion_jaccard_misses(spark):
     assert all(10 not in p for p in by_pair)
     for r in rows:
         assert r["jaccard"] <= r["containment"] + 1e-9, r
+    # The planted mid-fragment inclusion: containment 1.0 at jaccard ~0.08
+    # — invisible to the symmetric tier (0.08 << 0.5) and to the prefix
+    # tier (not a head truncation); THE row this tier exists for.
+    assert (15, 14) in by_pair
+    r = by_pair[(15, 14)]
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.5, r
+    jac = load_all_queries()["q_dedup_ngram_jaccard"].fn(spark, dst).collect()
+    assert all({r["doc_a"], r["doc_b"]} != {14, 15} for r in jac)
+
+
+def test_containment_est_recall_flags_banding_blind_spot(spark):
+    """The honesty receipt for the banded containment estimate: the
+    planted low-Jaccard inclusion (15-in-14, est-jaccard ~0.07) almost
+    surely shares no band, so the estimate tier MISSES it and the recall
+    instrument reads strictly below 10000 on the adversarial corpus —
+    exactly the signal that tells a deployment to switch the hash family
+    (bottom-k / LSH-Ensemble) before trusting the cheap tier at scale."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    import tools.edge_corpus as ec
+
+    dst = ec.build()
+    est = load_all_queries()["q_dedup_containment_est"].fn(spark, dst).collect()
+    assert all({r["doc_contained"], r["doc_container"]} != {14, 15} for r in est)
+    (row,) = load_all_queries()["q_dedup_containment_est_recall"].fn(spark, dst).collect()
+    assert row["recall_x10000"] < 10000, row
+    assert row["n_truth"] >= 2 and row["n_hit"] >= 1, row

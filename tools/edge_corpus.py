@@ -51,6 +51,22 @@ EDGE_DOCS = [
          " extended tail beyond the truncation point", "en", "dup"),
     (13, "prefix stress shared head 0123456789 abcdZ divergent continuation"
          " after the identical head", "en", "dup"),
+    # containment stress (q_dedup_containment vs its banded estimate):
+    # 15 is a CONTIGUOUS MID-FRAGMENT of 14 (not a prefix), so its
+    # trigram set is fully contained (containment 1.0) while Jaccard is
+    # ~4/58 — the inclusion class the symmetric tier and the prefix tier
+    # both miss, and the class resemblance BANDING almost surely fails
+    # to surface (est-jaccard ~0.07 -> no shared band), so the
+    # est-containment recall instrument reads < 1 here BY DESIGN.
+    (14, "quarto zephyr baumgartner inkwell dormouse pylon crescent "
+         "vermilion oscillate thimble quagmire bastion ephemeral woodwind "
+         "tarragon melisma copper gondola praline whetstone juniper "
+         "madrigal tundra obelisk finch saffron riverbed calliope "
+         "dulcimer foxglove ampersand topaz brocade nimbus sable "
+         "porcelain verdigris hollyhock tamarind lattice sextant "
+         "marzipan chicory plinth gossamer ocelot ricochet vellum "
+         "sassafras bergamot", "en", "dup"),
+    (15, "dulcimer foxglove ampersand topaz brocade nimbus", "en", "dup"),
 ]
 FILLER = [
     (
