@@ -1077,6 +1077,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_EST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 _CONTAINMENT_EST_ORACLE = f"""
 WITH {_MINHASH_CAND_CTES}, ce_sh AS (
   SELECT DISTINCT doc_id,
@@ -1132,7 +1134,14 @@ def q_dedup_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set SIZE table (one long per doc — the full arrays never
     join), two broadcast-ready size equi-joins, one scalar filter.
     Token-empty docs (n = 0) are out of contract on both engines — an
-    unguarded zero min would emit under Spark's NaN >= T ordering."""
+    unguarded zero min would emit under Spark's NaN >= T ordering.
+    The scored frame is session-cached (localCheckpoint, the house
+    pattern) so the recall evaluation next door consumes the persisted
+    pair table instead of re-running the size kernel."""
+    key = session_cache_key(spark, sf_dir, "documents")
+    cached = _CONT_EST_CACHE.get(key)
+    if cached is not None:
+        return cached.orderBy("doc_contained", "doc_container")
     cand = minhash_candidate_pairs(spark, sf_dir)
     k = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
@@ -1153,7 +1162,7 @@ def q_dedup_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(16) + F.col("k")) * F.least("na", "nb")
     )
     small_is_a = F.col("na") <= F.col("nb")
-    return (
+    out = (
         j.filter(est >= _CONTAINMENT_THRESHOLD)
         .select(
             F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
@@ -1164,8 +1173,10 @@ def q_dedup_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.least(est, F.lit(1.0)), 2).alias("est_containment"),
         )
-        .orderBy("doc_contained", "doc_container")
+        .localCheckpoint()
     )
+    _CONT_EST_CACHE[key] = out
+    return out.orderBy("doc_contained", "doc_container")
 
 
 def _containment_est_recall_oracle() -> str:
