@@ -1768,8 +1768,27 @@ WITH {_MINHASH_CAND_CTES.replace(", cand AS (", ", cand_unused AS (")},
   WHERE s.is_new
 )
 SELECT c.new_id, c.corpus_id,
-       ROUND(({_MINHASH_MATCHES}) / 16.0, 2) AS est_jaccard
+       ROUND(({_MINHASH_MATCHES}) / 16.0, 2) AS est_jaccard,
+       CASE WHEN LEAST(sa.n, sb.n) > 0
+            THEN ROUND(LEAST(CAST(({_MINHASH_MATCHES}) * (sa.n + sb.n) AS DOUBLE)
+                             / ((16 + ({_MINHASH_MATCHES})) * LEAST(sa.n, sb.n)),
+                             1.0), 2)
+       END AS est_containment
 FROM cand c JOIN mins x ON c.new_id = x.doc_id JOIN mins y ON c.corpus_id = y.doc_id
+     JOIN (SELECT doc_id, COUNT(shingle) AS n FROM (
+             SELECT DISTINCT doc_id,
+                    unnest(CASE WHEN len(toks) >= 3
+                           THEN list_transform(range(1, len(toks) - 1),
+                                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                           ELSE [array_to_string(toks, ' ')] END) AS shingle
+             FROM mh_t) GROUP BY doc_id) sa ON c.new_id = sa.doc_id
+     JOIN (SELECT doc_id, COUNT(shingle) AS n FROM (
+             SELECT DISTINCT doc_id,
+                    unnest(CASE WHEN len(toks) >= 3
+                           THEN list_transform(range(1, len(toks) - 1),
+                                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                           ELSE [array_to_string(toks, ' ')] END) AS shingle
+             FROM mh_t) GROUP BY doc_id) sb ON c.corpus_id = sb.doc_id
 WHERE ROUND(({_MINHASH_MATCHES}) / 16.0, 2) >= 0.5
 ORDER BY new_id, corpus_id
 """
@@ -1809,17 +1828,21 @@ _INC_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 def incremental_corpus_index(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The persisted index-build artifacts for the frozen 7/8 corpus:
-    (bucket_table(band_id, bucket, ds), signature_table(doc_id, sig)),
-    both eagerly materialized (localCheckpoint) — built ONCE, probed by
-    every arriving batch or micro-batch. In production these are written
-    tables; here the checkpoint stands in so neither the signature kernel
-    nor the bucket groupBy re-runs per consumer (or per micro-batch in
-    the streaming twin). Cached per (application, sf_dir, fixture
-    fingerprint) like the signature table it derives from: "index built
-    once, probed by every batch" should hold across repeated callers in
-    one application, not just within one call."""
+    (bucket_table(band_id, bucket, ds), signature_table(doc_id, sig),
+    size_table(corpus_id, corpus_n — the trigram-shingle-set size, two
+    longs per doc)), all eagerly materialized (localCheckpoint) — built
+    ONCE, probed by every arriving batch or micro-batch. In production
+    these are written tables; here the checkpoint stands in so neither
+    the signature kernel nor the bucket groupBy re-runs per consumer (or
+    per micro-batch in the streaming twin). The size table is what lets
+    the probe emit the containment ESTIMATE alongside est-Jaccard (see
+    incremental_check) without ever moving shingle arrays. Cached per
+    (application, sf_dir, fixture fingerprint) like the signature table
+    it derives from: "index built once, probed by every batch" should
+    hold across repeated callers in one application, not just within
+    one call."""
     key = session_cache_key(spark, sf_dir, "documents")
     cached = _INC_INDEX_CACHE.get(key)
     if cached is not None:
@@ -1837,18 +1860,37 @@ def incremental_corpus_index(
         .select("band_id", "bucket", capped_bucket(F.col("ds")).alias("ds"))
         .localCheckpoint()
     )
-    _INC_INDEX_CACHE[key] = (bk, sigs)
-    return bk, sigs
+    sizes = (
+        parallelized(table(spark, sf_dir, "documents"))
+        .filter(~inc_is_new() & F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("corpus_id"),
+            F.size(_shingle_hash_udf()("text")).alias("corpus_n"),
+        )
+        .localCheckpoint()
+    )
+    _INC_INDEX_CACHE[key] = (bk, sigs, sizes)
+    return bk, sigs, sizes
 
 
 def incremental_check(
-    new_docs: DataFrame, corpus_bk: DataFrame, corpus_sigs: DataFrame
+    new_docs: DataFrame,
+    corpus_bk: DataFrame,
+    corpus_sigs: DataFrame,
+    corpus_sizes: DataFrame,
 ) -> DataFrame:
     """Flag near-dups of ``new_docs`` (doc_id, text) against the persisted
     index: sig kernel → band explode → equi-join the bucket table on
     (band_id, bucket) → explode members → est-Jaccard ≥ 0.5 from the
-    carried signatures. Every stage is stateless per row, so the SAME
-    function serves the batch query and the Structured Streaming twin
+    carried signatures, PLUS the containment ESTIMATE (round 8) from the
+    persisted size table — k·(na+nb)/((16+k)·min), the same exact
+    integer ratio as q_dedup_containment_est, so a truncated/quoted
+    arrival whose resemblance happens to clear banding is flagged with
+    the signal that matters for keep-longest resolution (NULL when either
+    shingle set is empty: the estimate is undefined there, and an
+    unguarded divide diverges between engines). Every stage is stateless
+    per row, so the SAME function serves the batch query and the
+    Structured Streaming twin
     (streaming/pipelines.py::incremental_dedup_stream) — one semantics,
     two runtimes. A pair colliding in several bands emits one row per
     colliding band; callers dedupe by pair key (the batch query's
@@ -1861,16 +1903,19 @@ def incremental_check(
     only in callers, so both runtimes drop dirty rows identically — the
     streaming twin previously fed NULL text straight to the sig kernel."""
     sig = new_docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", _minhash_sig_udf()("text").alias("sig")
+        "doc_id",
+        _minhash_sig_udf()("text").alias("sig"),
+        F.size(_shingle_hash_udf()("text")).alias("new_n"),
     )
-    bands = sig.select("doc_id", "sig", _bands_of().alias("band")).select(
-        "doc_id", "sig", "band.band_id", "band.bucket"
+    bands = sig.select("doc_id", "sig", "new_n", _bands_of().alias("band")).select(
+        "doc_id", "sig", "new_n", "band.band_id", "band.bucket"
     )
     cand = (
         bands.join(corpus_bk, ["band_id", "bucket"])
         .select(
             F.col("doc_id").alias("new_id"),
             F.col("sig").alias("sig_a"),
+            "new_n",
             F.explode("ds").alias("corpus_id"),
         )
     )
@@ -1879,15 +1924,28 @@ def incremental_check(
             F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b")
         ),
         "corpus_id",
-    )
-    est_jac = (
-        F.size(
-            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-        ).cast("double")
-        / _N_PERM
+    ).join(corpus_sizes, "corpus_id")
+    k = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("long")
+    est_jac = k.cast("double") / _N_PERM
+    min_n = F.least("new_n", "corpus_n")
+    est_cont = F.when(
+        min_n > 0,
+        F.round(
+            F.least(
+                (k * (F.col("new_n") + F.col("corpus_n"))).cast("double")
+                / ((F.lit(16) + k) * min_n),
+                F.lit(1.0),
+            ),
+            2,
+        ),
     )
     return est.select(
-        "new_id", "corpus_id", F.round(est_jac, 2).alias("est_jaccard")
+        "new_id",
+        "corpus_id",
+        F.round(est_jac, 2).alias("est_jaccard"),
+        est_cont.alias("est_containment"),
     ).filter(F.col("est_jaccard") >= 0.5)
 
 
@@ -1915,12 +1973,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     drains micro-batches through). Deterministic md5 split + the shared
     minhash constants keep the full pipeline SQL-mirrorable (_INC_ORACLE
     reuses the estimate tier's CTE chain)."""
-    bk, csigs = incremental_corpus_index(spark, sf_dir)
+    bk, csigs, csizes = incremental_corpus_index(spark, sf_dir)
     new_docs = parallelized(table(spark, sf_dir, "documents")).filter(
         inc_is_new() & F.col("text").isNotNull()  # minhash-tier null contract
     )
     return (
-        incremental_check(new_docs, bk, csigs)
+        incremental_check(new_docs, bk, csigs, csizes)
         .dropDuplicates(["new_id", "corpus_id"])
         .orderBy("new_id", "corpus_id")
     )

@@ -686,8 +686,8 @@ def incremental_dedup_stream(
         incremental_corpus_index,
     )
 
-    bk, sigs = incremental_corpus_index(spark, sf_dir)
-    return incremental_check(docs_stream.filter(inc_is_new()), bk, sigs)
+    bk, sigs, sizes = incremental_corpus_index(spark, sf_dir)
+    return incremental_check(docs_stream.filter(inc_is_new()), bk, sigs, sizes)
 
 
 def prefix_dedup_stream(

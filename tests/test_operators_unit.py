@@ -2087,3 +2087,22 @@ def test_containment_est_recall_flags_banding_blind_spot(spark):
     (row,) = load_all_queries()["q_dedup_containment_est_recall"].fn(spark, dst).collect()
     assert row["recall_x10000"] < 10000, row
     assert row["n_truth"] >= 2 and row["n_hit"] >= 1, row
+
+
+def test_incremental_ingest_carries_containment_estimate(spark):
+    """The ingest lane's round-8 containment column: for every emitted
+    pair the estimate is >= est_jaccard (algebraically: (na+nb)/min >= 2
+    and 1/(1+j) >= 1/2), capped at 1.0, and NULL exactly when a side's
+    shingle set is empty — never NaN, never a Spark/DuckDB divide
+    divergence."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    rows = (
+        load_all_queries()["q_dedup_incremental"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        if r["est_containment"] is not None:
+            assert r["est_jaccard"] - 0.01 <= r["est_containment"] <= 1.0, r
