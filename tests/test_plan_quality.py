@@ -167,3 +167,28 @@ def test_prefix_self_join_is_bodiless(spark, queries):
             assert len(names) <= 3, f"self-join side wider than the thin index: {cols}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_containment_est_joins_sizes_not_arrays(spark, queries):
+    """q_dedup_containment_est's design claim: the estimate derives from
+    per-doc shingle-set SIZES (one long per doc) — the full shingle-hash
+    arrays never cross a shuffle. Broadcast off so every join
+    materializes its exchanges; no exchange may carry the kernel's array
+    column (the signatures, 16 fixed longs, are the candidate payload
+    and are allowed)."""
+    from mapreduce_framework_api_spark.plans.inspect import exchange_inputs
+    from mapreduce_framework_api_spark.session import clear_session_caches
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    clear_session_caches()  # the cached checkpointed frame would hide the joins
+    try:
+        df = queries["q_dedup_containment_est"].fn(spark, SF_DIR)
+        exchanges = exchange_inputs(df)
+        assert exchanges, "expected shuffled joins with broadcast off"
+        for args, cols in exchanges:
+            names = {c.strip().split("#")[0] for c in cols.split(",")}
+            assert "harr" not in names, (args, cols)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        clear_session_caches()
