@@ -100,7 +100,7 @@ _LOADED = False
 # pipeline now caches the UNFILTERED scored_pair_table that feeds both
 # set-similarity tiers; q_dedup_clusters / q_dedup_report /
 # q_dedup_decontaminate consume jaccard_dup_pairs whose output contract
-# is byte-identical — all r6/r7-green and covered by the local 169-ok
+# is byte-identical — all r6/r7-green and covered by the local 172-ok
 # sweep, they yield their slots).
 # (3) staleness retirement — ALL 42 r4-era receipts (the exact list
 # tests/test_registry_builds.py::test_window_policy printed at the
