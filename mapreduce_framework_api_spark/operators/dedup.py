@@ -448,10 +448,10 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces is reported here with jaccard ≥ the capped value (capped
     Jaccard lower-bounds exact Jaccard; pinned by a pytest)."""
     cand = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").dropDuplicates()
-    docs = parallelized(table(spark, sf_dir, "documents"))
-    sized = docs.select(
-        "doc_id", _shingle_hash_udf()("text").alias("harr")
-    ).select("doc_id", "harr", F.size("harr").alias("n"))
+    # Verification arrays come from the session's shared shingle table
+    # (round 9): the trigram kernel ran once building it; this query adds
+    # only the two per-candidate id-equi-joins and the row-local intersect.
+    sized = shingle_table(spark, sf_dir)
     joined = cand.join(
         sized.select(
             F.col("doc_id").alias("doc_a"),
@@ -904,6 +904,48 @@ _CONTAINMENT_THRESHOLD = 0.8
 
 _JACCARD_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SCORED_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, harr, n) for EVERY document — the session's ONE corpus-wide
+    trigram kernel invocation, cached per (application, sf_dir, fixture
+    fingerprint) and eagerly materialized (localCheckpoint).
+
+    Before round 9 the trigram kernel (_shingle_hash_udf) re-ran up to
+    three times per session over the full corpus: once inside
+    scored_pair_table's explode pipeline, once for
+    q_dedup_minhash_verified's verification arrays, and once (size-only)
+    for q_dedup_containment_est's size table — at sf1 each pass was the
+    28 s × 32-task dominant stage, so two of the three were pure waste
+    (SCALE.md "Known optimization debt"). This table is the shared
+    artifact all of them read: in production, the persisted
+    shingle-hash column a pipeline writes alongside the corpus at ingest
+    (arrays ≈ the text's own size, so the artifact is corpus-scale but
+    written ONCE — exactly the materialization a 100 TB run wants
+    instead of three corpus-wide UDF passes). Thin consumers (the size
+    tables: two longs per doc) project n and drop harr; Spark prunes the
+    array column at the exchange, so nothing corpus-array-sized crosses a
+    shuffle that only needs sizes (plan-asserted by
+    test_containment_est_joins_sizes_not_arrays).
+
+    Null/zero-token docs are INCLUDED with harr = [] / n = 0 — each
+    consumer applies its own contract (the jaccard explode emits no rows
+    for them; the containment tiers filter n > 0; the verified tier's
+    candidate join never sees them), so this table stays contract-free
+    and universally shareable."""
+    key = session_cache_key(spark, sf_dir, "documents")
+    cached = _SHINGLE_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = parallelized(table(spark, sf_dir, "documents"))
+    out = (
+        docs.select("doc_id", _shingle_hash_udf()("text").alias("harr"))
+        .withColumn("n", F.size("harr"))
+        .localCheckpoint()
+    )
+    _SHINGLE_TABLE_CACHE[key] = out
+    return out
 
 
 def scored_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -927,23 +969,18 @@ def scored_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SCORED_PAIR_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = parallelized(table(spark, sf_dir, "documents"))
     # Shingles are shuffled as 8-byte hash values, not strings: Jaccard is
     # computed from |∩| and set sizes, both invariant under an injective
     # hash, so the equi-join keys shrink ~4× with identical results (63-bit
     # collision odds at ~1e6 distinct shingles: ~1e-7 — the string oracle
-    # below is the collision canary). The hashes come from the Arrow-batched
-    # shingle kernel (md5-derived; see _shingle_hash_udf).
-    # Single pipeline: the shingle-set size n rides along with every
-    # exploded shingle row, so there is no second branch recomputing the
-    # shingles for a per-doc size aggregate and no size join at the end —
-    # profiling showed the two-branch plan evaluated the (dominant) shingle
-    # construction twice and added a shuffle + two joins (6.0s → ~3.4s at
-    # sf0.1). The n column is redundant across a doc's rows (one long), a
-    # cheap trade for halving the heavy work.
-    base = docs.select("doc_id", _shingle_hash_udf()("text").alias("harr"))
-    sh = base.select(
-        "doc_id", F.size("harr").alias("n"), F.explode("harr").alias("shingle")
+    # below is the collision canary). The hashes come from the session's
+    # shared shingle table (round 9: the one corpus-wide trigram kernel
+    # invocation), which also carries the set size n so there is no second
+    # branch recomputing shingles for a per-doc size aggregate and no size
+    # join at the end — the n column is redundant across a doc's exploded
+    # rows (one long), a cheap trade for avoiding a shuffle + two joins.
+    sh = shingle_table(spark, sf_dir).select(
+        "doc_id", "n", F.explode("harr").alias("shingle")
     )
     buckets = (
         sh.groupBy("shingle")
@@ -1149,10 +1186,10 @@ def q_dedup_containment_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cand.select("doc_a", "doc_b", k.alias("k")).dropDuplicates(
         ["doc_a", "doc_b"]
     )
-    docs = parallelized(table(spark, sf_dir, "documents"))
-    sized = docs.select(
-        "doc_id", F.size(_shingle_hash_udf()("text")).alias("n")
-    ).filter(F.col("n") > 0)
+    # Thin projection of the shared shingle table: two longs per doc, the
+    # harr column pruned before any exchange (round 9 — no size-only
+    # kernel re-run).
+    sized = shingle_table(spark, sf_dir).select("doc_id", "n").filter(F.col("n") > 0)
     j = pairs.join(
         sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
     ).join(
@@ -1860,13 +1897,15 @@ def incremental_corpus_index(
         .select("band_id", "bucket", capped_bucket(F.col("ds")).alias("ds"))
         .localCheckpoint()
     )
+    # Thin projection of the shared shingle table (round 9 — no size-only
+    # kernel re-run). Null-text corpus docs ride along with corpus_n = 0
+    # where the pre-r9 build filtered them on text: harmless, because
+    # candidate corpus_ids come from the signature table, which applies
+    # the null contract — a null-text size row can never join a candidate.
     sizes = (
-        parallelized(table(spark, sf_dir, "documents"))
-        .filter(~inc_is_new() & F.col("text").isNotNull())
-        .select(
-            F.col("doc_id").alias("corpus_id"),
-            F.size(_shingle_hash_udf()("text")).alias("corpus_n"),
-        )
+        shingle_table(spark, sf_dir)
+        .filter(~inc_is_new())
+        .select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("corpus_n"))
         .localCheckpoint()
     )
     _INC_INDEX_CACHE[key] = (bk, sigs, sizes)

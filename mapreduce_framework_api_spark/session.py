@@ -101,6 +101,7 @@ def clear_session_caches() -> None:
         dedup._SIMHASH_PAIR_CACHE,
         dedup._JACCARD_PAIR_CACHE,
         dedup._SCORED_PAIR_CACHE,
+        dedup._SHINGLE_TABLE_CACHE,
         dedup._CONT_EST_CACHE,
         dedup._CLUSTER_LABEL_CACHE,
         dedup._INC_INDEX_CACHE,

@@ -169,6 +169,41 @@ def test_prefix_self_join_is_bodiless(spark, queries):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_trigram_kernel_runs_once_per_session(spark, queries):
+    """Round-9 extension of test_chunk_dedup_tokenizes_exactly_once's
+    discipline to the corpus-wide trigram kernel: before the shared
+    shingle table, _shingle_hash_udf re-ran over the full corpus up to
+    three times per session (scored_pair_table, the verified tier's
+    arrays, the containment estimate's size table) — at sf1 each pass
+    was the dominant 28 s × 32-task stage. Post-fix contract: after
+    shingle_table() materializes once, NO consumer plan contains a
+    Python eval stage at all — every trigram/minhash artifact they need
+    is served from a checkpointed table (the minhash sig kernel has its
+    own once-per-session cache, exercised inside the builder calls
+    below, so its absence is asserted too)."""
+    from mapreduce_framework_api_spark.operators.dedup import shingle_table
+    from mapreduce_framework_api_spark.session import clear_session_caches
+
+    clear_session_caches()
+    try:
+        shingle_table(spark, SF_DIR)  # the session's one kernel invocation
+        for qname in (
+            "q_dedup_ngram_jaccard",
+            "q_dedup_containment",
+            "q_dedup_minhash_verified",
+            "q_dedup_containment_est",
+        ):
+            df = queries[qname].fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+                assert node not in plan, (
+                    f"{qname}: {node} in plan — a corpus kernel re-ran "
+                    f"instead of riding the shared table:\n{plan[:2000]}"
+                )
+    finally:
+        clear_session_caches()
+
+
 def test_containment_est_joins_sizes_not_arrays(spark, queries):
     """q_dedup_containment_est's design claim: the estimate derives from
     per-doc shingle-set SIZES (one long per doc) — the full shingle-hash
