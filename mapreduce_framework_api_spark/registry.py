@@ -99,10 +99,12 @@ _LOADED = False
 # (1) queries NEW this round (2): q_dedup_containment_bk +
 # q_dedup_containment_bk_recall (bottom-k sketch containment — the
 # containment-native cheap tier the r8 recall instrument proved
-# necessary at 5000/10000). Until they land, their two slots are held
-# provisionally by the next-stalest r6 receipts (q_dedup_decontaminate,
-# q_dedup_repeated_chunks), which yield when the new queries register —
-# the r8 yielded-slots precedent, in reverse.
+# necessary at 5000/10000; the r9 receipt on the same adversarial
+# corpus reads 10000/10000 with 4 candidates vs the est tier's 37).
+# As planned at rotation time, the two provisional holders
+# (q_dedup_decontaminate, q_dedup_repeated_chunks — both r6-green on
+# unchanged code) yielded these slots when the new queries registered;
+# they rotate with the remaining r6 block in round 10.
 # Remaining free slots (9) go to the stalest r6 receipts:
 # q_agg_rollup_reuse, q_agg_winsorized, q_dedup_canonical,
 # q_dedup_simhash, q_events_anomaly, q_events_autocorr, q_events_burst,
@@ -153,12 +155,10 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_lsh_recall",
     "q_sim_pq_recall",
     "q_dedup_simhash_recall",
-    # (1) new this round (2): provisional holders q_dedup_decontaminate /
-    # q_dedup_repeated_chunks yield these two slots to
-    # q_dedup_containment_bk / q_dedup_containment_bk_recall when those
-    # register later this session (see the policy note above).
-    "q_dedup_decontaminate",
-    "q_dedup_repeated_chunks",
+    # (1) new this round (2) — slots yielded by the provisional holders
+    # (q_dedup_decontaminate, q_dedup_repeated_chunks; see note above)
+    "q_dedup_containment_bk",
+    "q_dedup_containment_bk_recall",
     # stalest-r6 fill (9)
     "q_agg_rollup_reuse",
     "q_agg_winsorized",

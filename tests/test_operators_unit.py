@@ -2089,6 +2089,35 @@ def test_containment_est_recall_flags_banding_blind_spot(spark):
     assert row["n_truth"] >= 2 and row["n_hit"] >= 1, row
 
 
+def test_containment_bk_closes_banding_blind_spot(spark):
+    """The round-9 counterpart to the est-tier honesty receipt: the
+    bottom-k sketch tier is containment-NATIVE (any of the container's
+    bottom-k hashes landing in the fragment is shared by both sketches),
+    so the planted mid-fragment inclusion (15-in-14, jaccard ~0.08) that
+    resemblance banding almost surely misses MUST surface here, with the
+    exact-inclusion estimate 1.0 (every sampled element of the fragment
+    is in the container). The recall instrument must read full recall on
+    the adversarial corpus — strictly above the est tier's 5000 — which
+    is the measured case for switching hash families at scale."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    import tools.edge_corpus as ec
+
+    dst = ec.build()
+    rows = load_all_queries()["q_dedup_containment_bk"].fn(spark, dst).collect()
+    by_pair = {(r["doc_contained"], r["doc_container"]): r for r in rows}
+    assert (15, 14) in by_pair, by_pair
+    assert by_pair[(15, 14)]["est_containment"] == 1.0
+    (row,) = (
+        load_all_queries()["q_dedup_containment_bk_recall"].fn(spark, dst).collect()
+    )
+    assert row["recall_x10000"] == 10000, row
+    (est_row,) = (
+        load_all_queries()["q_dedup_containment_est_recall"].fn(spark, dst).collect()
+    )
+    assert row["recall_x10000"] > est_row["recall_x10000"], (row, est_row)
+
+
 def test_incremental_ingest_carries_containment_estimate(spark):
     """The ingest lane's round-8 containment column: for every emitted
     pair the estimate is >= est_jaccard (algebraically: (na+nb)/min >= 2

@@ -39,6 +39,7 @@ INVARIANCE_SAMPLE = [
     "q_dedup_semdedup",
     "q_dedup_semdedup_recall_planted",  # BLAS truth + quantizer under re-layout
     "q_dedup_containment",  # shared scored-pair disjunction under re-layout
+    "q_dedup_containment_bk",  # sketch inverted index under re-layout
     "q_graph_pagerank",
     "q_pipe_quantile_norm",
     "q_stream_sliding",
