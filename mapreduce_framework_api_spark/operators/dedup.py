@@ -1278,6 +1278,23 @@ def q_dedup_containment_est_recall(spark: SparkSession, sf_dir: str) -> DataFram
 # q_dedup_containment_est_recall receipt: 5000/10000).
 _BK_K = 32
 
+# Candidate prefilter: a pair of LARGE sets (both shingle sets overflow
+# the sketch, min(na, nb) > _BK_K) must share at least this many sketch
+# VALUES before the scoring joins see it. One shared value is dominated by
+# noise in that regime — common shingles hash globally, so a popular
+# shingle with a small hash sits in thousands of unrelated sketches
+# (measured at sf1: 35.7M distinct one-value pairs vs 1.23M with >= 2, a
+# 28x cut in scoring-join input for the same ~250k surviving pairs). A
+# true large-set inclusion at size ratio r shares ~k*r sketch values in
+# expectation (k*0.15 ~ 5 even for small fragments), so P(>= 2) stays high
+# exactly where the tier must not miss. SMALL-set pairs (the smaller side
+# fits entirely in its sketch) are exempt: there a single shared value can
+# be the genuine full overlap of a tiny document — the adversarial
+# corpus's short-doc inclusions pair on exactly one value — and small
+# sketches cannot fan out anyway. The count rides the same explode the
+# pair dedup needed, map-side combinable, so the prefilter costs nothing.
+_BK_MIN_SHARED = 2
+
 _BK_ORACLE_CTES = f"""bk_t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '') AS toks
@@ -1306,9 +1323,13 @@ _BK_ORACLE_CTES = f"""bk_t AS (
   SELECT h FROM bk_sk GROUP BY h
   HAVING COUNT(*) > 1 AND COUNT(*) <= {_SHINGLE_DF_CAP}
 ), bk_cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bk_sk a JOIN bk_sk b ON a.h = b.h AND a.doc_id < b.doc_id
        JOIN bk_calm c ON a.h = c.h
+       JOIN bk_sz sa ON a.doc_id = sa.doc_id
+       JOIN bk_sz sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_BK_MIN_SHARED} OR LEAST(MIN(sa.n), MIN(sb.n)) <= {_BK_K}
 ), bk_m AS (
   SELECT c.doc_a, c.doc_b, s.h FROM bk_cand c JOIN bk_sk s ON s.doc_id = c.doc_a
   UNION
@@ -1408,8 +1429,10 @@ def q_dedup_containment_bk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-value inverted index — groupBy(h) + bounded in-bucket pair
     expansion (viral sketch values, i.e. tiny-hash boilerplate
     shingles, are dropped at the same df cap as calm shingles, mirrored
-    in the oracle); scoring is two k-long-array equi-joins + row-local
-    intersects. Work ∝ real sketch collisions, never corpus-quadratic.
+    in the oracle) — then the _BK_MIN_SHARED >= 2 prefilter (see the
+    constant's note: a 28x cut in scoring-join input at sf1, measured)
+    before the two k-long-array equi-joins + row-local intersects.
+    Work ∝ real sketch collisions, never corpus-quadratic.
     Output matches the containment family: (doc_contained,
     doc_container, est_containment ≥ 0.8), contained = smaller shingle
     set (ties → doc_a). The scored frame is session-cached
@@ -1420,16 +1443,30 @@ def q_dedup_containment_bk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached.orderBy("doc_contained", "doc_container")
     sk = _bk_sketch_table(spark, sf_dir)
-    inv = sk.select("doc_id", F.explode("sk").alias("h"))
+    inv = sk.select("doc_id", "n", F.explode("sk").alias("h"))
     buckets = (
         inv.groupBy("h")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter((F.size("ds") > 1) & (F.size("ds") <= _SHINGLE_DF_CAP))
     )
+    # Pair dedup and the min-shared prefilter are ONE aggregation (the
+    # count replaces a bare dropDuplicates at identical shuffle cost,
+    # with map-side partial counts); the set sizes ride the bucket
+    # structs so the small-set exemption needs no extra join.
     pairs = (
         buckets.select(F.explode(_pairs_within(F.col("ds"))).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .dropDuplicates()
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n").alias("na0"),
+            F.col("p.b.n").alias("nb0"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(
+            (F.col("n_shared") >= _BK_MIN_SHARED)
+            | (F.least("na0", "nb0") <= _BK_K)
+        )
+        .select("doc_a", "doc_b")
     )
     j = pairs.join(
         sk.select(

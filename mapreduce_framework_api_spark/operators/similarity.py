@@ -131,6 +131,41 @@ def _hash_split(tag: str):
     return md5_flag("vec_id", tag)
 
 
+# Round-9 scale fix for the evaluation harness itself (VERDICT r8 #3): the
+# recall instruments' TRUTH side used to consume the corpus-quadratic
+# exact tiers (all-queries cosine top-k; all-pairs threshold scoring) —
+# fine as a blocked-BLAS receipt at sf1, prohibitive at 100x. Truth is now
+# exact over a DETERMINISTIC md5-sampled evaluation-query subset: cost is
+# |sample| x corpus (one thin row-block axis in the cogroup grid), the
+# metric is the same unbiased recall read on the sample, and the sample
+# predicate is one nibble threshold mirrored character-for-character in
+# every composed oracle (the md5_flag discipline). Per-query top-k ranks
+# are independent across queries, so the oracle can equivalently filter
+# the FULL truth CTE by the same predicate — DuckDB pays the quadratic
+# truth only at oracle scale (sf0.01), never the engine. The sampled
+# truth builders (exact_topk_sampled, embedding_pairs_sampled) live in
+# the "sampled recall truth" section below.
+_RECALL_SAMPLE_TAG = "rsample"
+# Nibble threshold '8' keeps ~1/2 of vectors as evaluation queries — wide
+# enough for a stable metric at fixture scale; a 100 TB deployment turns
+# this knob down (e.g. '1' for 1/16, or a longer prefix for finer rates)
+# with zero plan change.
+_RECALL_SAMPLE_T = "8"
+
+
+def _recall_sample(col: str = "vec_id"):
+    from mapreduce_framework_api_spark.functions.hashing import md5_flag
+
+    return md5_flag(col, _RECALL_SAMPLE_TAG, _RECALL_SAMPLE_T)
+
+
+def _recall_sample_sql(col: str) -> str:
+    return (
+        f"substr(md5('{_RECALL_SAMPLE_TAG}#' || CAST({col} AS VARCHAR)), 1, 1)"
+        f" < '{_RECALL_SAMPLE_T}'"
+    )
+
+
 def _topk_rerank(
     cand: DataFrame, query_col: str, score_col: str, k: int, rounded: str | None = None
 ) -> DataFrame:
@@ -1250,7 +1285,7 @@ WITH pq AS (
              PARTITION BY q.vec_id
              ORDER BY list_dot_product(q.iv, x.iv) DESC, x.vec_id ASC) AS rk
     FROM base q JOIN base x ON q.is_q AND NOT x.is_q
-  ) WHERE rk <= {_PQ_TOP_K}
+  ) WHERE rk <= {_PQ_TOP_K} AND {_recall_sample_sql("query_id")}
 ), hits AS (
   SELECT COUNT(*) AS n_hits
   FROM pq JOIN exact
@@ -1290,7 +1325,12 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     split = _hash_split("pqsplit")
-    queries = e.filter(split).select(
+    # Round 9: the ground-truth side scores only the SAMPLED evaluation
+    # queries (the docstring's "one more hash filter, identical plan" —
+    # now actually applied, so the truth cost is |sample| x index). The
+    # PQ candidate side still ranks all queries; the hits equi-join
+    # restricts it to the sample automatically.
+    queries = e.filter(split & _recall_sample()).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     index = e.filter(~split)
@@ -1574,6 +1614,113 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- sampled recall truth ----
+#
+# (Predicate helpers _recall_sample / _recall_sample_sql live next to
+# _hash_split near the top of the module — the PQ recall oracle f-string
+# needs them at decoration time, before this section is reached.)
+
+
+def exact_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, rk): exact cosine top-_TOP_K for the sampled
+    evaluation queries against the FULL corpus — the bounded truth tier
+    behind the IVF/LSH recall evaluations. Same kernel arithmetic as
+    q_sim_cosine_topk (per-query ranks are query-independent, so the
+    sampled rows are identical to the full tier's); the block grid is
+    |sample| x corpus via cogroup_block_pairs instead of the symmetric
+    square. Cached per session like every tier output."""
+    k = _TOP_K
+
+    def score_pair(qs, idx):
+        import numpy as np
+        import pandas as pd
+
+        if qs.empty or idx.empty:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos_raw": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"}
+            )
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        ids = idx["vec_id"].to_numpy(dtype="int64")
+        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+        q_norms = np.sqrt((q * q).sum(axis=1))
+        norms = np.sqrt((m * m).sum(axis=1))
+        s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
+        rows, nids, scs = _rowwise_topk(s, ids, k, q_ids=q_ids)
+        return pd.DataFrame(
+            {"vec_id": q_ids[rows], "neighbor_id": nids, "cos_raw": scs}
+        )
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n = _parquet_row_count(sf_dir, "embeddings")
+        cand = cogroup_block_pairs(
+            e.filter(_recall_sample()).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+            ),
+            e,
+            score_pair,
+            "vec_id long, neighbor_id long, cos_raw double",
+            n_query_rows=max(1, n // 2),
+            n_index_rows=n,
+        )
+        return _topk_rerank(cand, "vec_id", "cos_raw", k).select(
+            "vec_id", "neighbor_id", "rk"
+        )
+
+    return _tier_cached("exact_topk_sampled", spark, sf_dir, build)
+
+
+def embedding_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b): the exact cosine-threshold dup pairs INCIDENT to
+    the sampled evaluation queries — the bounded truth behind the
+    SemDeDup pair-recall. Same BLAS arithmetic and threshold as
+    q_dedup_embedding; pairs are normalized to (min, max) and deduped
+    (a pair with both endpoints sampled meets the grid twice). Cost is
+    |sample| x corpus instead of all-pairs."""
+    from mapreduce_framework_api_spark.operators.dedup import _COSINE_DUP_THRESHOLD
+
+    threshold = _COSINE_DUP_THRESHOLD
+
+    def score_pair(qs, idx):
+        import numpy as np
+        import pandas as pd
+
+        if qs.empty or idx.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
+            )
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        ids = idx["vec_id"].to_numpy(dtype="int64")
+        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+        q_norms = np.sqrt((q * q).sum(axis=1))
+        norms = np.sqrt((m * m).sum(axis=1))
+        s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
+        keep = (s >= threshold) & (q_ids[:, None] != ids[None, :])
+        rows, cols = np.nonzero(keep)
+        a = np.minimum(q_ids[rows], ids[cols])
+        b = np.maximum(q_ids[rows], ids[cols])
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_raw": s[rows, cols]})
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n = _parquet_row_count(sf_dir, "embeddings")
+        cand = cogroup_block_pairs(
+            e.filter(_recall_sample()).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+            ),
+            e,
+            score_pair,
+            "vec_a long, vec_b long, cos_raw double",
+            n_query_rows=max(1, n // 2),
+            n_index_rows=n,
+        )
+        return cand.select("vec_a", "vec_b").dropDuplicates(["vec_a", "vec_b"])
+
+    return _tier_cached("embedding_pairs_sampled", spark, sf_dir, build)
+
+
 # ------------------------------------------------- IVF recall evaluation ---
 
 
@@ -1593,7 +1740,8 @@ def _ivf_recall_oracle() -> str:
     return f"""
 WITH truth AS ({truth_sql}),
      ivf AS ({ivf_sql}),
-     truth3 AS (SELECT vec_id, neighbor_id FROM truth WHERE rk <= {_IVF_TOP_K}),
+     truth3 AS (SELECT vec_id, neighbor_id FROM truth
+                WHERE rk <= {_IVF_TOP_K} AND {_recall_sample_sql("vec_id")}),
      hit AS (
        SELECT COUNT(*) AS n
        FROM truth3 t JOIN ivf i
@@ -1626,13 +1774,14 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     new heavy lifting at any scale. At 100 TB the exact-truth side is the
     expensive half; production samples the query set with one more hash
     filter, identical plan."""
-    # Both sides feed THREE aggregate subtrees (n_queries/n_truth/
-    # n_hits); Spark's ReusedExchange canonicalization deduplicates the
-    # heavy pipelines across them, so NO eager materialization: an A/B at
-    # sf0.1 measured localCheckpoint here as a net +1.2-1.5 s (checkpoint
-    # write + lost pipelining) against zero saved recompute.
+    # Truth comes from the SAMPLED exact tier (round 9): identical rows
+    # to filtering the full tier (per-query ranks are query-independent),
+    # built at |sample| x corpus cost so the evaluation harness itself
+    # survives a 100x corpus. Both sides feed THREE aggregate subtrees
+    # (n_queries/n_truth/n_hits); the sampled tier is session-cached, the
+    # IVF side relies on ReusedExchange as before.
     truth = (
-        q_sim_cosine_topk(spark, sf_dir)
+        exact_topk_sampled(spark, sf_dir)
         .filter(F.col("rk") <= _IVF_TOP_K)
         .select("vec_id", "neighbor_id")
     )
@@ -1676,7 +1825,8 @@ def _lsh_recall_oracle() -> str:
     return f"""
 WITH truth AS ({truth_sql}),
      lsh AS ({lsh_sql}),
-     truth3 AS (SELECT vec_id, neighbor_id FROM truth WHERE rk <= {_LSH_TOP_K}),
+     truth3 AS (SELECT vec_id, neighbor_id FROM truth
+                WHERE rk <= {_LSH_TOP_K} AND {_recall_sample_sql("vec_id")}),
      hit AS (
        SELECT COUNT(*) AS n
        FROM truth3 t JOIN lsh i
@@ -1705,10 +1855,10 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     own). Both sides reuse the registered tiers' plans; the metric adds
     one pair-keyed equi-join + three broadcast-crossed single-row
     aggregates."""
-    # No eager materialization — same measured reasoning as
-    # q_sim_ivf_recall (ReusedExchange already dedupes the subtrees).
+    # Truth from the sampled exact tier (round 9) — same reasoning as
+    # q_sim_ivf_recall.
     truth = (
-        q_sim_cosine_topk(spark, sf_dir)
+        exact_topk_sampled(spark, sf_dir)
         .filter(F.col("rk") <= _LSH_TOP_K)
         .select("vec_id", "neighbor_id")
     )
@@ -1997,7 +2147,9 @@ def _semdedup_recall_oracle() -> str:
 
     truth_sql = REGISTRY["q_dedup_embedding"].oracle
     return f"""
-WITH truth AS ({truth_sql}),
+WITH truth_full AS ({truth_sql}),
+     truth AS (SELECT vec_a, vec_b FROM truth_full
+               WHERE {_recall_sample_sql("vec_a")} OR {_recall_sample_sql("vec_b")}),
      semp AS (WITH {_SEMDEDUP_PAIR_CTES} SELECT vec_a, vec_b FROM pairs),
      hit AS (
        SELECT COUNT(*) AS n
@@ -2033,10 +2185,13 @@ def q_dedup_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup operating point. On a real encoder's corpus the paper's
     regime (dup cosine >= ~0.95, strong locality) puts this number near 1;
     the query is the instrument that verifies that before anyone trusts
-    the tier at 100 TB."""
-    from mapreduce_framework_api_spark.operators.dedup import q_dedup_embedding
+    the tier at 100 TB.
 
-    truth = q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    Round 9: truth is the exact pairs INCIDENT to the hash-sampled
+    evaluation queries (embedding_pairs_sampled — |sample| x corpus, not
+    all-pairs), so the instrument itself survives a 100x corpus; the
+    oracle filters the full-truth CTE by the same predicate."""
+    truth = embedding_pairs_sampled(spark, sf_dir)
     cand = semdedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
     return _pair_recall_frame(truth, cand)
 
