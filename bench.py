@@ -80,7 +80,8 @@ def isolate(names: list[str]) -> None:
     except Exception as exc:  # warmup failures cost their own row only
         print(f"# warmup: {type(exc).__name__}: {exc}", file=sys.stderr)
     spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
-    out: dict[str, float] = {}
+    out: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in names:
         runs = []
         for _ in range(3):
@@ -89,7 +90,13 @@ def isolate(names: list[str]) -> None:
             try:
                 registry[name].fn(spark, sf_dir).count()
             except Exception as exc:
-                print(f"# {name}: ERR {type(exc).__name__}: {exc}", file=sys.stderr)
+                # Errored queries are RECORDED, not omitted (round-9
+                # advice): an adjudication run that crashed on a query
+                # must be distinguishable from one that never requested
+                # it — null marks "errored", the errors map says why,
+                # and the exit code goes non-zero below.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# {name}: ERR {errors[name]}", file=sys.stderr)
                 runs = []
                 break
             runs.append(time.perf_counter() - t0)
@@ -97,12 +104,19 @@ def isolate(names: list[str]) -> None:
             out[name] = round(min(runs), 3)
             print(f"# {name}: best-of-3 {out[name]:.2f}s (all: "
                   f"{[round(r, 2) for r in runs]})", file=sys.stderr)
-    print(json.dumps({
+        else:
+            out[name] = None
+    summary: dict = {
         "metric": "isolated_best_of_3_sec",
         "queries": out,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 def main() -> None:

@@ -146,14 +146,36 @@ _LAKE_PROVIDERS = {
 
 
 def lake_format_available(spark: SparkSession, fmt: str) -> bool:
-    """True iff ``fmt``'s DataSource provider class is loadable on this
-    session's JVM classpath — a driver-side Class.forName probe, no job,
-    no file IO. Unknown formats are False."""
+    """True iff ``fmt``'s DataSource provider class is loadable by SPARK's
+    classloader — a driver-side probe, no job, no file IO. Unknown formats
+    are False.
+
+    The probe goes through ``org.apache.spark.util.Utils.classForName``
+    (falling back to the context classloader, then bare Class.forName):
+    jars added via ``--packages`` / ``spark.jars.packages`` live in
+    Spark's MUTABLE context classloader, which a plain
+    ``java.lang.Class.forName`` through the py4j gateway's loader cannot
+    see — the round-8 advisor's finding: the old probe could return False
+    in exactly the advertised deployment mode, making read_lake raise on
+    a working classpath (and the auto-skip test, keyed on the same probe,
+    would never catch it)."""
     cls = _LAKE_PROVIDERS.get(fmt.lower())
     if cls is None:
         return False
+    jvm = spark._jvm  # type: ignore[union-attr]
     try:
-        spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+        # Spark's own resolution order: context classloader first.
+        jvm.org.apache.spark.util.Utils.classForName(cls, True, False)
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Thread.currentThread().getContextClassLoader().loadClass(cls)
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False

@@ -129,9 +129,11 @@ def compact_small_files(
     {files_before, files_after, bytes_total} for the maintenance log.
 
     ``partition_cols`` preserves a directory-partitioned layout: the
-    rewrite then targets ceil(bytes/target) files PER PARTITION VALUE
-    (repartition on the partition key + partitionBy at the sink) instead
-    of flattening the directory tree — compacting a dt=.../ partitioned
+    rewrite then targets ceil(dir_bytes/target) files PER PARTITION VALUE
+    — sized from each directory's own listed bytes, so skewed partitions
+    compact to target-sized files too — via a content-hash split key
+    (retry-deterministic) + partitionBy at the sink, instead of
+    flattening the directory tree: compacting a dt=.../ partitioned
     ingest keeps every later scan's partition pruning intact.
 
     Driver cost: one file listing (the same listing any scan does).
@@ -158,14 +160,42 @@ def compact_small_files(
     staging = path.rstrip("/") + "._compact_staging"
     if partition_cols:
         # Rebalance rows onto their partition key (plus a within-partition
-        # round-robin split when one value alone exceeds the target), then
-        # let partitionBy lay out the tree. The per-value split count is
-        # sized from the MEAN partition-dir bytes (one listing, no extra
-        # scan); a skewed value compacts to fewer, larger files than ideal
-        # — a maintenance-op estimate, not a contract.
-        n_dirs = max(1, len({os.path.dirname(f) for f in before}))
-        per_dir = max(1, math.ceil(total / n_dirs / target_bytes))
-        split = F.pmod(F.monotonically_increasing_id(), F.lit(per_dir))
+        # split when one value alone exceeds the target), then let
+        # partitionBy lay out the tree. Round 9, twice over:
+        # (a) SKEW-AWARE sizing — the split count comes from each
+        #     partition directory's OWN listed bytes (the `key=value`
+        #     path segments the writer produced), not the mean across
+        #     directories, so a 10:1-hot partition also compacts to
+        #     target-sized files instead of one oversized blob;
+        # (b) DETERMINISTIC split key — pmod(xxhash64(<all data
+        #     columns>), n) in place of monotonically_increasing_id(),
+        #     whose value depends on task/row order: under a task retry
+        #     or speculative execution a nondeterministic shuffle key
+        #     re-routes recomputed rows (the SPARK-23207 bug class —
+        #     Spark protects round-robin repartition(n), not explicit
+        #     nondeterministic keys), and an offsetting duplicate+loss
+        #     would slip past the row-count gate. Content-hashed keys
+        #     reproduce the same placement on every attempt; fully
+        #     duplicate rows co-locating is a file-size estimate error,
+        #     not a correctness one.
+        dir_bytes: dict[tuple, int] = {}
+        for f in before:
+            rel = os.path.relpath(os.path.dirname(f), path)
+            kv = dict(
+                seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
+            )
+            key = tuple(kv.get(c) for c in partition_cols)
+            dir_bytes[key] = dir_bytes.get(key, 0) + os.path.getsize(f)
+        split_expr = F.lit(1)
+        for key, b in dir_bytes.items():
+            nsplit = max(1, math.ceil(b / target_bytes))
+            match = F.lit(True)
+            for c, v in zip(partition_cols, key):
+                if v is not None:
+                    match = match & (F.col(c).cast("string") == F.lit(v))
+            split_expr = F.when(match, F.lit(nsplit)).otherwise(split_expr)
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        split = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), split_expr)
         (
             df.withColumn("_split", split)
             .repartition(*[F.col(c) for c in partition_cols], F.col("_split"))
@@ -184,8 +214,16 @@ def compact_small_files(
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} -> {rows_after}; aborted"
         )
-    shutil.rmtree(path)
+    # Recoverable swap order (round-9 advice): move the live table ASIDE
+    # first, then promote staging, then delete the old copy — a crash at
+    # any step leaves a complete directory on disk (previously
+    # rmtree-then-rename maximized the loss window: a failure between the
+    # two left the table deleted with the data stranded in staging).
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
+    os.rename(path, old)
     os.rename(staging, path)
+    shutil.rmtree(old)
     return {
         "files_before": len(before),
         "files_after": len(_data_files(path)),

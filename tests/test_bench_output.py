@@ -82,3 +82,56 @@ def test_isolate_usage_error():
         timeout=60,
     )
     assert out.returncode == 2 and "usage:" in out.stderr
+
+
+# ---- bench_compare: the mechanized >2x gate (round 9) ----------------------
+
+
+def test_bench_compare_applies_corrections():
+    """The q_agg_stats class of flag: a corrected baseline cell must stop
+    the gate from firing on the honest ratio, while uncorrected cells
+    still trip it."""
+    import pytest
+
+    from tools.bench_compare import compare, corrected_baseline
+
+    baseline = {"queries": {"q_a": 0.5, "q_b": 1.0}}
+    corrections = {
+        "q_a": {"recorded": 0.5, "corrected": 1.2, "reason": "pruned-plan cell"}
+    }
+    current = {"queries": {"q_a": 1.3, "q_b": 2.5}}
+    r = compare(current, baseline, corrections)
+    # q_a: 1.3 / 1.2 = 1.08 (corrected, under gate); q_b: 2.5x (over).
+    assert list(r["cells_over_gate"]) == ["q_b"]
+    assert r["corrections_applied"] == ["q_a"]
+    # A correction whose `recorded` drifted from the live baseline is an
+    # ERROR, never a silent override.
+    bad = {"q_a": {"recorded": 0.4, "corrected": 1.2, "reason": "stale"}}
+    with pytest.raises(SystemExit):
+        corrected_baseline(baseline["queries"], bad)
+
+
+def test_bench_compare_live_files_apply_agg_stats_correction():
+    """The repo's own records through the mechanized gate: the
+    BENCH_CORRECTIONS row must match the live BENCH.json cell (the
+    drift guard) and must clear q_agg_stats specifically — the cell the
+    gate re-flagged every round until this methodology row existed.
+    Deliberately NOT asserted: zero over-gate cells overall, because
+    BENCH_FULL.json is rewritten by every bench run and the receipted
+    burstable-VM throttling can push unrelated cells over 2x
+    environmentally (adjudicated via bench.py --isolate, per
+    BASELINE.md) — a suite red on weather would recreate the structural
+    red test_window_policy just shed."""
+    import json as _json
+    import os as _os
+
+    from tools.bench_compare import compare
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    current = _json.load(open(_os.path.join(repo, "BENCH_FULL.json")))
+    baseline = _json.load(open(_os.path.join(repo, "BENCH.json")))
+    corrections = _json.load(open(_os.path.join(repo, "BENCH_CORRECTIONS.json")))
+    r = compare(current, baseline, corrections)  # raises on drifted correction
+    assert r["n_common"] >= 80
+    assert "q_agg_stats" in r["corrections_applied"]
+    assert "q_agg_stats" not in r["cells_over_gate"], r["cells_over_gate"]

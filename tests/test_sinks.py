@@ -170,3 +170,39 @@ def test_compact_small_files_preserves_partition_layout(spark, tmp_path):
     assert stats["files_after"] <= 6, stats
     after_rows = sorted(tuple(r) for r in read_any(spark, p).collect())
     assert after_rows == before_rows
+
+
+def test_compact_small_files_handles_partition_skew(spark, tmp_path):
+    """Round-9 skew fix: per-partition split counts come from each
+    directory's OWN listed bytes, not the mean — under a ~10:1 skewed
+    layout the hot partition must still compact to files within 2x of
+    the target size (the mean-based sizing collapsed it into one
+    oversized blob), while the cold partitions stay at one file each."""
+    import glob as _glob
+
+    from mapreduce_framework_api_spark.sources.readers import read_any
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "skewed")
+    # dt=0 gets ~10x the rows (and bytes) of dt=1..9.
+    src = spark.range(190_000).select(
+        F.col("id"),
+        F.when(F.col("id") < 100_000, F.lit(0)).otherwise(
+            (F.col("id") % 9) + 1
+        ).alias("dt"),
+        F.md5(F.col("id").cast("string")).alias("v"),
+    )
+    src.repartition(16).write.partitionBy("dt").parquet(p)
+    before_rows = read_any(spark, p).count()
+    target = 1 << 20  # hot partition ~5MB of parquet -> several files
+    compact_small_files(spark, p, target_bytes=target, partition_cols=["dt"])
+    hot_files = _glob.glob(f"{p}/dt=0/part-*")
+    assert len(hot_files) >= 2, "hot partition collapsed to a single file"
+    for f in hot_files:
+        assert os.path.getsize(f) <= 2 * target, (
+            f"{f}: {os.path.getsize(f)} bytes exceeds 2x target"
+        )
+    for d in range(1, 10):
+        cold = _glob.glob(f"{p}/dt={d}/part-*")
+        assert len(cold) == 1, (d, cold)
+    assert read_any(spark, p).count() == before_rows

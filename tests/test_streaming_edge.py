@@ -424,3 +424,65 @@ def test_edge_prefix_dirty_arrivals(spark, edge_dir, tmp_path):
         for r in got:
             if r[0] == 9102:
                 assert r[2] == "truncation", r
+
+
+def test_edge_minhash_dirty_arrivals(spark, edge_dir, tmp_path):
+    """Round-9 pin for the ingest containment signal (VERDICT r8 #6):
+    incremental_check owns the est_containment NULL contract in BOTH
+    runtimes. A sub-shingle arrival (zero jaccard-trigram tokens — the
+    punctuation-only class) whose raw-text minhash fallback matches a
+    frozen-corpus twin MUST emit with est_jaccard 1.0 and
+    est_containment NULL (the estimate is undefined on an empty shingle
+    set; an unguarded divide would yield NaN on Spark and diverge/crash
+    elsewhere), a NULL-text arrival must drop, and the micro-batched
+    stream must equal the batch lane row-for-row."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.operators.dedup import (
+        incremental_check,
+        incremental_corpus_index,
+    )
+    from mapreduce_framework_api_spark.streaming.pipelines import run_to_memory
+
+    rows = [
+        (9200, None, "en", "edge", None),            # NULL text: drops
+        # Byte-identical to frozen-corpus doc 2 ("!!! ??? ... ---"):
+        # zero tokens -> empty trigram set (new_n = 0), but the minhash
+        # signature's raw-text fallback matches doc 2's exactly, so the
+        # pair banding-collides with est_jaccard 1.0.
+        (9201, "!!! ??? ... ---", "en", "edge", 15),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    stage = str(tmp_path / "dirty_minhash_docs")
+    batch_df.write.parquet(stage)
+    bk, sigs, sizes = incremental_corpus_index(spark, edge_dir)
+
+    batch = sorted(
+        tuple(r) for r in incremental_check(batch_df, bk, sigs, sizes).collect()
+    )
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    run_to_memory(
+        incremental_check(stream_in, bk, sigs, sizes),
+        "te_minhash_dirty",
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in spark.table("te_minhash_dirty").collect())
+    assert got == batch
+    emitted = {r[0] for r in got}
+    assert 9200 not in emitted, "NULL text must drop"
+    pair = [r for r in got if r[0] == 9201 and r[1] == 2]
+    assert pair, f"sub-shingle twin of corpus doc 2 must emit: {got}"
+    for r in pair:
+        assert r[2] == 1.0, r            # est_jaccard: identical signatures
+        assert r[3] is None, r           # est_containment: NULL, never NaN

@@ -1,0 +1,86 @@
+"""Mechanized bench-vs-baseline gate: the >2x-cell check as code.
+
+Compares a bench run's per-query cells against the recorded baseline
+(BENCH.json), applying the documented measurement-methodology corrections
+from BENCH_CORRECTIONS.json (each correction keeps the original recorded
+cell for auditability and carries the forensic reason + a BASELINE.md
+pointer). Prints one JSON line and exits non-zero iff any common cell
+exceeds the 2x gate after corrections — so the gate verdict is a command,
+not prose adjudication (round-9 task; the q_agg_stats cell was re-flagged
+every round until its correction row existed somewhere the math reads).
+
+Usage:
+    python tools/bench_compare.py [current.json]   # default BENCH_FULL.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GATE = 2.0
+
+
+def corrected_baseline(
+    baseline: dict[str, float], corrections: dict[str, dict]
+) -> dict[str, float]:
+    """Baseline cells with methodology corrections applied. A correction
+    is honored only if its ``recorded`` value matches the live baseline
+    cell — a corrections row that drifted from the file it corrects is an
+    error, not a silent override."""
+    out = dict(baseline)
+    for name, c in corrections.items():
+        if name not in out:
+            continue
+        if abs(out[name] - c["recorded"]) > 1e-9:
+            raise SystemExit(
+                f"correction for {name} records {c['recorded']} but baseline "
+                f"cell is {out[name]} — fix BENCH_CORRECTIONS.json"
+            )
+        out[name] = c["corrected"]
+    return out
+
+
+def compare(current: dict, baseline: dict, corrections: dict) -> dict:
+    base = corrected_baseline(baseline.get("queries", {}), corrections)
+    cur = current.get("queries", {})
+    common = sorted(set(base) & {k for k, v in cur.items() if v is not None})
+    cells_over = {
+        n: {"baseline": base[n], "current": cur[n], "ratio": round(cur[n] / base[n], 2)}
+        for n in common
+        if base[n] > 0 and cur[n] / base[n] > GATE
+    }
+    tot_base = sum(base[n] for n in common)
+    tot_cur = sum(cur[n] for n in common)
+    return {
+        "metric": "bench_gate_vs_baseline",
+        "gate": GATE,
+        "n_common": len(common),
+        "total_baseline_sec": round(tot_base, 3),
+        "total_current_sec": round(tot_cur, 3),
+        "total_ratio": round(tot_cur / tot_base, 3) if tot_base else None,
+        "corrections_applied": sorted(set(corrections) & set(base)),
+        "cells_over_gate": cells_over,
+    }
+
+
+def main() -> None:
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_FULL.json")
+    current = json.load(open(cur_path))
+    if "queries" not in current and isinstance(current.get("parsed"), dict):
+        # A driver-recorded BENCH_rN.json: the bench summary lives under
+        # "parsed" (and is the COMPACT form — slowest cells only; pass
+        # BENCH_FULL.json for full-board cells).
+        current = current["parsed"]
+    baseline = json.load(open(os.path.join(REPO, "BENCH.json")))
+    corr_path = os.path.join(REPO, "BENCH_CORRECTIONS.json")
+    corrections = json.load(open(corr_path)) if os.path.exists(corr_path) else {}
+    result = compare(current, baseline, corrections)
+    print(json.dumps(result, indent=1))
+    sys.exit(1 if result["cells_over_gate"] else 0)
+
+
+if __name__ == "__main__":
+    main()
