@@ -1652,6 +1652,19 @@ def exact_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def build() -> DataFrame:
+        # Rank independence makes two equivalent sources: if the FULL
+        # exact tier is already materialized this session (an application
+        # that ran q_sim_cosine_topk anyway — the bench board does),
+        # filtering its cached output by the sample predicate is
+        # bit-identical and free; otherwise build the bounded
+        # |sample| x corpus grid — the standalone/production path, the
+        # one the sf1 receipts measure.
+        full_key = (*session_cache_key(spark, sf_dir, "embeddings"), "cosine_topk")
+        full = _TIER_OUT_CACHE.get(full_key)
+        if full is not None:
+            return full.filter(_recall_sample()).select(
+                "vec_id", "neighbor_id", "rk"
+            )
         e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         n = _parquet_row_count(sf_dir, "embeddings")
         cand = cogroup_block_pairs(

@@ -88,14 +88,14 @@ _LOADED = False
 # q_text_vocab_coverage/keywords, q_merge_upsert, q_profile_columns,
 # q_dedup_embedding, q_set_ops_all, q_agg_unpivot).
 # (2) queries whose code MATERIALLY changes this round (7):
-# q_dedup_minhash_verified + q_dedup_minhash_recall (verification
-# arrays re-pointed at the round-9 shared shingle table — the session's
+# q_dedup_minhash_verified, q_dedup_minhash_recall,
+# q_dedup_simhash_recall (their verification arrays / exact-jaccard
+# truth tier now ride the round-9 shared shingle table — the session's
 # one trigram kernel invocation), q_dedup_semdedup_recall,
-# q_sim_ivf_recall, q_sim_lsh_recall, q_sim_pq_recall,
-# q_dedup_simhash_recall (recall truth tiers bounded to a deterministic
-# hash-sampled query subset so the evaluation harness itself survives
-# 100x — VERDICT r8 task 3). All seven are also r6/r7-stale, so they
-# spend their slots doubly well.
+# q_sim_ivf_recall, q_sim_lsh_recall, q_sim_pq_recall (recall truth
+# tiers bounded to a deterministic hash-sampled query subset so the
+# evaluation harness itself survives 100x — VERDICT r8 task 3). All
+# seven are also r6/r7-stale, so they spend their slots doubly well.
 # (1) queries NEW this round (2): q_dedup_containment_bk +
 # q_dedup_containment_bk_recall (bottom-k sketch containment — the
 # containment-native cheap tier the r8 recall instrument proved
@@ -146,15 +146,15 @@ _WINDOW: tuple[str, ...] = (
     "q_text_keywords",
     "q_text_vocab_coverage",
     # (2) code materially changes this round (7): shared shingle table
-    # (the two minhash receipts) + hash-sampled recall truth tiers (the
-    # five recall instruments)
+    # (the three set-similarity receipts) + hash-sampled recall truth
+    # tiers (the four embedding-based recall instruments)
     "q_dedup_minhash_verified",
     "q_dedup_minhash_recall",
+    "q_dedup_simhash_recall",
     "q_dedup_semdedup_recall",
     "q_sim_ivf_recall",
     "q_sim_lsh_recall",
     "q_sim_pq_recall",
-    "q_dedup_simhash_recall",
     # (1) new this round (2) — slots yielded by the provisional holders
     # (q_dedup_decontaminate, q_dedup_repeated_chunks; see note above)
     "q_dedup_containment_bk",

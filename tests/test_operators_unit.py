@@ -2135,3 +2135,32 @@ def test_incremental_ingest_carries_containment_estimate(spark):
     for r in rows:
         if r["est_containment"] is not None:
             assert r["est_jaccard"] - 0.01 <= r["est_containment"] <= 1.0, r
+
+
+def test_sampled_truth_equals_filtered_full_tier(spark):
+    """The two sources of the sampled recall truth must be bit-identical:
+    the standalone |sample| x corpus grid build (the production path the
+    sf1 receipts measure) and the filter over the session-cached full
+    exact tier (the free path when q_sim_cosine_topk already ran). Rank
+    independence is the claimed invariant; this pins it on the fixtures."""
+    from conftest import SF_DIR
+
+    from mapreduce_framework_api_spark.operators.similarity import (
+        exact_topk_sampled,
+        q_sim_cosine_topk,
+    )
+    from mapreduce_framework_api_spark.session import clear_session_caches
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    clear_session_caches()
+    try:
+        standalone = canon(exact_topk_sampled(spark, SF_DIR))
+        clear_session_caches()
+        q_sim_cosine_topk(spark, SF_DIR).count()  # materialize the full tier
+        via_filter = canon(exact_topk_sampled(spark, SF_DIR))
+        assert standalone == via_filter
+        assert standalone, "sample must be non-empty on the fixture"
+    finally:
+        clear_session_caches()
