@@ -2360,7 +2360,18 @@ def q_dedup_semdedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFra
     together bracketing the tier: quantizer loss is a property of the
     corpus's cluster locality, not of the machinery. Truth here is the
     exact all-pairs tier over the planted frame (same blocked cogroup
-    BLAS engine as q_dedup_embedding, same 0.4 threshold)."""
+    BLAS engine as q_dedup_embedding, same 0.4 threshold).
+
+    Deliberately NOT hash-sampled (unlike the round-9 bounded truth in
+    q_dedup_semdedup_recall and the q_sim_*_recall family): the planted
+    frame is a CONSTRUCTED fixture whose pair structure is the receipt
+    itself — the derivation transforms the embeddings table but the
+    planted cluster geometry, not corpus size, is what the instrument
+    measures, and a sampled truth would have to re-derive the planted
+    10000/10000 expectation per sample. The all-pairs cost is bounded by
+    the same blocked grid as every exact tier; a deployment re-running
+    this receipt on a larger corpus applies the _recall_sample predicate
+    exactly as the unplanted twin does."""
     from mapreduce_framework_api_spark.operators.dedup import _COSINE_DUP_THRESHOLD
 
     def score_pair(qs, idx):
