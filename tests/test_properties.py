@@ -829,3 +829,36 @@ def test_prefix_pairs_match_python_reference(spark, texts):
         if len(ti) >= dd._PREFIX_BLOCK and len(ti) < len(tj) and tj.startswith(ti)
     }
     assert got == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=1 << 20), min_size=1, max_size=120),
+    st.sets(st.integers(min_value=0, max_value=1 << 20), min_size=1, max_size=120),
+)
+def test_bottomk_estimator_membership_invariant(a, b):
+    """Pure-math property behind q_dedup_containment_bk (no Spark): with
+    S_k(X) = the k smallest of X and L = the k smallest of S_k(A) ∪
+    S_k(B), (1) L equals the k smallest of the TRUE union A ∪ B
+    (mergeability), and (2) for every x in L, sketch membership decides
+    true membership exactly: x ∈ S_k(A) iff x ∈ A, likewise for B. So
+    the estimator's sample (L ∩ S(A)) and hits (L ∩ S(A) ∩ S(B)) are
+    computed over exact membership tests, and for a true inclusion
+    A ⊆ B the estimate is exactly 1.0 — the assertions the tier's
+    docstring claims, checked on arbitrary hash sets."""
+    k = 32
+    ska = set(sorted(a)[:k])
+    skb = set(sorted(b)[:k])
+    low = set(sorted(ska | skb)[:k])
+    assert low == set(sorted(a | b)[:k])  # (1) sketch mergeability
+    for x in low:  # (2) membership is exact inside L
+        assert (x in ska) == (x in a)
+        assert (x in skb) == (x in b)
+    sample = low & ska
+    hits = sample & skb
+    # For a genuine inclusion the estimator is exactly 1.0.
+    if a <= b:
+        assert sample and hits == sample
+    # The estimate never exceeds 1 and is defined whenever sample is.
+    if sample:
+        assert 0.0 <= len(hits) / len(sample) <= 1.0
