@@ -259,6 +259,8 @@ DOC_QUERIES = [
     "q_text_vocab_coverage", "q_text_inverted_index", "q_text_bpe_merges",
     "q_text_bpe_encode", "q_text_langid_confusion", "q_text_zipf",
     "q_dedup_prefix", "q_dedup_prefix_incremental", "q_dedup_containment",
+    "q_dedup_containment_est", "q_dedup_containment_est_recall",
+    "q_dedup_containment_bk", "q_dedup_containment_bk_recall",
     "q_pipe_sample_hash", "q_pipe_split_assign", "q_pipe_quota_cap",
     "q_pipe_keep_first", "q_pipe_length_hist", "q_pipe_mixture",
     "q_pipe_pack_chunks", "q_pipe_chunk_overlap", "q_pipe_upsample_epochs",
