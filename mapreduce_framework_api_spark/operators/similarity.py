@@ -1362,7 +1362,11 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         index,
         exact_pair,
         "query_id long, neighbor_id long, dot long",
-        n_query_rows=max(1, n // 8),
+        # The truth's query axis holds the SAMPLED half of the 1/8 split
+        # (~n/16): sizing the block grid for the unsampled split would
+        # double the query-block count and therefore double the index
+        # side's explode fan-out for nothing.
+        n_query_rows=max(1, n // 16),
         n_index_rows=max(1, n - n // 8),
     )
     exact = _topk_rerank(cand, "query_id", "dot", _PQ_TOP_K).select(
