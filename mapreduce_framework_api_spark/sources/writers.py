@@ -178,6 +178,13 @@ def compact_small_files(
         #     reproduce the same placement on every attempt; fully
         #     duplicate rows co-locating is a file-size estimate error,
         #     not a correctness one.
+        # Directory names hold Spark's ESCAPED partition values (URL-style
+        # escapes for special chars; __HIVE_DEFAULT_PARTITION__ for null).
+        # The string match below compares them to cast-to-string column
+        # values, so a partition whose value escapes differently simply
+        # falls back to ONE split (fewer, larger files — a sizing
+        # degradation, never misplaced rows: row routing comes from
+        # repartition on the real columns, not from this estimate).
         dir_bytes: dict[tuple, int] = {}
         for f in before:
             rel = os.path.relpath(os.path.dirname(f), path)
