@@ -1603,31 +1603,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same output contract)."""
     # Function-level import: operators/similarity.py imports helpers from
     # this module at module level, so the reverse edge must resolve lazily.
-    from mapreduce_framework_api_spark.operators.similarity import cogroup_index_blocks
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _cosine_pair_kernel,
+        cogroup_index_blocks,
+    )
 
-    threshold = _COSINE_DUP_THRESHOLD
-
-    def score_pair(qs, idx):
-        import numpy as np
-        import pandas as pd
-
-        if qs.empty or idx.empty:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
-            )
-        q_ids = qs["q_id"].to_numpy(dtype="int64")
-        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
-        ids = idx["vec_id"].to_numpy(dtype="int64")
-        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
-        q_norms = np.sqrt((q * q).sum(axis=1))
-        norms = np.sqrt((m * m).sum(axis=1))
-        s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
-        # keep only (a < b) pairs above threshold
-        keep = (s >= threshold) & (q_ids[:, None] < ids[None, :])
-        rows, cols = np.nonzero(keep)
-        return pd.DataFrame(
-            {"vec_a": q_ids[rows], "vec_b": ids[cols], "cos_raw": s[rows, cols]}
-        )
+    # ordered=True: each (a < b) pair above threshold, emitted once (the
+    # shared kernel — round-9 review factored the four hand-copied
+    # cosine bodies into _cosine_score_matrix's single arithmetic).
+    score_pair = _cosine_pair_kernel(_COSINE_DUP_THRESHOLD, ordered=True)
 
     pairs = cogroup_index_blocks(
         spark, sf_dir, score_pair, schema="vec_a long, vec_b long, cos_raw double"

@@ -248,6 +248,80 @@ def _rowwise_topk(s, ids, k, q_ids=None):
     return rows[valid], sel_ids[valid], sel_s[valid]
 
 
+def _cosine_score_matrix(qs, idx):
+    """(q_ids, ids, s): the ONE normalize-then-matmul body every cosine
+    kernel shares — float32 → float64 BEFORE any arithmetic (FIXTURES.md
+    gotcha #5), norms via BLAS row sums. Factored (round-9 review) so the
+    sampled-truth kernels can never drift arithmetically from the full
+    tiers they must stay bit-identical to."""
+    import numpy as np
+
+    q_ids = qs["q_id"].to_numpy(dtype="int64")
+    q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+    ids = idx["vec_id"].to_numpy(dtype="int64")
+    m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+    q_norms = np.sqrt((q * q).sum(axis=1))
+    norms = np.sqrt((m * m).sum(axis=1))
+    return q_ids, ids, (q @ m.T) / (q_norms[:, None] * norms[None, :])
+
+
+def _cosine_topk_kernel(k: int, query_col: str = "vec_id", self_exclude: bool = True):
+    """Block-pair kernel: exact per-query top-k cosine rows
+    (query_col, neighbor_id, cos_raw). ``self_exclude`` suppresses the
+    query's own id (the symmetric tiers); the asymmetric split tiers
+    (disjoint query/index sets) pass False."""
+
+    def score_pair(qs, idx):
+        import pandas as pd
+
+        if qs.empty or idx.empty:
+            return pd.DataFrame(
+                {query_col: [], "neighbor_id": [], "cos_raw": []}
+            ).astype(
+                {query_col: "int64", "neighbor_id": "int64", "cos_raw": "float64"}
+            )
+        q_ids, ids, s = _cosine_score_matrix(qs, idx)
+        rows, nids, scs = _rowwise_topk(
+            s, ids, k, q_ids=q_ids if self_exclude else None
+        )
+        return pd.DataFrame(
+            {query_col: q_ids[rows], "neighbor_id": nids, "cos_raw": scs}
+        )
+
+    return score_pair
+
+
+def _cosine_pair_kernel(threshold: float, ordered: bool):
+    """Block-pair kernel: thresholded cosine pairs
+    (vec_a, vec_b, cos_raw). ``ordered=True`` emits each a < b pair once
+    (the symmetric all-pairs grid, where a pair meets exactly one block
+    pair); ``ordered=False`` emits min/max-normalized pairs for a
+    SAMPLED query side, where a pair with both endpoints sampled meets
+    the grid twice and the caller dedups."""
+
+    def score_pair(qs, idx):
+        import numpy as np
+        import pandas as pd
+
+        if qs.empty or idx.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
+            )
+        q_ids, ids, s = _cosine_score_matrix(qs, idx)
+        if ordered:
+            keep = (s >= threshold) & (q_ids[:, None] < ids[None, :])
+            rows, cols = np.nonzero(keep)
+            a, b = q_ids[rows], ids[cols]
+        else:
+            keep = (s >= threshold) & (q_ids[:, None] != ids[None, :])
+            rows, cols = np.nonzero(keep)
+            a = np.minimum(q_ids[rows], ids[cols])
+            b = np.maximum(q_ids[rows], ids[cols])
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_raw": s[rows, cols]})
+
+    return score_pair
+
+
 def cogroup_index_blocks(
     spark: SparkSession,
     sf_dir: str,
@@ -373,31 +447,13 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union of its per-index-block top-k, because every index vector
     lives in exactly one block). Ties broken by neighbor_id (lexsort), so
     the cutoff is deterministic. float32 → float64 before any arithmetic
-    (FIXTURES.md gotcha #5)."""
+    (FIXTURES.md gotcha #5; the shared _cosine_topk_kernel)."""
     k = _TOP_K
-
-    def score_pair(qs, idx):
-        import numpy as np
-        import pandas as pd
-
-        if qs.empty or idx.empty:
-            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos_raw": []}).astype(
-                {"vec_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"}
-            )
-        q_ids = qs["q_id"].to_numpy(dtype="int64")
-        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
-        ids = idx["vec_id"].to_numpy(dtype="int64")
-        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
-        q_norms = np.sqrt((q * q).sum(axis=1))
-        norms = np.sqrt((m * m).sum(axis=1))
-        s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
-        rows, nids, scs = _rowwise_topk(s, ids, k, q_ids=q_ids)
-        return pd.DataFrame(
-            {"vec_id": q_ids[rows], "neighbor_id": nids, "cos_raw": scs}
-        )
-
     cand = cogroup_index_blocks(
-        spark, sf_dir, score_pair, schema="vec_id long, neighbor_id long, cos_raw double"
+        spark,
+        sf_dir,
+        _cosine_topk_kernel(k),
+        schema="vec_id long, neighbor_id long, cos_raw double",
     )
     return _tier_cached(
         "cosine_topk",
@@ -908,26 +964,9 @@ def q_sim_search_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     one). One Spark job, no driver loop; disjoint sides, so the kernel
     needs no self-exclusion."""
     k = _SEARCH_TOP_K
-
-    def score_pair(qs, idx):
-        import numpy as np
-        import pandas as pd
-
-        if qs.empty or idx.empty:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cos_raw": []}
-            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"})
-        q_ids = qs["q_id"].to_numpy(dtype="int64")
-        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
-        ids = idx["vec_id"].to_numpy(dtype="int64")
-        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
-        s = (q @ m.T) / (
-            np.sqrt((q * q).sum(axis=1))[:, None] * np.sqrt((m * m).sum(axis=1))[None, :]
-        )
-        rows, nids, scs = _rowwise_topk(s, ids, k)
-        return pd.DataFrame(
-            {"query_id": q_ids[rows], "neighbor_id": nids, "cos_raw": scs}
-        )
+    # Asymmetric split (disjoint query/index sets): the shared top-k
+    # kernel with self-exclusion off.
+    score_pair = _cosine_topk_kernel(k, query_col="query_id", self_exclude=False)
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     is_query = _hash_split("qsplit")
@@ -1554,26 +1593,9 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the only growth is the block grid, both axes independently
     sized (the same geometry receipt as q_sim_search_split)."""
     k = _KNN_K
-
-    def score_pair(qs, idx):
-        import numpy as np
-        import pandas as pd
-
-        if qs.empty or idx.empty:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cos_raw": []}
-            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"})
-        q_ids = qs["q_id"].to_numpy(dtype="int64")
-        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
-        ids = idx["vec_id"].to_numpy(dtype="int64")
-        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
-        s = (q @ m.T) / (
-            np.sqrt((q * q).sum(axis=1))[:, None] * np.sqrt((m * m).sum(axis=1))[None, :]
-        )
-        rows, nids, scs = _rowwise_topk(s, ids, k)
-        return pd.DataFrame(
-            {"query_id": q_ids[rows], "neighbor_id": nids, "cos_raw": scs}
-        )
+    # Asymmetric split (disjoint query/index sets): the shared top-k
+    # kernel with self-exclusion off.
+    score_pair = _cosine_topk_kernel(k, query_col="query_id", self_exclude=False)
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     is_query = _hash_split("knnsplit")
@@ -1634,26 +1656,7 @@ def exact_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sample| x corpus via cogroup_block_pairs instead of the symmetric
     square. Cached per session like every tier output."""
     k = _TOP_K
-
-    def score_pair(qs, idx):
-        import numpy as np
-        import pandas as pd
-
-        if qs.empty or idx.empty:
-            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos_raw": []}).astype(
-                {"vec_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"}
-            )
-        q_ids = qs["q_id"].to_numpy(dtype="int64")
-        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
-        ids = idx["vec_id"].to_numpy(dtype="int64")
-        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
-        q_norms = np.sqrt((q * q).sum(axis=1))
-        norms = np.sqrt((m * m).sum(axis=1))
-        s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
-        rows, nids, scs = _rowwise_topk(s, ids, k, q_ids=q_ids)
-        return pd.DataFrame(
-            {"vec_id": q_ids[rows], "neighbor_id": nids, "cos_raw": scs}
-        )
+    score_pair = _cosine_topk_kernel(k)
 
     def build() -> DataFrame:
         # Rank independence makes two equivalent sources: if the FULL
@@ -1697,28 +1700,7 @@ def embedding_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sample| x corpus instead of all-pairs."""
     from mapreduce_framework_api_spark.operators.dedup import _COSINE_DUP_THRESHOLD
 
-    threshold = _COSINE_DUP_THRESHOLD
-
-    def score_pair(qs, idx):
-        import numpy as np
-        import pandas as pd
-
-        if qs.empty or idx.empty:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
-            )
-        q_ids = qs["q_id"].to_numpy(dtype="int64")
-        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
-        ids = idx["vec_id"].to_numpy(dtype="int64")
-        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
-        q_norms = np.sqrt((q * q).sum(axis=1))
-        norms = np.sqrt((m * m).sum(axis=1))
-        s = (q @ m.T) / (q_norms[:, None] * norms[None, :])
-        keep = (s >= threshold) & (q_ids[:, None] != ids[None, :])
-        rows, cols = np.nonzero(keep)
-        a = np.minimum(q_ids[rows], ids[cols])
-        b = np.maximum(q_ids[rows], ids[cols])
-        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_raw": s[rows, cols]})
+    score_pair = _cosine_pair_kernel(_COSINE_DUP_THRESHOLD, ordered=False)
 
     def build() -> DataFrame:
         e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2378,25 +2360,11 @@ def q_dedup_semdedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFra
     exactly as the unplanted twin does."""
     from mapreduce_framework_api_spark.operators.dedup import _COSINE_DUP_THRESHOLD
 
-    def score_pair(qs, idx):
-        import numpy as np
-        import pandas as pd
+    pair_kernel = _cosine_pair_kernel(_COSINE_DUP_THRESHOLD, ordered=True)
 
-        if qs.empty or idx.empty:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64"}
-            )
-        q_ids = qs["q_id"].to_numpy(dtype="int64")
-        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
-        ids = idx["vec_id"].to_numpy(dtype="int64")
-        m = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
-        s = (q @ m.T) / (
-            np.sqrt((q * q).sum(axis=1))[:, None]
-            * np.sqrt((m * m).sum(axis=1))[None, :]
-        )
-        keep = (s >= _COSINE_DUP_THRESHOLD) & (q_ids[:, None] < ids[None, :])
-        rows, cols = np.nonzero(keep)
-        return pd.DataFrame({"vec_a": q_ids[rows], "vec_b": ids[cols]})
+    def score_pair(qs, idx):
+        # The declared truth schema carries no score column.
+        return pair_kernel(qs, idx)[["vec_a", "vec_b"]]
 
     def truth_build() -> DataFrame:
         e = _planted_embeddings(spark, sf_dir)

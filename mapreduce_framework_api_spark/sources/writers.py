@@ -192,19 +192,44 @@ def compact_small_files(
                 seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
             )
             key = tuple(kv.get(c) for c in partition_cols)
+            # Files outside a full key=value tree (a previously
+            # unpartitioned write being re-laid-out) carry no usable
+            # key: they fall to the default one split below rather than
+            # polluting the sizing table.
+            if any(v is None for v in key):
+                continue
             dir_bytes[key] = dir_bytes.get(key, 0) + os.path.getsize(f)
-        split_expr = F.lit(1)
-        for key, b in dir_bytes.items():
-            nsplit = max(1, math.ceil(b / target_bytes))
-            match = F.lit(True)
-            for c, v in zip(partition_cols, key):
-                if v is not None:
-                    match = match & (F.col(c).cast("string") == F.lit(v))
-            split_expr = F.when(match, F.lit(nsplit)).otherwise(split_expr)
+        # Split counts route to rows via a BROADCAST-JOINED sizing frame
+        # (one row per partition value), not a per-value CASE chain — a
+        # few thousand partition dirs would otherwise build a
+        # few-thousand-node when-tree evaluated per row (this repo's own
+        # measured expression-tree pathology; see the LSH codes note).
+        sep = "\x1f"
+        sizing = [
+            (sep.join(k), max(1, math.ceil(b / target_bytes)))
+            for k, b in dir_bytes.items()
+        ]
+        key_expr = F.concat_ws(
+            sep, *[F.col(c).cast("string") for c in partition_cols]
+        )
+        # All-partition-column tables have no data columns to hash; rows
+        # within a partition are then indistinguishable and one split is
+        # the only meaningful layout — hash the partition key itself.
         data_cols = [c for c in df.columns if c not in partition_cols]
-        split = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), split_expr)
+        hash_cols = data_cols or list(partition_cols)
+        routed = df.withColumn("_pk", key_expr)
+        if sizing:
+            sizes_df = spark.createDataFrame(sizing, "_pk string, _nsplit int")
+            routed = routed.join(F.broadcast(sizes_df), "_pk", "left")
+        else:
+            routed = routed.withColumn("_nsplit", F.lit(1))
+        split = F.pmod(
+            F.xxhash64(*[F.col(c) for c in hash_cols]),
+            F.coalesce(F.col("_nsplit"), F.lit(1)),
+        )
         (
-            df.withColumn("_split", split)
+            routed.withColumn("_split", split)
+            .drop("_pk", "_nsplit")
             .repartition(*[F.col(c) for c in partition_cols], F.col("_split"))
             .drop("_split")
             .write.mode("overwrite")

@@ -856,9 +856,14 @@ def test_bottomk_estimator_membership_invariant(a, b):
         assert (x in skb) == (x in b)
     sample = low & ska
     hits = sample & skb
-    # For a genuine inclusion the estimator is exactly 1.0.
+    # For a genuine inclusion every sampled element of A is in B, so the
+    # estimate is exactly 1.0 WHENEVER the sample is non-empty. The
+    # sample CAN be empty (all of A ranking past B's bottom-k — e.g.
+    # A = {2^20}, B = {0..32, 2^20}); the engine guards sample > 0 and
+    # treats that as a probabilistic miss, so the test must not demand
+    # more than the tier claims.
     if a <= b:
-        assert sample and hits == sample
+        assert hits == sample
     # The estimate never exceeds 1 and is defined whenever sample is.
     if sample:
         assert 0.0 <= len(hits) / len(sample) <= 1.0

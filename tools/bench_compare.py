@@ -33,7 +33,13 @@ def corrected_baseline(
     out = dict(baseline)
     for name, c in corrections.items():
         if name not in out:
-            continue
+            # A correction naming a query absent from the baseline is the
+            # rename/removal drift this guard exists for — error, never a
+            # silent skip.
+            raise SystemExit(
+                f"correction for {name} has no baseline cell — the query was "
+                f"renamed or removed; fix BENCH_CORRECTIONS.json"
+            )
         if abs(out[name] - c["recorded"]) > 1e-9:
             raise SystemExit(
                 f"correction for {name} records {c['recorded']} but baseline "
@@ -47,10 +53,22 @@ def compare(current: dict, baseline: dict, corrections: dict) -> dict:
     base = corrected_baseline(baseline.get("queries", {}), corrections)
     cur = current.get("queries", {})
     common = sorted(set(base) & {k for k, v in cur.items() if v is not None})
+    # A non-positive baseline cell with real current cost is an INFINITE
+    # ratio, not a skip — silently dropping it would be the exact class
+    # of omission the isolate null-recording change was written against.
+    def over_gate(n: str) -> bool:
+        if base[n] > 0:
+            return cur[n] / base[n] > GATE
+        return cur[n] > 0.05  # any non-noise cost over a zero cell
+
     cells_over = {
-        n: {"baseline": base[n], "current": cur[n], "ratio": round(cur[n] / base[n], 2)}
+        n: {
+            "baseline": base[n],
+            "current": cur[n],
+            "ratio": round(cur[n] / base[n], 2) if base[n] > 0 else None,
+        }
         for n in common
-        if base[n] > 0 and cur[n] / base[n] > GATE
+        if over_gate(n)
     }
     tot_base = sum(base[n] for n in common)
     tot_cur = sum(cur[n] for n in common)
