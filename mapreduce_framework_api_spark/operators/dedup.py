@@ -1275,8 +1275,11 @@ def q_dedup_containment_est_recall(spark: SparkSession, sf_dir: str) -> DataFram
 # contained fragment with size ratio r = |A|/|B| is ~1 - (1-r)^k (see
 # q_dedup_containment_bk), so k = 32 holds >96% even at r = 0.1 — the
 # regime where resemblance banding collapses to ~coin-flip (the r8
-# q_dedup_containment_est_recall receipt: 5000/10000).
-_BK_K = 32
+# q_dedup_containment_est_recall receipt: 5000/10000). Env-tunable like
+# _SHINGLE_DF_CAP (a production corpus sizes k to its fragment-ratio
+# floor: candidate recall ~1-(1-r)^k); the oracle f-strings embed the
+# same value, so the differential check tracks any setting.
+_BK_K = int(os.environ.get("SPARK_GRAFT_BK_K", "32"))
 
 # Candidate prefilter: a pair of LARGE sets (both shingle sets overflow
 # the sketch, min(na, nb) > _BK_K) must share at least this many sketch
@@ -1293,7 +1296,10 @@ _BK_K = 32
 # corpus's short-doc inclusions pair on exactly one value — and small
 # sketches cannot fan out anyway. The count rides the same explode the
 # pair dedup needed, map-side combinable, so the prefilter costs nothing.
-_BK_MIN_SHARED = 2
+# Env-tunable: raising it is the precision knob for corpora where even
+# two-value collisions are common (the round-9 LSH-Ensemble evaluation's
+# conclusion — tune bottom-k, don't switch hash families).
+_BK_MIN_SHARED = int(os.environ.get("SPARK_GRAFT_BK_MIN_SHARED", "2"))
 
 _BK_ORACLE_CTES = f"""bk_t AS (
   SELECT doc_id,
