@@ -1564,6 +1564,114 @@ def q_dedup_containment_bk_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     return _pair_recall_frame(truth, cand)
 
 
+_BK_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def bk_corpus_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Persisted bottom-k containment index for the frozen 7/8 corpus —
+    the ingest-lane artifacts of the round-9 containment-native tier,
+    completing the modality set next to the minhash, prefix and SemDeDup
+    indexes: ``value_idx`` (h → width-capped sorted corpus-id list, one
+    row per calm sketch value) and ``corpus_sk`` (corpus_id, corpus_n,
+    corpus-side sketch — k + 2 longs per doc). Member lists carry ids
+    only; sketches attach by equi-join at probe time, so the inverted
+    index never duplicates a sketch across the up-to-k values it appears
+    under. Viral sketch values (boilerplate shingles with tiny hashes)
+    are dropped at the same df cap as the batch tier. Cached per
+    (application, sf_dir, fixture fingerprint) like its three lane
+    twins."""
+    key = session_cache_key(spark, sf_dir, "documents")
+    cached = _BK_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sk = _bk_sketch_table(spark, sf_dir).filter(~inc_is_new())
+    corpus_sk = sk.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("n").alias("corpus_n"),
+        F.col("sk").alias("corpus_sk"),
+    ).localCheckpoint()
+    value_idx = (
+        sk.select("doc_id", F.explode("sk").alias("h"))
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        # Width-1 buckets STAY (an arrival can match a lone corpus doc —
+        # unlike the batch self-join, a probe index has no pair-within
+        # step to make them useless); only viral values are dropped.
+        .filter(F.size("ds") <= _SHINGLE_DF_CAP)
+        .localCheckpoint()
+    )
+    _BK_INDEX_CACHE[key] = (value_idx, corpus_sk)
+    return value_idx, corpus_sk
+
+
+def bk_containment_check(
+    new_docs: DataFrame, value_idx: DataFrame, corpus_sk: DataFrame
+) -> DataFrame:
+    """Flag partial-inclusion duplicates of arriving documents against
+    the persisted bottom-k index: sketch the arrival (trigram kernel +
+    array_sort/slice), equi-join the value index on each sketch value,
+    explode colliding members, attach corpus sketches by id, then score
+    row-locally with the SAME merged-bottom-k estimator and guards as
+    q_dedup_containment_bk (min-shared prefilter with the small-set
+    exemption; sample > 0; threshold 0.8). Emits (new_id, corpus_id,
+    est_containment, new_is_contained) — new_is_contained says which
+    side is the fragment, the keep-longest resolution signal.
+
+    Every stage is a stateless per-row transform or stream-static
+    equi-join, so the SAME function serves batch callers and the
+    Structured Streaming twin
+    (streaming/pipelines.py::bk_containment_stream) — one semantics,
+    two runtimes, the incremental_check contract: a pair colliding on
+    several calm sketch values emits one row per value (append mode
+    cannot host a global dropDuplicates without unbounded state);
+    callers dedupe by pair key (a batch dropDuplicates / an idempotent
+    sink upsert). Dirty arrivals follow the jaccard-tier contract:
+    NULL-text and zero-token docs have no sketch and drop here."""
+    sk_new = (
+        new_docs.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("new_id"),
+            _shingle_hash_udf()("text").alias("harr"),
+        )
+        .select(
+            "new_id",
+            F.size("harr").alias("new_n"),
+            F.slice(F.array_sort("harr"), 1, _BK_K).alias("new_sk"),
+        )
+        .filter(F.col("new_n") > 0)
+    )
+    cand = (
+        sk_new.select("new_id", "new_n", "new_sk", F.explode("new_sk").alias("h"))
+        .join(value_idx, "h")
+        .select("new_id", "new_n", "new_sk", F.explode("ds").alias("corpus_id"))
+    )
+    j = cand.join(corpus_sk, "corpus_id")
+    shared = F.size(F.array_intersect("new_sk", "corpus_sk"))
+    prefilter = (shared >= _BK_MIN_SHARED) | (
+        F.least("new_n", "corpus_n") <= _BK_K
+    )
+    low = F.slice(F.array_sort(F.array_union("new_sk", "corpus_sk")), 1, _BK_K)
+    ka = F.size(F.array_intersect(low, F.col("new_sk")))
+    kb = F.size(F.array_intersect(low, F.col("corpus_sk")))
+    kboth = F.size(
+        F.array_intersect(F.array_intersect(low, F.col("new_sk")), F.col("corpus_sk"))
+    )
+    new_is_contained = F.col("new_n") <= F.col("corpus_n")
+    sample = F.when(new_is_contained, ka).otherwise(kb)
+    est = kboth.cast("double") / sample
+    return (
+        j.filter(prefilter & (sample > 0) & (est >= _CONTAINMENT_THRESHOLD))
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(est, 2).alias("est_containment"),
+            new_is_contained.alias("new_is_contained"),
+        )
+    )
+
+
 # ------------------------------------------------- embedding cosine --------
 
 _COSINE_DUP_THRESHOLD = 0.4

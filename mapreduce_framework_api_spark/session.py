@@ -104,6 +104,7 @@ def clear_session_caches() -> None:
         dedup._SHINGLE_TABLE_CACHE,
         dedup._BK_SKETCH_CACHE,
         dedup._BK_PAIR_CACHE,
+        dedup._BK_INDEX_CACHE,
         dedup._CONT_EST_CACHE,
         dedup._CLUSTER_LABEL_CACHE,
         dedup._INC_INDEX_CACHE,

@@ -719,6 +719,39 @@ def prefix_dedup_stream(
     return prefix_check(docs_stream.filter(inc_is_new()), bk, lookup)
 
 
+def bk_containment_stream(
+    spark: SparkSession, docs_stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the bottom-k containment ingest (round 9 —
+    the 4th lane modality next to minhash/prefix/SemDeDup): arriving
+    documents (the deterministic 1/8 ingest split) are probed against
+    the frozen corpus's persisted sketch-value index through the SAME
+    bk_containment_check transformation batch callers use, flagging
+    partial-inclusion arrivals (a fragment of a corpus doc, or an
+    arrival that CONTAINS a corpus fragment — the new_is_contained
+    signal drives keep-longest resolution) that the minhash lane's
+    resemblance banding structurally under-surfaces.
+
+    Stateless by the same design as its siblings: the trigram kernel,
+    array-side sketching, and the two stream-static equi-joins (value
+    probe, corpus-sketch fetch) are per-row, so NO watermark and NO
+    state store — cost follows arrival rate and sketch-collision
+    occupancy, never corpus size or stream lifetime. A pair colliding
+    on several calm sketch values emits one row per value (the
+    incremental_check multiplicity contract); the production sink
+    upserts by (new_id, corpus_id)."""
+    from mapreduce_framework_api_spark.operators.dedup import (
+        bk_containment_check,
+        bk_corpus_index,
+        inc_is_new,
+    )
+
+    value_idx, corpus_sk = bk_corpus_index(spark, sf_dir)
+    return bk_containment_check(
+        docs_stream.filter(inc_is_new()), value_idx, corpus_sk
+    )
+
+
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the embeddings parquet — the arriving-vector
     side of the SemDeDup ingest. Same staging discipline as

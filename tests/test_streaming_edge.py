@@ -486,3 +486,65 @@ def test_edge_minhash_dirty_arrivals(spark, edge_dir, tmp_path):
     for r in pair:
         assert r[2] == 1.0, r            # est_jaccard: identical signatures
         assert r[3] is None, r           # est_containment: NULL, never NaN
+
+
+def test_edge_bk_containment_ingest_equals_batch(spark, edge_dir, tmp_path):
+    """Round-9 4th ingest lane: bottom-k containment probing against the
+    frozen corpus index. Arrivals: NULL text (drops — jaccard-tier dirty
+    contract), zero-token punctuation (no sketch — drops), and a copy of
+    the planted mid-fragment (corpus doc 15's text, which is a contained
+    fragment of corpus doc 14 at jaccard ~0.08): the lane must flag it
+    against BOTH its identical corpus twin (15, est 1.0) and its
+    CONTAINER (14, est 1.0, new_is_contained=True) — exactly the
+    arrivals the minhash ingest lane structurally misses (its banding
+    receipt on this pair is the r8 5000/10000 instrument). Micro-batched
+    stream equals the batch lane row-for-row."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.operators.dedup import (
+        bk_containment_check,
+        bk_corpus_index,
+    )
+    from mapreduce_framework_api_spark.streaming.pipelines import run_to_memory
+
+    fragment = "dulcimer foxglove ampersand topaz brocade nimbus"  # == doc 15
+    rows = [
+        (9300, None, "en", "edge", None),          # NULL text: drops
+        (9301, "!!! ??? ... ---", "en", "edge", 15),  # zero tokens: no sketch
+        (9302, fragment, "en", "dup", len(fragment)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    stage = str(tmp_path / "dirty_bk_docs")
+    batch_df.write.parquet(stage)
+    value_idx, corpus_sk = bk_corpus_index(spark, edge_dir)
+
+    batch = sorted(
+        tuple(r)
+        for r in bk_containment_check(batch_df, value_idx, corpus_sk).collect()
+    )
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    run_to_memory(
+        bk_containment_check(stream_in, value_idx, corpus_sk),
+        "te_bk_dirty",
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in spark.table("te_bk_dirty").collect())
+    assert got == batch
+    emitted = {r[0] for r in got}
+    assert 9300 not in emitted and 9301 not in emitted
+    pairs = {(r[0], r[1]): r for r in got}
+    assert (9302, 14) in pairs, got  # the container the minhash lane misses
+    assert pairs[(9302, 14)][2] == 1.0 and pairs[(9302, 14)][3] is True
+    assert (9302, 15) in pairs, got  # the identical corpus twin
+    assert pairs[(9302, 15)][2] == 1.0

@@ -2,9 +2,9 @@
 bench scale through a REAL multi-micro-batch sequence and record the
 state-store trajectory per batch.
 
-Five lanes, three distinct bounded-state contracts (lanes 4 and 5 repeat
-lane 3's stateless contract for the prefix and SemDeDup ingest
-modalities):
+Six lanes, three distinct bounded-state contracts (lanes 4-6 repeat
+lane 3's stateless contract for the prefix, SemDeDup and bottom-k
+containment ingest modalities):
 
 1. ``sessionize_state`` (applyInPandasWithState, O(1)-state-per-user
    sessionizer) over 1M events / 10x the bench timeline with the SAME
@@ -348,6 +348,35 @@ def main() -> None:
         "gate_flat": bool(times) and max(times) <= 2.5 * median,
     }
 
+    # Lane 6: stateless bottom-k containment ingest (round 9 — the
+    # containment-native modality the minhash lane's resemblance banding
+    # structurally under-surfaces). Same gates as lanes 3-5: zero state
+    # rows, flat per-batch cost — the sketch kernel, value-index probe
+    # and corpus-sketch fetch are all per-row / stream-static.
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        bk_containment_stream,
+    )
+
+    t0 = time.time()
+    docs3 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(DOCS_DIR)
+    )
+    q = _drain(bk_containment_stream(spark, docs3, SF1), "bkcontain", "append")
+    rows = _progress_rows(q)
+    times = [r["batch_ms"] for r in rows[1:] if r["batch_ms"]]
+    times_sorted = sorted(times)
+    median = times_sorted[len(times_sorted) // 2] if times_sorted else 0
+    receipt["bk_containment"] = {
+        "wall_s": round(time.time() - t0, 1),
+        "batches": rows,
+        "state_rows_any": any(r["state_rows"] for r in rows),
+        "batch_ms_median": median,
+        "batch_ms_max": max(times) if times else 0,
+        "gate_flat": bool(times) and max(times) <= 2.5 * median,
+    }
+
     with open(RECEIPT, "w") as f:
         json.dump(receipt, f, indent=1)
     gates = {
@@ -356,6 +385,7 @@ def main() -> None:
         "incremental_dedup_flat": receipt["incremental_dedup"]["gate_flat"],
         "prefix_dedup_flat": receipt["prefix_dedup"]["gate_flat"],
         "semdedup_ingest_flat": receipt["semdedup_ingest"]["gate_flat"],
+        "bk_containment_flat": receipt["bk_containment"]["gate_flat"],
     }
     print(json.dumps({"receipt": RECEIPT, "gates": gates}))
     spark.stop()
