@@ -1564,6 +1564,66 @@ def q_dedup_containment_bk_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     return _pair_recall_frame(truth, cand)
 
 
+def bk_verified_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-containment rescoring of the bottom-k tier's candidates —
+    the q_dedup_minhash_verified composition applied to the containment
+    family: candidates from the cached bk pair table, FULL shingle
+    arrays fetched by two id-equi-joins against the session's shared
+    shingle table, one row-local array_intersect, exact |∩|/min >= 0.8
+    filter — cost ∝ |candidates|, never corpus-wide. Emits the exact
+    tier's schema (doc_contained, doc_container, containment).
+
+    Semantics, measured at sf1 (the round-9 study): this tier computes
+    containment over the FULL shingle sets, while q_dedup_containment
+    computes the documented STOP-SHINGLE-CAPPED containment (shared
+    shingles with df > cap are excluded before pair counting — the
+    viral-shingle bound that keeps the inverted index sub-quadratic).
+    The two agree exactly whenever no shared shingle is viral (pinned
+    by pytest on the adversarial corpus and sf0.001); on the 10x
+    replica corpus they diverge MEANINGFULLY: replicas overlap mostly
+    on corpus-common (viral) shingles, so the capped tier sees only
+    17,472 of the ~250,600 genuine >= 0.8-true-containment pairs, while
+    98% of the bk tier's 255,548 candidates verify as true inclusions
+    here. I.e. the bottom-k candidate family + this rescoring is not
+    just the cheap path — it is the only tier in the family that
+    measures uncapped containment at sub-quadratic cost (sketches are
+    built from the full arrays; candidate generation needs a shared
+    calm sketch VALUE, a far weaker requirement than a calm shared
+    shingle in every counted overlap). Library-level this round (the
+    round-9 verification window was exactly full); registers with its
+    composed oracle in round 10."""
+    cand = q_dedup_containment_bk(spark, sf_dir).select(
+        "doc_contained", "doc_container"
+    )
+    st = shingle_table(spark, sf_dir)
+    j = cand.join(
+        st.select(
+            F.col("doc_id").alias("doc_contained"),
+            F.col("harr").alias("ha"),
+            F.col("n").alias("na"),
+        ),
+        "doc_contained",
+    ).join(
+        st.select(
+            F.col("doc_id").alias("doc_container"),
+            F.col("harr").alias("hb"),
+            F.col("n").alias("nb"),
+        ),
+        "doc_container",
+    )
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    cont = inter / F.least("na", "nb")
+    return (
+        j.filter(cont >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_contained",
+            "doc_container",
+            F.round(cont, 2).alias("containment"),
+        )
+        .orderBy("doc_contained", "doc_container")
+    )
+
+
 _BK_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 

@@ -2164,3 +2164,27 @@ def test_sampled_truth_equals_filtered_full_tier(spark):
         assert standalone, "sample must be non-empty on the fixture"
     finally:
         clear_session_caches()
+
+
+def test_bk_verified_containment_recovers_exact_tier(spark):
+    """The precision lever over the bottom-k candidates: exact rescoring
+    must reproduce the exact containment tier's pair set EXACTLY wherever
+    bk recall is 1.0 (pinned on both the adversarial corpus, where the
+    recall twin reads 10000/10000, and the sf0.001 fixture) — candidates
+    in, exact support out, at cost ∝ |candidates|."""
+    from mapreduce_framework_api_spark.operators.dedup import (
+        bk_verified_containment,
+        q_dedup_containment,
+    )
+
+    import tools.edge_corpus as ec
+
+    for sf_dir in (ec.build(), "/root/testdata/sf0.001"):
+        exact = sorted(
+            tuple(r) for r in q_dedup_containment(spark, sf_dir)
+            .select("doc_contained", "doc_container", "containment").collect()
+        )
+        verified = sorted(
+            tuple(r) for r in bk_verified_containment(spark, sf_dir).collect()
+        )
+        assert verified == exact, sf_dir
