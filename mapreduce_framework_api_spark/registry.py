@@ -80,95 +80,88 @@ _LOADED = False
 # the suite is green at the round boundary too — the structural
 # cross-boundary red of rounds 7-8 is gone by construction.
 #
-# Round-9 window, by the standing policy:
-# (3) staleness retirement — ALL 32 r5-era receipts (the exact list the
-# round-8 test_window_policy printed at the boundary: the q_events_*
-# batch analytics block, six q_pipe_*, the robust-stats q_agg_* block,
-# q_join_asof_nearest/lateral_topn/fuzzy, three sketches,
-# q_text_vocab_coverage/keywords, q_merge_upsert, q_profile_columns,
-# q_dedup_embedding, q_set_ops_all, q_agg_unpivot).
-# (2) queries whose code MATERIALLY changes this round (7):
-# q_dedup_minhash_verified, q_dedup_minhash_recall,
-# q_dedup_simhash_recall (their verification arrays / exact-jaccard
-# truth tier now ride the round-9 shared shingle table — the session's
-# one trigram kernel invocation), q_dedup_semdedup_recall,
-# q_sim_ivf_recall, q_sim_lsh_recall, q_sim_pq_recall (recall truth
-# tiers bounded to a deterministic hash-sampled query subset so the
-# evaluation harness itself survives 100x — VERDICT r8 task 3). All
-# seven are also r6/r7-stale, so they spend their slots doubly well.
-# (1) queries NEW this round (2): q_dedup_containment_bk +
-# q_dedup_containment_bk_recall (bottom-k sketch containment — the
-# containment-native cheap tier the r8 recall instrument proved
-# necessary at 5000/10000; the r9 receipt on the same adversarial
-# corpus reads 10000/10000 with 4 candidates vs the est tier's 37).
-# As planned at rotation time, the two provisional holders
-# (q_dedup_decontaminate, q_dedup_repeated_chunks — both r6-green on
-# unchanged code) yielded these slots when the new queries registered;
-# they rotate with the remaining r6 block in round 10.
-# Remaining free slots (9) go to the stalest r6 receipts:
-# q_agg_rollup_reuse, q_agg_winsorized, q_dedup_canonical,
-# q_dedup_simhash, q_events_anomaly, q_events_autocorr, q_events_burst,
-# q_fn_map, q_join_asof. The 27 r6 receipts left over rotate in round
-# 10 (27 mandatory + 23 free — fits the 50 budget).
+# Round-10 window, by the standing policy (rotate-first commit):
+# (3) staleness retirement — ALL 27 remaining r6-era receipts (the exact
+# list test_window_policy/the receipt union yields at the round-9
+# boundary: the five similarity tiers + knn/outliers/search_split, the
+# BPE train+encode pair, decontaminate/repeated_chunks, the
+# gapfill/heatmap/interpolate events trio, q_mv_incremental,
+# q_privacy_kanonymity, five q_pipe_*, q_stream_topk_windowed,
+# q_text_inverted_index, q_text_langid_confusion,
+# q_multimodal_audio_stats). After this round no receipt older than r7
+# remains — the VERDICT r9 task-2 "done" condition.
+# (1) queries NEW this round (2): q_dedup_containment_bk_verified
+# (the true-containment rescoring tier, registered per VERDICT r9
+# task 1) + q_dedup_containment_bk_precision (the precision receipt
+# beside the bk recall twin). Per the r9 precedent, these two slots
+# are held provisionally by the two alphabetically-last r7 fills
+# (q_join_left, q_join_multi — both r7-green on unchanged code) until
+# the new queries register later this round, at which point the
+# holders yield and rotate with the remaining r7 block in round 11.
+# (2) queries whose code materially changes this round: none planned —
+# the round's source changes (ingest-lane calm-prefilter alignment,
+# compaction temp-column/NULL-sizing hardening) touch library lanes
+# covered by pytest, not registered-query plans.
+# Remaining free slots (21) go to the stalest r7 receipts in
+# deterministic (alphabetical) order. The 26 r7 receipts left over
+# rotate in round 11 (26 mandatory + 24 free — fits the 50 budget).
 #
 _WINDOW: tuple[str, ...] = (
-    # (3) staleness retirement: every r5-era receipt (32)
-    "q_agg_corr_exact",
-    "q_agg_mad",
-    "q_agg_string_agg",
-    "q_agg_unpivot",
-    "q_agg_weighted_median",
-    "q_dedup_embedding",
-    "q_events_cdc_compact",
-    "q_events_cooccurrence",
-    "q_events_latency_bands",
-    "q_events_ohlc",
-    "q_events_rfm",
-    "q_events_sessionize",
-    "q_events_streaks",
-    "q_events_timeweighted",
-    "q_events_transitions",
-    "q_join_asof_nearest",
-    "q_join_fuzzy",
-    "q_join_lateral_topn",
-    "q_merge_upsert",
-    "q_pipe_chunk_overlap",
-    "q_pipe_dataset_card",
-    "q_pipe_filter_cascade",
-    "q_pipe_pack_chunks",
-    "q_pipe_shuffle_order",
-    "q_pipe_upsample_epochs",
-    "q_profile_columns",
-    "q_set_ops_all",
-    "q_sketch_hist_quantile",
-    "q_sketch_hll_merge",
-    "q_sketch_hll_sliding",
-    "q_text_keywords",
-    "q_text_vocab_coverage",
-    # (2) code materially changes this round (7): shared shingle table
-    # (the three set-similarity receipts) + hash-sampled recall truth
-    # tiers (the four embedding-based recall instruments)
-    "q_dedup_minhash_verified",
-    "q_dedup_minhash_recall",
-    "q_dedup_simhash_recall",
-    "q_dedup_semdedup_recall",
-    "q_sim_ivf_recall",
-    "q_sim_lsh_recall",
-    "q_sim_pq_recall",
-    # (1) new this round (2) — slots yielded by the provisional holders
-    # (q_dedup_decontaminate, q_dedup_repeated_chunks; see note above)
-    "q_dedup_containment_bk",
-    "q_dedup_containment_bk_recall",
-    # stalest-r6 fill (9)
-    "q_agg_rollup_reuse",
-    "q_agg_winsorized",
-    "q_dedup_canonical",
-    "q_dedup_simhash",
-    "q_events_anomaly",
-    "q_events_autocorr",
-    "q_events_burst",
-    "q_fn_map",
-    "q_join_asof",
+    # (3) staleness retirement: every remaining r6-era receipt (27)
+    "q_dedup_decontaminate",
+    "q_dedup_repeated_chunks",
+    "q_events_gapfill",
+    "q_events_heatmap",
+    "q_events_interpolate",
+    "q_multimodal_audio_stats",
+    "q_mv_incremental",
+    "q_pipe_end_to_end",
+    "q_pipe_interleave",
+    "q_pipe_quantile_norm",
+    "q_pipe_snapshot_diff",
+    "q_pipe_split_leakage",
+    "q_pipe_token_budget",
+    "q_privacy_kanonymity",
+    "q_sim_ann_lsh",
+    "q_sim_cosine_topk",
+    "q_sim_ivf_topk",
+    "q_sim_knn_classify",
+    "q_sim_maxsim_topk",
+    "q_sim_outliers",
+    "q_sim_pq_topk",
+    "q_sim_search_split",
+    "q_stream_topk_windowed",
+    "q_text_bpe_encode",
+    "q_text_bpe_merges",
+    "q_text_inverted_index",
+    "q_text_langid_confusion",
+    # (1) new this round (2) — provisionally held by q_join_left /
+    # q_join_multi until q_dedup_containment_bk_verified and
+    # q_dedup_containment_bk_precision register later this round
+    "q_join_left",
+    "q_join_multi",
+    # stalest-r7 fill, alphabetical (21)
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_dedup_minhash",
+    "q_dedup_prefix_incremental",
+    "q_dedup_report",
+    "q_dedup_semdedup_incremental",
+    "q_dim_scd2",
+    "q_filter_pred",
+    "q_fn_array",
+    "q_fn_conditional",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_string",
+    "q_graph_bfs",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_inner",
 )
 
 
