@@ -1358,16 +1358,47 @@ _BK_ORACLE_CTES = f"""bk_t AS (
   GROUP BY l.doc_a, l.doc_b
 )"""
 
-_BK_ORACLE = f"""
-WITH {_BK_ORACLE_CTES}
-SELECT CASE WHEN x.n <= y.n THEN f.doc_a ELSE f.doc_b END AS doc_contained,
+# The tier's candidate select, shared verbatim by the standalone bk oracle
+# AND the verified/precision composed oracles (one fragment, zero drift —
+# the _JACCARD_ORACLE_CTES discipline).
+_BK_PAIRS_SELECT = f"""SELECT CASE WHEN x.n <= y.n THEN f.doc_a ELSE f.doc_b END AS doc_contained,
        CASE WHEN x.n <= y.n THEN f.doc_b ELSE f.doc_a END AS doc_container,
        ROUND(CAST(f.kboth AS DOUBLE)
              / (CASE WHEN x.n <= y.n THEN f.ka ELSE f.kb END), 2) AS est_containment
 FROM bk_flag f JOIN bk_sz x ON f.doc_a = x.doc_id JOIN bk_sz y ON f.doc_b = y.doc_id
 WHERE (CASE WHEN x.n <= y.n THEN f.ka ELSE f.kb END) > 0
   AND CAST(f.kboth AS DOUBLE)
-      / (CASE WHEN x.n <= y.n THEN f.ka ELSE f.kb END) >= {_CONTAINMENT_THRESHOLD}
+      / (CASE WHEN x.n <= y.n THEN f.ka ELSE f.kb END) >= {_CONTAINMENT_THRESHOLD}"""
+
+_BK_ORACLE = f"""
+WITH {_BK_ORACLE_CTES}
+{_BK_PAIRS_SELECT}
+ORDER BY doc_contained, doc_container
+"""
+
+# TRUE-containment rescoring of the bk candidates: exact |A∩B| over the
+# FULL (uncapped) distinct shingle-hash sets — bk_h/bk_sz above are
+# exactly those sets, so the rescoring joins reuse the tier's own CTEs.
+# Intentionally NOT the stop-shingle-capped count the exact tier's
+# `pairs` CTE uses: this tier measures uncapped containment (see the
+# engine docstring), and the two agree wherever no shared shingle is
+# viral (pytest-pinned on the adversarial corpus and sf0.001).
+_BK_VERIFIED_ORACLE = f"""
+WITH {_BK_ORACLE_CTES},
+bkv_cand AS (
+{_BK_PAIRS_SELECT}
+), bkv_ex AS (
+  SELECT c.doc_contained, c.doc_container, COUNT(*) AS inter
+  FROM bkv_cand c
+       JOIN bk_h a ON a.doc_id = c.doc_contained
+       JOIN bk_h b ON b.doc_id = c.doc_container AND b.h = a.h
+  GROUP BY c.doc_contained, c.doc_container
+)
+SELECT e.doc_contained, e.doc_container,
+       ROUND(CAST(e.inter AS DOUBLE) / LEAST(x.n, y.n), 2) AS containment
+FROM bkv_ex e JOIN bk_sz x ON e.doc_contained = x.doc_id
+     JOIN bk_sz y ON e.doc_container = y.doc_id
+WHERE CAST(e.inter AS DOUBLE) / LEAST(x.n, y.n) >= {_CONTAINMENT_THRESHOLD}
 ORDER BY doc_contained, doc_container
 """
 
@@ -1564,6 +1595,11 @@ def q_dedup_containment_bk_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     return _pair_recall_frame(truth, cand)
 
 
+@register(
+    "q_dedup_containment_bk_verified",
+    group="I",
+    oracle=_BK_VERIFIED_ORACLE,
+)
 def bk_verified_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE-containment rescoring of the bottom-k tier's candidates —
     the q_dedup_minhash_verified composition applied to the containment
@@ -1589,9 +1625,10 @@ def bk_verified_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures uncapped containment at sub-quadratic cost (sketches are
     built from the full arrays; candidate generation needs a shared
     calm sketch VALUE, a far weaker requirement than a calm shared
-    shingle in every counted overlap). Library-level this round (the
-    round-9 verification window was exactly full); registers with its
-    composed oracle in round 10."""
+    shingle in every counted overlap). Registered round 10 (VERDICT r9
+    task 1) with a composed oracle: candidates = the tier's own
+    _BK_PAIRS_SELECT fragment, rescoring = exact uncapped |∩| over the
+    bk_h full shingle-hash sets — both nested verbatim, zero drift."""
     cand = q_dedup_containment_bk(spark, sf_dir).select(
         "doc_contained", "doc_container"
     )
@@ -1621,6 +1658,54 @@ def bk_verified_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 2).alias("containment"),
         )
         .orderBy("doc_contained", "doc_container")
+    )
+
+
+def _containment_bk_precision_oracle() -> str:
+    """Composed oracle for the bk precision receipt: candidates = the bk
+    tier's full oracle, verified = the true-containment rescoring oracle
+    — both nested verbatim (the recall twin's discipline). Verified is a
+    subset of candidates by construction, so the metric needs only the
+    two counts."""
+    return f"""
+WITH cand AS ({_BK_ORACLE}),
+     ver AS ({_BK_VERIFIED_ORACLE})
+SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM ver) AS BIGINT) AS n_verified,
+       CAST(FLOOR((SELECT COUNT(*) FROM ver) * 10000.0
+                  / GREATEST((SELECT COUNT(*) FROM cand), 1)) AS BIGINT)
+         AS precision_x10000
+"""
+
+
+@register(
+    "q_dedup_containment_bk_precision",
+    group="I",
+    oracle=_containment_bk_precision_oracle(),
+)
+def q_dedup_containment_bk_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the bottom-k containment tier's >= 0.8 estimates
+    against exact uncapped true containment at the same bar — the
+    receipt beside the recall twin that closes the round-9 knob study's
+    conclusion ("recall 1.0 everywhere; the precision lever is exact
+    rescoring of candidates, not knobs"): the fraction of the tier's
+    candidates that SURVIVE the q_dedup_containment_bk_verified
+    rescoring. Verified rows are a subset of the candidate rows by
+    construction (rescoring filters the cached bk pair table), so the
+    metric is two single-row counts over already-materialized session
+    artifacts — one broadcast cross, zero new corpus passes."""
+    cand = q_dedup_containment_bk(spark, sf_dir)
+    ver = bk_verified_containment(spark, sf_dir)
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_ver = ver.agg(F.count("*").cast("long").alias("n_verified"))
+    return n_cand.crossJoin(F.broadcast(n_ver)).select(
+        "n_candidates",
+        "n_verified",
+        F.floor(
+            F.col("n_verified") * 10000.0 / F.greatest(F.col("n_candidates"), F.lit(1))
+        )
+        .cast("long")
+        .alias("precision_x10000"),
     )
 
 

@@ -135,11 +135,11 @@ _WINDOW: tuple[str, ...] = (
     "q_text_bpe_merges",
     "q_text_inverted_index",
     "q_text_langid_confusion",
-    # (1) new this round (2) — provisionally held by q_join_left /
-    # q_join_multi until q_dedup_containment_bk_verified and
-    # q_dedup_containment_bk_precision register later this round
-    "q_join_left",
-    "q_join_multi",
+    # (1) new this round (2) — slots yielded by the rotation commit's
+    # provisional holders (q_join_left, q_join_multi — both r7-green on
+    # unchanged code; they rotate with the remaining r7 block in r11)
+    "q_dedup_containment_bk_verified",
+    "q_dedup_containment_bk_precision",
     # stalest-r7 fill, alphabetical (21)
     "q_agg_percentile",
     "q_agg_stats",

@@ -2118,6 +2118,34 @@ def test_containment_bk_closes_banding_blind_spot(spark):
     assert row["recall_x10000"] > est_row["recall_x10000"], (row, est_row)
 
 
+def test_containment_bk_precision_receipt(spark):
+    """The round-10 precision twin (VERDICT r9 task 1): verified count is
+    a subset count of the candidate count, precision_x10000 is their
+    exact floor ratio, and — on the adversarial corpus, where the bk
+    recall twin reads full recall and every planted candidate is a true
+    inclusion over uncapped shingle sets — the verified tier must KEEP
+    the planted (15, 14) fragment pair at containment 1.0."""
+    from mapreduce_framework_api_spark.operators.dedup import (
+        bk_verified_containment,
+    )
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    import tools.edge_corpus as ec
+
+    dst = ec.build()
+    q = load_all_queries()
+    cand = q["q_dedup_containment_bk"].fn(spark, dst).collect()
+    ver = bk_verified_containment(spark, dst).collect()
+    (row,) = q["q_dedup_containment_bk_precision"].fn(spark, dst).collect()
+    assert row["n_candidates"] == len(cand)
+    assert row["n_verified"] == len(ver) <= len(cand)
+    assert row["precision_x10000"] == (
+        len(ver) * 10000 // max(len(cand), 1)
+    ), row
+    by_pair = {(r["doc_contained"], r["doc_container"]): r for r in ver}
+    assert (15, 14) in by_pair and by_pair[(15, 14)]["containment"] == 1.0
+
+
 def test_incremental_ingest_carries_containment_estimate(spark):
     """The ingest lane's round-8 containment column: for every emitted
     pair the estimate is >= est_jaccard (algebraically: (na+nb)/min >= 2
