@@ -32,7 +32,7 @@ _EVAL_PREFIX = "10"  # md5(doc_id) hex prefix below this => eval doc (~6.25%)
 
 # DuckDB mirror: identical tokenization, identical k=8 shingles with the
 # whole-text fallback for short docs, the same md5-prefix eval split, and
-# the same distinct-overlap counts. String shingles here vs 63-bit hashed
+# the same distinct-overlap counts. String shingles here vs 60-bit hashed
 # shingles on the Spark side — set overlap is hash-invariant, and this
 # string-level oracle is the collision canary.
 _DECON_NGRAM_EXPR = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_DECON_K))

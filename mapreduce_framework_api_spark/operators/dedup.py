@@ -438,7 +438,7 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: candidates (pre-estimate, all banded pairs) are
     deduplicated on the pair key, then each side picks up its full
-    63-bit-hashed shingle set via two hash equi-joins on doc_id;
+    60-bit-hashed shingle set via two hash equi-joins on doc_id;
     |A ∩ B| = size(array_intersect) evaluates row-local, and exact Jaccard
     = |∩| / (|A| + |B| − |∩|) filters at the same 0.5 threshold as the
     exact tier. Unlike the df-capped corpus-wide tier
@@ -649,8 +649,8 @@ def _simhash_sig_udf():
 
 
 def _shingle_hash_udf(k: int = 3):
-    """pandas_udf: text -> array<long> of DISTINCT 63-bit k-shingle hashes
-    (md5-derived; NORMALIZED-token-join fallback for docs shorter than k
+    """pandas_udf: text -> array<long> of DISTINCT 60-bit k-shingle hashes
+    (15 md5 hex chars — the h63 helper's name is historical; NORMALIZED-token-join fallback for docs shorter than k
     tokens, matching the jaccard-family oracles — NOT _shingles' raw-text
     fallback, which belongs to the minhash pipeline and its own oracle).
     Set-overlap measures (Jaccard, contamination counts) are invariant
@@ -971,7 +971,7 @@ def scored_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     # Shingles are shuffled as 8-byte hash values, not strings: Jaccard is
     # computed from |∩| and set sizes, both invariant under an injective
-    # hash, so the equi-join keys shrink ~4× with identical results (63-bit
+    # hash, so the equi-join keys shrink ~4× with identical results (60-bit
     # collision odds at ~1e6 distinct shingles: ~1e-7 — the string oracle
     # below is the collision canary). The hashes come from the session's
     # shared shingle table (round 9: the one corpus-wide trigram kernel
@@ -1409,7 +1409,7 @@ _BK_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _bk_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n, sk): each document's bottom-k sketch — the _BK_K
-    smallest of its 63-bit shingle hashes — as a pure array projection
+    smallest of its 60-bit shingle hashes — as a pure array projection
     (array_sort + slice, whole-stage codegen) over the shared shingle
     table. Zero new corpus-wide kernels: the trigram kernel already ran
     once building shingle_table. Session-cached and eagerly materialized
@@ -1724,19 +1724,25 @@ def bk_corpus_index(
     only; sketches attach by equi-join at probe time, so the inverted
     index never duplicates a sketch across the up-to-k values it appears
     under. Viral sketch values (boilerplate shingles with tiny hashes)
-    are dropped at the same df cap as the batch tier. Cached per
-    (application, sf_dir, fixture fingerprint) like its three lane
-    twins."""
+    are dropped at the same df cap as the batch tier.
+
+    ``corpus_sk`` additionally carries ``corpus_calm_sk`` — the CALM
+    subset of each doc's sketch (the values that survived the df cap,
+    i.e. appear in the value index) — so the probe-time min-shared
+    prefilter counts calm co-occurrences only, matching the batch
+    tier's calm-bucket counting WITHOUT a streaming-side aggregation
+    (round-10 advice fix: intersecting FULL sketches let a large-set
+    pair sharing 1 calm + 1 viral value pass the ingest prefilter the
+    batch tier would drop). Derived from the value index itself at
+    build time (one explode + collect-back, batch-side, static), so
+    the two artifacts can never disagree about which values are viral.
+    Cached per (application, sf_dir, fixture fingerprint) like its
+    three lane twins."""
     key = session_cache_key(spark, sf_dir, "documents")
     cached = _BK_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
     sk = _bk_sketch_table(spark, sf_dir).filter(~inc_is_new())
-    corpus_sk = sk.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.col("n").alias("corpus_n"),
-        F.col("sk").alias("corpus_sk"),
-    ).localCheckpoint()
     value_idx = (
         sk.select("doc_id", F.explode("sk").alias("h"))
         .groupBy("h")
@@ -1745,6 +1751,27 @@ def bk_corpus_index(
         # unlike the batch self-join, a probe index has no pair-within
         # step to make them useless); only viral values are dropped.
         .filter(F.size("ds") <= _SHINGLE_DF_CAP)
+        .localCheckpoint()
+    )
+    calm = (
+        value_idx.select("h", F.explode("ds").alias("corpus_id"))
+        .groupBy("corpus_id")
+        .agg(F.sort_array(F.collect_list("h")).alias("corpus_calm_sk"))
+    )
+    corpus_sk = (
+        sk.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("n").alias("corpus_n"),
+            F.col("sk").alias("corpus_sk"),
+        )
+        # Left join: a doc whose every sketch value is viral keeps an
+        # empty calm set (it can never collide through the index anyway,
+        # but it must not drop out of the sketch side's schema).
+        .join(calm, "corpus_id", "left")
+        .withColumn(
+            "corpus_calm_sk",
+            F.coalesce("corpus_calm_sk", F.array().cast("array<bigint>")),
+        )
         .localCheckpoint()
     )
     _BK_INDEX_CACHE[key] = (value_idx, corpus_sk)
@@ -1759,8 +1786,10 @@ def bk_containment_check(
     array_sort/slice), equi-join the value index on each sketch value,
     explode colliding members, attach corpus sketches by id, then score
     row-locally with the SAME merged-bottom-k estimator and guards as
-    q_dedup_containment_bk (min-shared prefilter with the small-set
-    exemption; sample > 0; threshold 0.8). Emits (new_id, corpus_id,
+    q_dedup_containment_bk (min-shared prefilter counting CALM shared
+    values only — via the index's corpus_calm_sk column, see
+    bk_corpus_index — with the small-set exemption; sample > 0;
+    threshold 0.8). Emits (new_id, corpus_id,
     est_containment, new_is_contained) — new_is_contained says which
     side is the fragment, the keep-longest resolution signal.
 
@@ -1793,7 +1822,13 @@ def bk_containment_check(
         .select("new_id", "new_n", "new_sk", F.explode("ds").alias("corpus_id"))
     )
     j = cand.join(corpus_sk, "corpus_id")
-    shared = F.size(F.array_intersect("new_sk", "corpus_sk"))
+    # Calm co-occurrences ONLY (corpus_calm_sk = the corpus doc's sketch
+    # values that survived the df cap), matching the batch tier's
+    # calm-bucket counting — a full-sketch intersect would also count
+    # viral values the batch tier never sees (round-10 advice fix). A
+    # row-local intersect instead of counting exploded cand rows per
+    # pair keeps the lane aggregation-free, i.e. streaming-append-safe.
+    shared = F.size(F.array_intersect("new_sk", "corpus_calm_sk"))
     prefilter = (shared >= _BK_MIN_SHARED) | (
         F.least("new_n", "corpus_n") <= _BK_K
     )

@@ -204,13 +204,37 @@ def compact_small_files(
         # few thousand partition dirs would otherwise build a
         # few-thousand-node when-tree evaluated per row (this repo's own
         # measured expression-tree pathology; see the LSH codes note).
+        #
+        # The temp columns below (_pk/_nsplit/_split) would silently
+        # clobber-and-drop same-named table columns — and the row-count
+        # gate would still pass (counts unchanged, column gone) — so a
+        # collision is an explicit error, not a layout quirk (round-10
+        # advice fix).
+        taken = set(df.columns) & {"_pk", "_nsplit", "_split"}
+        if taken:
+            raise ValueError(
+                f"compact_small_files uses temp columns {sorted(taken)} that "
+                f"already exist in the table; rename them before compacting"
+            )
         sep = "\x1f"
         sizing = [
             (sep.join(k), max(1, math.ceil(b / target_bytes)))
             for k, b in dir_bytes.items()
         ]
+        # NULL partition values: concat_ws SKIPS nulls, which would alias
+        # distinct partition tuples onto one sizing key in the
+        # multi-column case (sizing-only — row routing uses the real
+        # columns). The directory side already encodes nulls as Spark's
+        # __HIVE_DEFAULT_PARTITION__ segment, so coalescing to that same
+        # placeholder makes null partitions join their own sizing row.
         key_expr = F.concat_ws(
-            sep, *[F.col(c).cast("string") for c in partition_cols]
+            sep,
+            *[
+                F.coalesce(
+                    F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")
+                )
+                for c in partition_cols
+            ],
         )
         # All-partition-column tables have no data columns to hash; rows
         # within a partition are then indistinguishable and one split is

@@ -124,3 +124,45 @@ def test_window_policy():
         f"queries stranded past the staleness bound (last receipt < r{horizon}, "
         f"not scheduled this round): {stranded}"
     )
+
+
+def test_every_module_level_cache_is_wired_into_the_clearer():
+    """Structural completeness of clear_session_caches (VERDICT r9 task
+    6): every module-level ``*_CACHE`` dict anywhere in the package must
+    be emptied by the clearer — the partitioning-invariance sweep's
+    correctness depends on it, and the r7 _PREFIX_INDEX_CACHE escape
+    (a new cache added without wiring) has already recurred once. The
+    test discovers caches by reflection over EVERY package module (so a
+    cache added to a module the clearer doesn't even import yet still
+    fails here), plants a sentinel in each, calls the clearer, and
+    requires all of them empty. No Spark needed: the dicts are plain
+    module globals."""
+    import importlib
+    import pkgutil
+
+    import mapreduce_framework_api_spark as pkg
+    from mapreduce_framework_api_spark.session import clear_session_caches
+
+    found = {}  # "module.NAME" -> dict object
+    for m in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
+        mod = importlib.import_module(m.name)
+        for attr, val in vars(mod).items():
+            if attr.endswith("_CACHE") and isinstance(val, dict):
+                found[f"{m.name}.{attr}"] = val
+    assert len(found) >= 18, (
+        f"reflection found only {len(found)} caches — the scan itself broke: "
+        f"{sorted(found)}"
+    )
+    sentinel = ("__cache_wiring_probe__",)
+    for d in found.values():
+        d[sentinel] = None
+    try:
+        clear_session_caches()
+        unwired = sorted(name for name, d in found.items() if d)
+        assert not unwired, (
+            f"module-level caches NOT cleared by clear_session_caches "
+            f"(wire them in session.py): {unwired}"
+        )
+    finally:
+        for d in found.values():
+            d.pop(sentinel, None)

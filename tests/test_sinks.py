@@ -4,6 +4,8 @@ the reference's formatted text contract (SURVEY.md §2.5)."""
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_DIR
@@ -205,4 +207,98 @@ def test_compact_small_files_handles_partition_skew(spark, tmp_path):
     for d in range(1, 10):
         cold = _glob.glob(f"{p}/dt={d}/part-*")
         assert len(cold) == 1, (d, cold)
+    assert read_any(spark, p).count() == before_rows
+
+
+def test_compact_swap_crash_between_renames_is_recoverable(spark, tmp_path, monkeypatch):
+    """The round-9 rename-aside swap's failure-window contract, as a test
+    (VERDICT r9 task 5): a crash BETWEEN the two renames (live table
+    already moved aside, staging not yet promoted) must leave the full
+    table intact at <path>._compact_old AND the complete compacted copy
+    in staging — recoverable by hand or by the next run — never a
+    deleted table. Simulated by making the SECOND os.rename raise."""
+    import os as _os
+
+    from mapreduce_framework_api_spark.sources.readers import read_any
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "crashy")
+    spark.range(2000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("v")
+    ).repartition(8).write.parquet(p)
+    before_rows = sorted(tuple(r) for r in read_any(spark, p).collect())
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash between the two renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", failing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_small_files(spark, p, target_bytes=1 << 20)
+    monkeypatch.setattr("os.rename", real_rename)
+
+    old = p + "._compact_old"
+    staging = p + "._compact_staging"
+    assert not _os.path.exists(p), "live path was mid-swap at the crash"
+    assert _os.path.isdir(old) and _os.path.isdir(staging)
+    # Both surviving copies are COMPLETE — recovery is one rename of
+    # either (old = the untouched original, staging = the compacted copy).
+    assert sorted(tuple(r) for r in read_any(spark, old).collect()) == before_rows
+    assert (
+        sorted(tuple(r) for r in read_any(spark, staging).collect()) == before_rows
+    )
+
+
+def test_compact_rejects_temp_column_collision(spark, tmp_path):
+    """Round-10 advice fix: a table that already has a _pk/_nsplit/_split
+    column must be an explicit error — the partitioned path's temp
+    columns would otherwise silently clobber and then DROP it while the
+    row-count gate still passes."""
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "collide")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).alias("dt"), F.lit(1).alias("_split")
+    ).write.partitionBy("dt").parquet(p)
+    with pytest.raises(ValueError, match="_split"):
+        compact_small_files(spark, p, target_bytes=1 << 20, partition_cols=["dt"])
+    # The table is untouched: the guard fires before any write or swap.
+    assert spark.read.parquet(p).count() == 100
+
+
+def test_compact_null_partition_gets_own_sizing_row(spark, tmp_path):
+    """Round-10 advice fix: NULL partition values (written by Spark as
+    __HIVE_DEFAULT_PARTITION__ directories) must join their OWN sizing
+    row — concat_ws used to skip NULLs, aliasing distinct partition
+    tuples onto one sizing key. A fragmented NULL partition with ~10x
+    the bytes of its siblings must compact to multiple target-sized
+    files (the aliased sizing collapsed or missized it), with rows
+    intact."""
+    import glob as _glob
+
+    from mapreduce_framework_api_spark.sources.readers import read_any
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "nullpart")
+    src = spark.range(110_000).select(
+        F.col("id"),
+        F.when(F.col("id") < 100_000, F.lit(None).cast("string")).otherwise(
+            F.lit("a")
+        ).alias("dt"),
+        F.md5(F.col("id").cast("string")).alias("v"),
+    )
+    src.repartition(16).write.partitionBy("dt").parquet(p)
+    before_rows = read_any(spark, p).count()
+    target = 1 << 20  # NULL partition ~5MB of parquet -> several files
+    compact_small_files(spark, p, target_bytes=target, partition_cols=["dt"])
+    null_files = _glob.glob(f"{p}/dt=__HIVE_DEFAULT_PARTITION__/part-*")
+    assert len(null_files) >= 2, "null partition lost its own sizing row"
+    for f in null_files:
+        assert os.path.getsize(f) <= 2 * target, (f, os.path.getsize(f))
+    assert len(_glob.glob(f"{p}/dt=a/part-*")) == 1
     assert read_any(spark, p).count() == before_rows

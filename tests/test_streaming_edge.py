@@ -548,3 +548,93 @@ def test_edge_bk_containment_ingest_equals_batch(spark, edge_dir, tmp_path):
     assert pairs[(9302, 14)][2] == 1.0 and pairs[(9302, 14)][3] is True
     assert (9302, 15) in pairs, got  # the identical corpus twin
     assert pairs[(9302, 15)][2] == 1.0
+
+
+def test_bk_ingest_prefilter_counts_calm_values_only(spark, tmp_path, monkeypatch):
+    """Round-10 advice fix: the ingest lane's min-shared prefilter must
+    count CALM shared sketch values (the batch tier's calm-bucket
+    co-occurrence semantics), not full-sketch intersections — a
+    large-set pair sharing 1 calm + many VIRAL values used to pass the
+    ingest prefilter while the batch tier filtered it.
+
+    Constructed divergence case (df cap monkeypatched to 2): three
+    frozen corpus docs share a 36-token body B, so B's 34 internal
+    trigrams have df 3 → viral; each doc's 4 suffix/boundary trigrams
+    are df-1 calm. Docs have 38 shingles (> k=32: no small-set
+    exemption). Arrival 9000 = B + 'p1 x2 y2 z2' shares with corpus
+    doc 2 (B + 'x2 y2 z2 w2') exactly ONE calm trigram ('x2 y2 z2')
+    plus the viral body — measured on the built artifacts: 29
+    full-sketch shared values (the old prefilter passed), 1 calm
+    shared, est 0.93 >= threshold — so ONLY the calm-counting
+    prefilter drops it. Control arrival 9001 (doc 2's exact text, 4
+    calm shared) must still emit at est 1.0."""
+    import os
+
+    from pyspark.sql import types as T
+
+    import mapreduce_framework_api_spark.operators.dedup as dedup
+
+    monkeypatch.setattr(dedup, "_SHINGLE_DF_CAP", 2)
+    B = " ".join(f"b{i:02d}" for i in range(1, 37))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    d = str(tmp_path / "calm_corpus")
+    # doc_ids 1-3 are all frozen under inc_is_new's md5 split.
+    spark.createDataFrame(
+        [
+            (1, B + " c1a c1b c1c c1d", "en", "edge", 10),
+            (2, B + " x2 y2 z2 w2", "en", "edge", 10),
+            (3, B + " c3a c3b c3c c3d", "en", "edge", 10),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    value_idx, corpus_sk = dedup.bk_corpus_index(spark, d)
+
+    new_df = spark.createDataFrame(
+        [
+            (9000, B + " p1 x2 y2 z2", "en", "dup", 10),
+            (9001, B + " x2 y2 z2 w2", "en", "dup", 10),
+        ],
+        schema,
+    )
+    got = sorted(
+        set(
+            (r["new_id"], r["corpus_id"], r["est_containment"])
+            for r in dedup.bk_containment_check(
+                new_df, value_idx, corpus_sk
+            ).collect()
+        )
+    )
+    assert got == [(9001, 2, 1.0)], got
+
+    # The discriminator receipt: pair (9000, 2) fails ONLY the calm
+    # count — its full-sketch intersection and estimate both clear the
+    # old bars, so this corpus genuinely exercises the advice's case.
+    sk_new = (
+        new_df.filter(F.col("doc_id") == 9000)
+        .select(dedup._shingle_hash_udf()("text").alias("harr"))
+        .select(
+            F.size("harr").alias("new_n"),
+            F.slice(F.array_sort("harr"), 1, dedup._BK_K).alias("new_sk"),
+        )
+    )
+    r = (
+        sk_new.crossJoin(corpus_sk.filter(F.col("corpus_id") == 2))
+        .select(
+            F.size(F.array_intersect("new_sk", "corpus_sk")).alias("full"),
+            F.size(F.array_intersect("new_sk", "corpus_calm_sk")).alias("calm"),
+            "new_n",
+            "corpus_n",
+        )
+        .collect()[0]
+    )
+    assert r["full"] >= dedup._BK_MIN_SHARED, r  # old prefilter passed
+    assert r["calm"] < dedup._BK_MIN_SHARED, r  # calm counting drops it
+    assert min(r["new_n"], r["corpus_n"]) > dedup._BK_K, r  # no exemption
