@@ -285,6 +285,72 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4,
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
+# Frame-inventory oracle. The fake flipbook sampler slices the payload
+# into 64-byte frames and keeps every 4th; DuckDB in this environment has
+# no BLOB substring/md5, so the oracle slices in HEX space — hex(payload)
+# is a string, one byte == 2 hex chars, and hex()/substring()/md5() are
+# bit-identical across engines (uppercase, 1-based; verified) — so
+# md5(hex(frame)) is a full CONTENT check, not just byte accounting.
+# NULL-text docs have a NULL payload and are skipped by the sampler on
+# both sides; an empty payload is one empty frame (md5('') both engines).
+_MM_FRAMES_SQL = """
+WITH vf AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL
+), fr AS (
+  SELECT doc_id,
+         unnest(range(0, GREATEST(n // 64, 1), 4)) AS fi,
+         hx
+  FROM vf
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(length(substring(hx, CAST(fi * 128 + 1 AS BIGINT), 128)) // 2
+            AS BIGINT) AS frame_bytes,
+       md5(substring(hx, CAST(fi * 128 + 1 AS BIGINT), 128)) AS frame_hex_md5
+FROM fr
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register(
+    "q_multimodal_video_frames",
+    group="I",
+    oracle=_MM_FRAMES_SQL,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling inventory — the 1→many demux contract as a
+    declared, oracle-checked query (round 10: the last pytest-only
+    multimodal lane, following the audio/image lanes' round-7/8 path
+    from library function to driver-hashed capability). Documents stand
+    in as video payloads (kind='video', text bytes = the encoded
+    stream); ``frame_sample``'s deterministic flipbook sampler cuts
+    64-byte frames and keeps every 4th, and the query emits one row per
+    sampled frame: (doc_id, frame_idx, frame_bytes, frame_hex_md5) —
+    the md5 of the frame's hex rendering, a full content check chosen
+    because it is computable identically in DuckDB (no BLOB md5 there;
+    see _MM_FRAMES_SQL).
+
+    Scale shape: the sampler is Arrow-batched mapInPandas — output
+    batches need not align with input rows, so the 1→many explosion
+    never materializes a JVM-side explode row set, frames inherit the
+    scan's partitioning (parallelism = file splits, zero shuffle before
+    the presentation sort), and a real ffmpeg keyframe demuxer swaps in
+    behind the identical dataframe contract (frame_sample's fake=False
+    guard). Dirty rows follow the sampler's contract: NULL payloads
+    drop, empty payloads yield one empty frame."""
+    media = as_media(table(spark, sf_dir, "documents")).withColumn(
+        "kind", F.lit("video")
+    )
+    frames = frame_sample(media, frame_bytes=64, every_n=4, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+        F.md5(F.hex("frame")).alias("frame_hex_md5"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 # Per-(lang, source) corpus profile, emitted in engine-independent bytes.
 # Round 1 hashed the interpolated percentile (Spark `percentile` vs DuckDB
 # `quantile_cont`) and a ROUND(avg,2): both can flip at a .xx5 tie because

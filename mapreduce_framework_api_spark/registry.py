@@ -90,21 +90,23 @@ _LOADED = False
 # q_text_inverted_index, q_text_langid_confusion,
 # q_multimodal_audio_stats). After this round no receipt older than r7
 # remains — the VERDICT r9 task-2 "done" condition.
-# (1) queries NEW this round (2): q_dedup_containment_bk_verified
+# (1) queries NEW this round (3): q_dedup_containment_bk_verified
 # (the true-containment rescoring tier, registered per VERDICT r9
 # task 1) + q_dedup_containment_bk_precision (the precision receipt
-# beside the bk recall twin). Per the r9 precedent, these two slots
-# are held provisionally by the two alphabetically-last r7 fills
-# (q_join_left, q_join_multi — both r7-green on unchanged code) until
-# the new queries register later this round, at which point the
-# holders yield and rotate with the remaining r7 block in round 11.
-# (2) queries whose code materially changes this round: none planned —
-# the round's source changes (ingest-lane calm-prefilter alignment,
+# beside the bk recall twin) + q_multimodal_video_frames (the frame
+# sampler's 1→many demux contract, the last pytest-only multimodal
+# lane promoted to a declared query). Per the r9 precedent, these
+# slots were held provisionally by the alphabetically-last r7 fills
+# (q_join_left, q_join_multi, q_join_inner — all r7-green on
+# unchanged code) until the new queries registered, at which point
+# the holders yielded; they rotate with the r7 block in round 11.
+# (2) queries whose code materially changes this round: none — the
+# round's other source changes (ingest-lane calm-prefilter alignment,
 # compaction temp-column/NULL-sizing hardening) touch library lanes
 # covered by pytest, not registered-query plans.
-# Remaining free slots (21) go to the stalest r7 receipts in
-# deterministic (alphabetical) order. The 26 r7 receipts left over
-# rotate in round 11 (26 mandatory + 24 free — fits the 50 budget).
+# Remaining free slots (20) go to the stalest r7 receipts in
+# deterministic (alphabetical) order. The 27 r7 receipts left over
+# rotate in round 11 (27 mandatory + 23 free — fits the 50 budget).
 #
 _WINDOW: tuple[str, ...] = (
     # (3) staleness retirement: every remaining r6-era receipt (27)
@@ -135,12 +137,13 @@ _WINDOW: tuple[str, ...] = (
     "q_text_bpe_merges",
     "q_text_inverted_index",
     "q_text_langid_confusion",
-    # (1) new this round (2) — slots yielded by the rotation commit's
-    # provisional holders (q_join_left, q_join_multi — both r7-green on
+    # (1) new this round (3) — slots yielded by the rotation commit's
+    # provisional holders (q_join_left/multi/inner — all r7-green on
     # unchanged code; they rotate with the remaining r7 block in r11)
     "q_dedup_containment_bk_verified",
     "q_dedup_containment_bk_precision",
-    # stalest-r7 fill, alphabetical (21)
+    "q_multimodal_video_frames",
+    # stalest-r7 fill, alphabetical (20)
     "q_agg_percentile",
     "q_agg_stats",
     "q_dedup_clusters",
@@ -161,7 +164,6 @@ _WINDOW: tuple[str, ...] = (
     "q_graph_triangles",
     "q_join_anti",
     "q_join_broadcast",
-    "q_join_inner",
 )
 
 

@@ -261,6 +261,7 @@ DOC_QUERIES = [
     "q_dedup_prefix", "q_dedup_prefix_incremental", "q_dedup_containment",
     "q_dedup_containment_est", "q_dedup_containment_est_recall",
     "q_dedup_containment_bk", "q_dedup_containment_bk_recall",
+    "q_dedup_containment_bk_verified", "q_dedup_containment_bk_precision",
     "q_pipe_sample_hash", "q_pipe_split_assign", "q_pipe_quota_cap",
     "q_pipe_keep_first", "q_pipe_length_hist", "q_pipe_mixture",
     "q_pipe_pack_chunks", "q_pipe_chunk_overlap", "q_pipe_upsample_epochs",
@@ -271,6 +272,7 @@ DOC_QUERIES = [
     "q_pipe_snapshot_diff", "q_privacy_kanonymity",
     "q_multimodal_stats", "q_multimodal_meta", "q_multimodal_audio_stats",
     "q_multimodal_audio_real", "q_multimodal_image_real",
+    "q_multimodal_video_frames",
 ]
 
 
