@@ -64,7 +64,7 @@ _LOADED = False
 # window only schedules the external cadence. Policy: (1) queries with no
 # driver row yet come first, (2) then queries whose code changed this
 # round, (3) then the longest-unverified green queries; whatever sits out
-# must be green-on-unchanged-code from the previous round. With 159
+# must be green-on-unchanged-code from the previous round. With ~175
 # queries and a 50-slot window, the steady-state staleness bound is ~3
 # rounds; tests/test_registry_builds.py::test_window_policy asserts the
 # bound against the committed CORRECTNESS_r*.json receipts, so a window

@@ -69,7 +69,7 @@ def test_window_policy():
     asserted, not just documented: (a) exactly 50 well-formed slots;
     (b) every query with NO driver receipt at all is scheduled;
     (c) no registered query is stranded past the steady-state staleness
-    bound — with 172 queries and a 50-slot window every query must be
+    bound — with ~175 queries and a 50-slot window every query must be
     EITHER in this round's window OR have a driver-green receipt within
     the last 3 completed rounds. Reads the committed CORRECTNESS_r*.json
     receipts, so the assertion tracks the actual driver history rather
