@@ -867,3 +867,48 @@ def test_bottomk_estimator_membership_invariant(a, b):
     # The estimate never exceeds 1 and is defined whenever sample is.
     if sample:
         assert 0.0 <= len(hits) / len(sample) <= 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.binary(max_size=400)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from([1, 7, 64]),
+    st.sampled_from([1, 4]),
+)
+def test_frame_sample_matches_python_reference(spark, payloads, fb, every_n):
+    """The flipbook frame sampler's 1→many contract on arbitrary binary
+    payloads (round-10 q_multimodal_video_frames substrate): for every
+    non-NULL payload, frames are b[i*fb:(i+1)*fb] for i in
+    range(0, max(1, len(b)//fb), every_n) — NULL payloads drop, empty
+    payloads yield one empty frame, tail bytes past the last full frame
+    never surface. The mapInPandas generator must reproduce the Python
+    reference exactly, frame bytes included."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.operators.multimodal import frame_sample
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, "video", p) for i, p in enumerate(payloads)], schema
+    )
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], bytes(r["frame"]))
+        for r in frame_sample(df, frame_bytes=fb, every_n=every_n, fake=True).collect()
+    )
+    want = sorted(
+        (i, fi, bytes(p[fi * fb : (fi + 1) * fb]))
+        for i, p in enumerate(payloads)
+        if p is not None
+        for fi in range(0, max(1, len(p) // fb), every_n)
+    )
+    assert got == want
