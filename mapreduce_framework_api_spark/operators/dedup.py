@@ -2764,9 +2764,7 @@ def prefix_corpus_index(
     cached = _PREFIX_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    corpus = parallelized(table(spark, sf_dir, "documents")).filter(
-        ~inc_is_new() & F.col("text").isNotNull() & (F.length("text") >= _PREFIX_BLOCK)
-    )
+    corpus = _prefix_corpus_frame(spark, sf_dir)
     head_idx = corpus.select(
         F.xxhash64(F.substring("text", 1, _PREFIX_BLOCK)).alias("bh"),
         F.col("doc_id").alias("corpus_id"),
@@ -2777,6 +2775,16 @@ def prefix_corpus_index(
     )
     _PREFIX_INDEX_CACHE[key] = (head_idx, lookup)
     return head_idx, lookup
+
+
+def _prefix_corpus_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix lane's frozen-corpus base frame (shared by the index
+    builder and the artifact store's lookup reconstruction — ONE
+    definition of the eligibility filter, so the store can never drift
+    from the lane)."""
+    return parallelized(table(spark, sf_dir, "documents")).filter(
+        ~inc_is_new() & F.col("text").isNotNull() & (F.length("text") >= _PREFIX_BLOCK)
+    )
 
 
 def prefix_check(

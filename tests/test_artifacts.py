@@ -81,3 +81,84 @@ def test_artifact_store_rejects_stale_fingerprint(spark, tmp_path):
             load_dedup_artifacts(spark, SF_DIR, store)
     finally:
         clear_session_caches()
+
+
+def test_ingest_index_store_roundtrip_serves_all_four_lanes(spark, tmp_path):
+    """persist → clear → load the four ingest lanes' probe indexes, then
+    run each lane's check function on the fixture's 1/8 arrival split:
+    results must be identical to the fresh-built-index run (the restart
+    scenario: an ingest job reloads its indexes instead of rebuilding
+    from the frozen corpus). The SemDeDup centroid matrix must
+    round-trip the manifest exactly."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators import dedup, similarity
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        load_ingest_indexes,
+        persist_ingest_indexes,
+    )
+    from mapreduce_framework_api_spark.sources import table
+
+    store = str(tmp_path / "ingest_idx")
+    new_docs = table(spark, SF_DIR, "documents").filter(dedup.inc_is_new())
+    new_vecs = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(similarity.sem_is_new())
+    )
+
+    def run_all():
+        bands, sigs, sizes = dedup.incremental_corpus_index(spark, SF_DIR)
+        head_idx, lookup = dedup.prefix_corpus_index(spark, SF_DIR)
+        value_idx, corpus_sk = dedup.bk_corpus_index(spark, SF_DIR)
+        sem_index, cent = similarity.semdedup_corpus_index(spark, SF_DIR)
+        return {
+            "minhash": _canon(dedup.incremental_check(new_docs, bands, sigs, sizes)),
+            "prefix": _canon(dedup.prefix_check(new_docs, head_idx, lookup)),
+            "bk": _canon(dedup.bk_containment_check(new_docs, value_idx, corpus_sk)),
+            "sem": _canon(similarity.semdedup_check(new_vecs, sem_index, cent)),
+        }, cent
+
+    clear_session_caches()
+    try:
+        fresh, cent_fresh = run_all()
+        counts = persist_ingest_indexes(spark, SF_DIR, store)
+        assert counts and all(n >= 0 for n in counts.values())
+        assert counts["minhash_sigs"] > 0 and counts["bk_corpus_sk"] > 0
+
+        clear_session_caches()
+        loaded_counts = load_ingest_indexes(spark, SF_DIR, store)
+        assert loaded_counts == counts
+        loaded, cent_loaded = run_all()  # builders now serve the store
+        assert loaded == fresh
+        assert (cent_fresh is None) == (cent_loaded is None)
+        if cent_fresh is not None:
+            assert cent_loaded.dtype == np.int64
+            assert np.array_equal(cent_fresh, cent_loaded)
+        # at least one lane must actually flag something on the fixture,
+        # or the equality assertions above are vacuous
+        assert any(fresh[k] for k in fresh), {k: len(v) for k, v in fresh.items()}
+    finally:
+        clear_session_caches()
+
+
+def test_ingest_index_store_rejects_stale_fingerprint(spark, tmp_path):
+    import json as _json
+
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        load_ingest_indexes,
+        persist_ingest_indexes,
+    )
+
+    store = str(tmp_path / "ingest_idx")
+    clear_session_caches()
+    try:
+        persist_ingest_indexes(spark, SF_DIR, store)
+        mpath = os.path.join(store, "index_manifest.json")
+        m = _json.load(open(mpath))
+        m["embeddings_fingerprint"] = ["tampered", 0, 0]
+        _json.dump(m, open(mpath, "w"))
+        with pytest.raises(ValueError, match="fingerprint mismatch"):
+            load_ingest_indexes(spark, SF_DIR, store)
+    finally:
+        clear_session_caches()
