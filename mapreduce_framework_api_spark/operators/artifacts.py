@@ -53,6 +53,11 @@ def _artifact_specs():
         "minhash_signatures": (dedup.minhash_sig_table, dedup._MINHASH_SIG_CACHE),
         "scored_pairs": (dedup.scored_pair_table, dedup._SCORED_PAIR_CACHE),
         "bk_sketches": (dedup._bk_sketch_table, dedup._BK_SKETCH_CACHE),
+        # The bk tier's scored output: once the kernel artifacts exist,
+        # the tier's remaining cost is its inverted-index + scoring
+        # joins — this table is that cost, paid once at ingest (measured
+        # at sf1: ~20 s rebuilt vs sub-second from the store).
+        "bk_pairs": (dedup.bk_pair_table, dedup._BK_PAIR_CACHE),
     }
 
 

@@ -1475,10 +1475,20 @@ def q_dedup_containment_bk(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (ties → doc_a). The scored frame is session-cached
     (localCheckpoint, the house pattern) so the recall twin consumes
     the persisted pair table instead of re-running the tier."""
+    return bk_pair_table(spark, sf_dir).orderBy("doc_contained", "doc_container")
+
+
+def bk_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bk tier's scored pair table (doc_contained, doc_container,
+    est_containment >= 0.8), unordered — the session-cached frame behind
+    q_dedup_containment_bk, named so the artifact store can persist it
+    (the tier's scoring joins are its dominant cost once the kernel
+    artifacts exist; a production pipeline writes this table exactly
+    like the jaccard-family scored_pairs)."""
     key = session_cache_key(spark, sf_dir, "documents")
     cached = _BK_PAIR_CACHE.get(key)
     if cached is not None:
-        return cached.orderBy("doc_contained", "doc_container")
+        return cached
     sk = _bk_sketch_table(spark, sf_dir)
     inv = sk.select("doc_id", "n", F.explode("sk").alias("h"))
     buckets = (
@@ -1542,7 +1552,7 @@ def q_dedup_containment_bk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _BK_PAIR_CACHE[key] = out
-    return out.orderBy("doc_contained", "doc_container")
+    return out
 
 
 def _containment_bk_recall_oracle() -> str:

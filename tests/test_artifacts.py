@@ -44,6 +44,7 @@ def test_artifact_store_roundtrip_serves_queries(spark, tmp_path):
             "minhash_signatures",
             "scored_pairs",
             "bk_sketches",
+            "bk_pairs",
         }
         assert all(n > 0 for n in counts.values()), counts
 
