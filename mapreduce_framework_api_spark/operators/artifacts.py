@@ -43,6 +43,17 @@ from mapreduce_framework_api_spark.sources.readers import (
 _MANIFEST = "manifest.json"
 
 
+def _write_manifest(out_dir: str, name: str, manifest: dict) -> None:
+    """Manifest is written LAST and atomically (tmp + rename): a crash
+    mid-persist leaves parquet directories but NO manifest, so a later
+    load fails loudly on the missing file instead of seeding caches from
+    a half-written store."""
+    tmp = os.path.join(out_dir, name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, name))
+
+
 def _artifact_specs():
     """name -> (builder, cache dict). Resolved lazily so importing this
     module never forces the operator modules (and their kernels)."""
@@ -80,8 +91,7 @@ def persist_dedup_artifacts(
         "documents_fingerprint": fixture_fingerprint(sf_dir, "documents"),
         "rows": counts,
     }
-    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_manifest(out_dir, _MANIFEST, manifest)
     return counts
 
 
@@ -162,8 +172,7 @@ def persist_ingest_indexes(
         "sem_centroids": None if cent is None else cent.tolist(),
         "rows": counts,
     }
-    with open(os.path.join(out_dir, _IDX_MANIFEST), "w") as f:
-        json.dump(manifest, f)
+    _write_manifest(out_dir, _IDX_MANIFEST, manifest)
     return counts
 
 
