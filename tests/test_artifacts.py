@@ -163,3 +163,48 @@ def test_ingest_index_store_rejects_stale_fingerprint(spark, tmp_path):
             load_ingest_indexes(spark, SF_DIR, store)
     finally:
         clear_session_caches()
+
+
+def test_streaming_lane_probes_store_loaded_indexes(spark, tmp_path):
+    """The restart claim end-to-end IN the streaming runtime: persist the
+    ingest indexes, clear every session cache (the 'new process'), load
+    the store, then run the bottom-k containment lane as a MICRO-BATCHED
+    STREAM whose stream-static joins hit the parquet-backed loaded
+    frames — results must equal the fresh-index batch lane row-for-row
+    on the fixture's arrival split."""
+    from mapreduce_framework_api_spark.operators import dedup
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        load_ingest_indexes,
+        persist_ingest_indexes,
+    )
+    from mapreduce_framework_api_spark.sources import table
+    from mapreduce_framework_api_spark.streaming.pipelines import run_to_memory
+
+    store = str(tmp_path / "ingest_idx")
+    stage = str(tmp_path / "arrivals")
+    clear_session_caches()
+    try:
+        arrivals = table(spark, SF_DIR, "documents").filter(dedup.inc_is_new())
+        arrivals.write.parquet(stage)
+        value_idx, corpus_sk = dedup.bk_corpus_index(spark, SF_DIR)
+        batch = _canon(dedup.bk_containment_check(arrivals, value_idx, corpus_sk))
+        persist_ingest_indexes(spark, SF_DIR, store)
+
+        clear_session_caches()  # the restarted process
+        load_ingest_indexes(spark, SF_DIR, store)
+        value_idx2, corpus_sk2 = dedup.bk_corpus_index(spark, SF_DIR)
+        stream_in = (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        run_to_memory(
+            dedup.bk_containment_check(stream_in, value_idx2, corpus_sk2),
+            "ta_bk_from_store",
+            output_mode="append",
+        )
+        got = sorted(tuple(r) for r in spark.table("ta_bk_from_store").collect())
+        assert got == batch
+        assert batch, "fixture arrival split must flag at least one pair"
+    finally:
+        clear_session_caches()
