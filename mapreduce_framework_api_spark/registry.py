@@ -80,90 +80,88 @@ _LOADED = False
 # the suite is green at the round boundary too — the structural
 # cross-boundary red of rounds 7-8 is gone by construction.
 #
-# Round-10 window, by the standing policy (rotate-first commit):
-# (3) staleness retirement — ALL 27 remaining r6-era receipts (the exact
-# list test_window_policy/the receipt union yields at the round-9
-# boundary: the five similarity tiers + knn/outliers/search_split, the
-# BPE train+encode pair, decontaminate/repeated_chunks, the
-# gapfill/heatmap/interpolate events trio, q_mv_incremental,
-# q_privacy_kanonymity, five q_pipe_*, q_stream_topk_windowed,
-# q_text_inverted_index, q_text_langid_confusion,
-# q_multimodal_audio_stats). After this round no receipt older than r7
-# remains — the VERDICT r9 task-2 "done" condition.
-# (1) queries NEW this round (3): q_dedup_containment_bk_verified
-# (the true-containment rescoring tier, registered per VERDICT r9
-# task 1) + q_dedup_containment_bk_precision (the precision receipt
-# beside the bk recall twin) + q_multimodal_video_frames (the frame
-# sampler's 1→many demux contract, the last pytest-only multimodal
-# lane promoted to a declared query). Per the r9 precedent, these
-# slots were held provisionally by the alphabetically-last r7 fills
-# (q_join_left, q_join_multi, q_join_inner — all r7-green on
-# unchanged code) until the new queries registered, at which point
-# the holders yielded; they rotate with the r7 block in round 11.
+# Round-11 window, by the standing policy (rotate-first commit):
+# (3) staleness retirement — ALL 27 remaining r7-era receipts (the exact
+# list the receipt union yields at the round-10 boundary, recomputed from
+# CORRECTNESS_r01..r10.json this round: the nine r7 join cells incl. the
+# three round-10 provisional holders that yielded to the r10 new queries,
+# the four multimodal real/meta/stats cells, seven q_pipe_*, five
+# q_text_* incl. zipf, and the two r7 window cells). After this round no
+# receipt older than r8 remains — the VERDICT r10 task-2 "done" condition.
+# (1) queries NEW this round (1): q_multimodal_video_real — the real
+# RIFF/AVI video codec lane (VERDICT r10 task 1), completing the
+# audio/image/video real-codec trio. Per the r9/r10 precedent its slot
+# was held provisionally by the alphabetically-last r8 fill
+# (q_limit_offset — r8-green on unchanged code) until the query
+# registered, at which point the holder yielded; it rotates with the
+# remaining r8 block in round 12.
 # (2) queries whose code materially changes this round: none — the
-# round's other source changes (ingest-lane calm-prefilter alignment,
-# compaction temp-column/NULL-sizing hardening) touch library lanes
-# covered by pytest, not registered-query plans.
-# Remaining free slots (20) go to the stalest r7 receipts in
-# deterministic (alphabetical) order. The 27 r7 receipts left over
-# rotate in round 11 (27 mandatory + 23 free — fits the 50 budget).
+# round's other changes (ANN index artifacts, bench --from-store, the
+# nprobe env knob defaulting to the shipped constant, compaction
+# sort_by clustering, store concurrent-writer guard) touch library
+# lanes covered by pytest, not registered-query plans.
+# Remaining free slots (22) go to the stalest r8 receipts in
+# deterministic (alphabetical) order. The 28 r8 receipts left over
+# rotate in round 12 (28 mandatory + 22 free — fits the 50 budget).
 #
 _WINDOW: tuple[str, ...] = (
-    # (3) staleness retirement: every remaining r6-era receipt (27)
-    "q_dedup_decontaminate",
-    "q_dedup_repeated_chunks",
-    "q_events_gapfill",
-    "q_events_heatmap",
-    "q_events_interpolate",
-    "q_multimodal_audio_stats",
-    "q_mv_incremental",
-    "q_pipe_end_to_end",
-    "q_pipe_interleave",
-    "q_pipe_quantile_norm",
-    "q_pipe_snapshot_diff",
-    "q_pipe_split_leakage",
-    "q_pipe_token_budget",
-    "q_privacy_kanonymity",
-    "q_sim_ann_lsh",
-    "q_sim_cosine_topk",
-    "q_sim_ivf_topk",
-    "q_sim_knn_classify",
-    "q_sim_maxsim_topk",
-    "q_sim_outliers",
-    "q_sim_pq_topk",
-    "q_sim_search_split",
-    "q_stream_topk_windowed",
-    "q_text_bpe_encode",
-    "q_text_bpe_merges",
-    "q_text_inverted_index",
-    "q_text_langid_confusion",
-    # (1) new this round (3) — slots yielded by the rotation commit's
-    # provisional holders (q_join_left/multi/inner — all r7-green on
-    # unchanged code; they rotate with the remaining r7 block in r11)
-    "q_dedup_containment_bk_verified",
-    "q_dedup_containment_bk_precision",
-    "q_multimodal_video_frames",
-    # stalest-r7 fill, alphabetical (20)
-    "q_agg_percentile",
-    "q_agg_stats",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_dedup_minhash",
-    "q_dedup_prefix_incremental",
-    "q_dedup_report",
-    "q_dedup_semdedup_incremental",
-    "q_dim_scd2",
-    "q_filter_pred",
-    "q_fn_array",
-    "q_fn_conditional",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_string",
-    "q_graph_bfs",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_anti",
-    "q_join_broadcast",
+    # (3) staleness retirement: every remaining r7-era receipt (27)
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multi",
+    "q_join_range_binned",
+    "q_join_semi",
+    "q_join_skew_salted",
+    "q_join_star",
+    "q_join_temporal",
+    "q_join_theta_range",
+    "q_multimodal_audio_real",
+    "q_multimodal_image_real",
+    "q_multimodal_meta",
+    "q_multimodal_stats",
+    "q_pipe_keep_first",
+    "q_pipe_length_hist",
+    "q_pipe_pii_scrub",
+    "q_pipe_quota_cap",
+    "q_pipe_sample_hash",
+    "q_pipe_split_assign",
+    "q_pipe_split_by_cluster",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_text_surprisal",
+    "q_text_tokens",
+    "q_text_zipf",
+    "q_win_range_frame",
+    "q_win_topk_group",
+    # (1) new this round (1): the real video codec lane. Slot held
+    # provisionally by the alphabetically-last r8 fill q_limit_offset
+    # (r8-green on unchanged code) until q_multimodal_video_real
+    # registers, at which point the holder yields and rotates with the
+    # r8 block in r12.
+    "q_limit_offset",
+    # stalest-r8 fill, alphabetical (22)
+    "q_agg_basic",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_mode",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_skew_salted",
+    "q_dedup_containment",
+    "q_dedup_containment_est",
+    "q_dedup_containment_est_recall",
+    "q_dedup_exact",
+    "q_dedup_latest",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_prefix",
+    "q_dedup_semdedup",
+    "q_dedup_semdedup_recall_planted",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_fn_json",
+    "q_join_full_outer",
+    "q_join_interval_overlap",
 )
 
 
