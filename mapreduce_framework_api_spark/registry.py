@@ -133,12 +133,10 @@ _WINDOW: tuple[str, ...] = (
     "q_text_zipf",
     "q_win_range_frame",
     "q_win_topk_group",
-    # (1) new this round (1): the real video codec lane. Slot held
-    # provisionally by the alphabetically-last r8 fill q_limit_offset
-    # (r8-green on unchanged code) until q_multimodal_video_real
-    # registers, at which point the holder yields and rotates with the
-    # r8 block in r12.
-    "q_limit_offset",
+    # (1) new this round (1): the real video codec lane (slot yielded by
+    # the rotation commit's provisional holder q_limit_offset —
+    # r8-green on unchanged code; it rotates with the r8 block in r12)
+    "q_multimodal_video_real",
     # stalest-r8 fill, alphabetical (22)
     "q_agg_basic",
     "q_agg_cube",
