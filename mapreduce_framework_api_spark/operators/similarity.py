@@ -86,18 +86,50 @@ _TOP_K = 5
 _INDEX_BLOCK_ROWS = int(os.environ.get("SPARK_GRAFT_INDEX_BLOCK_ROWS", "1024"))
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with double-cast vectors and precomputed norms.
+# Session cache for the normed-vector serving table (the brute-force
+# tier's "index": the corpus vectors + precomputed norms, exactly what a
+# production vector store keeps next to the embeddings). Keyed like every
+# artifact cache (fingerprinted session key); persistable via
+# operators/artifacts.py::persist_ann_indexes — loading seeds this dict
+# with the store's parquet scan, so every consumer (the brute block grid,
+# the LSH scoring joins) transparently serves from disk.
+_VEC_NORMS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def vec_norm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding float-array, nrm double): the corpus vectors
+    with precomputed double-precision norms — the exact-search serving
+    table. Lazy (no checkpoint): consumers that project only
+    (vec_id, embedding) never execute the norm fold thanks to column
+    pruning, so routing every tier's index scan through here costs
+    nothing on the build path while giving the artifact store ONE seam.
 
     Routed through the gated ``parallelized()`` helper: the norm is an
     interpreted 64-term fold per row and the LSH codes kernel follows
     directly on this scan, so a single-row-group parquet file (the sf1
     receipt fixture: one 2.9 s single-task stage) must be widened before
     the per-row work; a real multi-split scan passes through untouched."""
-    e = parallelized(table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    got = _VEC_NORMS_CACHE.get(key)
+    if got is None:
+        e = parallelized(table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        v = F.transform("embedding", lambda x: x.cast("double"))
+        got = e.select("vec_id", "embedding", F.sqrt(_dot(v, v)).alias("nrm"))
+        _VEC_NORMS_CACHE[key] = got
+    return got
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with double-cast vectors and precomputed norms (a view
+    over vec_norm_table — the norm comes from the serving table, the
+    double cast is a free projection)."""
+    return vec_norm_table(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "nrm",
     )
-    return e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
 
 
 def _parquet_row_count(sf_dir: str, name: str) -> int:
@@ -363,7 +395,10 @@ def cogroup_index_blocks(
     (e.g. the dedup threshold kernel) need no downstream dedup."""
     block_rows = block_rows or _INDEX_BLOCK_ROWS
     n = _parquet_row_count(sf_dir, "embeddings")
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Through the serving-table seam: on the build path column pruning
+    # drops the unread nrm fold; with a loaded ANN store this scan reads
+    # the store's parquet instead of re-scanning the corpus.
+    e = vec_norm_table(spark, sf_dir).select("vec_id", "embedding")
     return cogroup_block_pairs(
         e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
         e,
@@ -544,6 +579,34 @@ def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, int] | None:
     return g, d
 
 
+# Session cache for the LSH serving index: the per-(table, code) hash
+# codes of every corpus vector. None = empty corpus (no geometry).
+_LSH_CODES_CACHE: dict[tuple, DataFrame | None] = {}
+
+
+def lsh_code_table(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """(vec_id, table_id, code): every vector's code in each of the
+    _LSH_TABLES hash tables — the sign-LSH serving index a production
+    deployment persists at ingest (the geometry (g, d) is derived from
+    corpus metadata and travels in the store manifest). Returns None on
+    an empty corpus. Lazy on the build path; a loaded ANN store seeds
+    the cache with its parquet scan, so bucketing runs off disk codes
+    with zero kernel work."""
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    if key in _LSH_CODES_CACHE:
+        return _LSH_CODES_CACHE[key]
+    geom = _lsh_geometry(spark, sf_dir)
+    if geom is None:
+        _LSH_CODES_CACHE[key] = None
+        return None
+    g, d = geom
+    codes = _vectors(spark, sf_dir).select(
+        "vec_id", F.posexplode(_lsh_codes_udf(g, d)("v")).alias("table_id", "code")
+    )
+    _LSH_CODES_CACHE[key] = codes
+    return codes
+
+
 @F.pandas_udf(DoubleType())  # DataType instance: a DDL string here would
 def _cosine_batch(va, vb):   # need a live session at import time
     """Arrow-batched raw dot product of two array<double> columns — one
@@ -648,17 +711,13 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~L·occ/2 candidate pairs per vector, corpus-invariant by
     construction. Queries with no co-bucketed neighbor return no rows
     (the honest ANN contract)."""
-    geom = _lsh_geometry(spark, sf_dir)
-    if geom is None:
+    tables = lsh_code_table(spark, sf_dir)
+    if tables is None:
         # empty corpus: no geometry to derive — same guard as IVF/PQ seeds
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, cosine double, rk int"
         )
-    g, d = geom
     vecs = _vectors(spark, sf_dir)
-    tables = vecs.select(
-        "vec_id", F.posexplode(_lsh_codes_udf(g, d)("v")).alias("table_id", "code")
-    )
     buckets = (
         tables.groupBy("table_id", "code")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("recs"))
@@ -769,6 +828,89 @@ def _ivf_assign_ctes(src: str = "embeddings") -> str:
 _IVF_ASSIGN_CTES = _ivf_assign_ctes()
 
 
+def _ivf_nprobe() -> int:
+    """Query-time probe count. Env-tunable (SPARK_GRAFT_IVF_NPROBE) for
+    the operating-point sweep — the recall-vs-cost knob a production
+    deployment tunes per workload (the bottom-k dedup constants
+    precedent). The registered oracle is pinned to the shipped default
+    _IVF_NPROBE, so the driver's differential check always runs with the
+    knob unset; the sweep harness sets the env var and clears session
+    caches between points. The knob is QUERY-TIME only: the index (and
+    the persisted store) carries the full probe ranking and is
+    nprobe-independent."""
+    return int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", str(_IVF_NPROBE)))
+
+
+# Session cache for the IVF serving index: (assigned frame, int64
+# centroid matrix). None = empty corpus. The assigned frame carries the
+# FULL per-vector probe ranking (K small ints), so any nprobe <= K is a
+# query-time slice over one stored index.
+_IVF_INDEX_CACHE: dict[tuple, tuple | None] = {}
+
+
+def ivf_index(spark: SparkSession, sf_dir: str):
+    """Build (or serve from cache/store) the IVF serving index:
+    ``(assigned, cq)`` where ``assigned`` is (vec_id, embedding,
+    cluster, probes[K]) — every vector's inverted-list membership plus
+    its full centroid-distance ranking — and ``cq`` the (K, d) int64
+    quantizer matrix. Returns None on an empty corpus.
+
+    Materialized once (eager localCheckpoint): it feeds BOTH cogroup
+    sides of the search, and the two input stages would otherwise each
+    re-run the Python assign pass over the full table. This is also the
+    real-world shape — IVF list assignment is the persisted index-build
+    step, scored queries stream against it
+    (operators/artifacts.py::persist_ann_indexes writes exactly this
+    frame; loading seeds this cache with the store's parquet scan)."""
+    import numpy as np
+    import pandas as pd
+
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    if key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[key]
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_IVF_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if seed.empty:
+        _IVF_INDEX_CACHE[key] = None
+        return None
+    cq = np.floor(
+        np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _IVF_SCALE
+    ).astype(np.int64)
+    cent = spark.sparkContext.broadcast(cq)
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            iv = np.floor(v * _IVF_SCALE).astype(np.int64)
+            dots = iv @ cent.value.T  # int64: exact, engine-portable
+            # stable sort on -dots ⇒ ties keep ascending centroid index,
+            # matching the oracle's (dot DESC, c ASC) row_number order
+            order = np.argsort(-dots, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": order[:, 0].astype("int32"),
+                    "probes": list(order.astype("int32")),
+                }
+            )
+
+    assigned = e.mapInPandas(
+        assign,
+        schema="vec_id long, embedding array<float>, cluster int, probes array<int>",
+    ).localCheckpoint()
+    _IVF_INDEX_CACHE[key] = (assigned, cq)
+    return assigned, cq
+
+
 @register(
     "q_sim_ivf_topk",
     group="I",
@@ -819,63 +961,30 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Cache probe FIRST: the quantizer seed fetch below is an eager
     # driver-side job, so a post-build cache would still pay it per call.
-    cache_key = (*session_cache_key(spark, sf_dir, "embeddings"), "ivf_topk")
+    # The tag carries the active nprobe so an operating-point sweep never
+    # reads another point's cached output.
+    tier_tag = f"ivf_topk@p{_ivf_nprobe()}"
+    cache_key = (*session_cache_key(spark, sf_dir, "embeddings"), tier_tag)
     cached = _TIER_OUT_CACHE.get(cache_key)
     if cached is not None:
         return cached
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = (
-        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(_IVF_K)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
-    if seed.empty:
+    idx = ivf_index(spark, sf_dir)
+    if idx is None:
         # no vectors -> no quantizer; an empty index yields an empty result
         # (np.stack on zero rows would raise instead)
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, cosine double, rk int"
         )
-    cq = np.floor(
-        np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _IVF_SCALE
-    ).astype(np.int64)
-    cent = spark.sparkContext.broadcast(cq)
-
-    def assign(batches):
-        for pdf in batches:
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            iv = np.floor(v * _IVF_SCALE).astype(np.int64)
-            dots = iv @ cent.value.T  # int64: exact, engine-portable
-            # stable sort on -dots ⇒ ties keep ascending centroid index,
-            # matching the oracle's (dot DESC, c ASC) row_number order
-            order = np.argsort(-dots, axis=1, kind="stable")
-            top = order[:, :_IVF_NPROBE]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cluster": top[:, 0].astype("int32"),
-                    "probes": list(top.astype("int32")),
-                }
-            )
-
-    # Materialize the assignment once (eager localCheckpoint): it feeds BOTH
-    # cogroup sides below, and the two input stages would otherwise each
-    # re-run the Python assign pass over the full table. This is also the
-    # real-world shape — IVF list assignment is the persisted index-build
-    # step, scored queries stream against it.
-    assigned = e.mapInPandas(
-        assign,
-        schema="vec_id long, embedding array<float>, cluster int, probes array<int>",
-    ).localCheckpoint()
+    assigned, _cq = idx
     index_side = assigned.select("vec_id", "embedding", "cluster")
+    # nprobe is a QUERY-TIME knob over the stored full probe ranking: the
+    # slice routes each query to its nprobe nearest inverted lists; the
+    # index (and therefore the persisted store) is nprobe-independent.
     query_side = assigned.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode("probes").alias("cluster"),
+        F.explode(F.slice("probes", 1, _ivf_nprobe())).alias("cluster"),
     )
 
     def score_cluster(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
@@ -912,7 +1021,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(score_cluster, schema="vec_id long, neighbor_id long, cos_raw double")
     )
     return _tier_cached(
-        "ivf_topk",
+        tier_tag,
         spark,
         sf_dir,
         lambda: _topk_rerank(
