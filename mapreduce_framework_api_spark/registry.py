@@ -80,86 +80,80 @@ _LOADED = False
 # the suite is green at the round boundary too — the structural
 # cross-boundary red of rounds 7-8 is gone by construction.
 #
-# Round-11 window, by the standing policy (rotate-first commit):
-# (3) staleness retirement — ALL 27 remaining r7-era receipts (the exact
-# list the receipt union yields at the round-10 boundary, recomputed from
-# CORRECTNESS_r01..r10.json this round: the nine r7 join cells incl. the
-# three round-10 provisional holders that yielded to the r10 new queries,
-# the four multimodal real/meta/stats cells, seven q_pipe_*, five
-# q_text_* incl. zipf, and the two r7 window cells). After this round no
-# receipt older than r8 remains — the VERDICT r10 task-2 "done" condition.
-# (1) queries NEW this round (1): q_multimodal_video_real — the real
-# RIFF/AVI video codec lane (VERDICT r10 task 1), completing the
-# audio/image/video real-codec trio. Per the r9/r10 precedent its slot
-# was held provisionally by the alphabetically-last r8 fill
-# (q_limit_offset — r8-green on unchanged code) until the query
-# registered, at which point the holder yielded; it rotates with the
-# remaining r8 block in round 12.
-# (2) queries whose code materially changes this round: none — the
-# round's other changes (ANN index artifacts, bench --from-store, the
-# nprobe env knob defaulting to the shipped constant, compaction
-# sort_by clustering, store concurrent-writer guard) touch library
+# Round-12 window, by the standing policy (rotate-first commit):
+# (3) staleness retirement — ALL 28 remaining r8-era receipts (the exact
+# list the r01..r11 receipt union yields at the round-11 boundary,
+# recomputed from CORRECTNESS_r*.json this round; after this round no
+# receipt older than r9 remains — the VERDICT r11 task-7 "done"
+# condition). This is the mandatory block the round-11 comment promised.
+# (1) queries NEW this round: none.
+# (2) queries whose code materially changes this round (3): the PQ and
+# MaxSim tiers are re-routed through persisted serving-table seams
+# (pq_code_table / maxsim_token_table — the round-12 ANN-store work),
+# which changes their physical plans; q_sim_pq_recall composes
+# q_sim_pq_topk and changes with it. The round's other deliverables
+# (persist_ann_indexes + load_ann_indexes, bench --from-store, store
+# write-path hardening, compaction sort_by clustering) are library
 # lanes covered by pytest, not registered-query plans.
-# Remaining free slots (22) go to the stalest r8 receipts in
-# deterministic (alphabetical) order. The 28 r8 receipts left over
-# rotate in round 12 (28 mandatory + 22 free — fits the 50 budget).
+# Remaining free slots (19) go to the stalest r9 receipts in
+# deterministic (alphabetical) order; the 31 r9 receipts left over
+# rotate in round 13 (31 mandatory + 19 free — fits the 50 budget).
 #
 _WINDOW: tuple[str, ...] = (
-    # (3) staleness retirement: every remaining r7-era receipt (27)
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multi",
-    "q_join_range_binned",
-    "q_join_semi",
-    "q_join_skew_salted",
-    "q_join_star",
-    "q_join_temporal",
-    "q_join_theta_range",
-    "q_multimodal_audio_real",
-    "q_multimodal_image_real",
-    "q_multimodal_meta",
-    "q_multimodal_stats",
-    "q_pipe_keep_first",
-    "q_pipe_length_hist",
-    "q_pipe_pii_scrub",
-    "q_pipe_quota_cap",
-    "q_pipe_sample_hash",
-    "q_pipe_split_assign",
-    "q_pipe_split_by_cluster",
-    "q_text_fingerprint",
-    "q_text_repetition",
-    "q_text_surprisal",
-    "q_text_tokens",
-    "q_text_zipf",
-    "q_win_range_frame",
-    "q_win_topk_group",
-    # (1) new this round (1): the real video codec lane (slot yielded by
-    # the rotation commit's provisional holder q_limit_offset —
-    # r8-green on unchanged code; it rotates with the r8 block in r12)
-    "q_multimodal_video_real",
-    # stalest-r8 fill, alphabetical (22)
-    "q_agg_basic",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_mode",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_agg_skew_salted",
-    "q_dedup_containment",
-    "q_dedup_containment_est",
-    "q_dedup_containment_est_recall",
-    "q_dedup_exact",
-    "q_dedup_latest",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_prefix",
-    "q_dedup_semdedup",
-    "q_dedup_semdedup_recall_planted",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_fn_json",
-    "q_join_full_outer",
-    "q_join_interval_overlap",
+    # (3) staleness retirement: every remaining r8-era receipt (28)
+    "q_limit_offset",
+    "q_pipe_mixture",
+    "q_privacy_ldiversity",
+    "q_scan_project",
+    "q_set_ops",
+    "q_sketch_bloom",
+    "q_sketch_cms",
+    "q_sketch_hll",
+    "q_sort_multi",
+    "q_stream_attrib",
+    "q_stream_late",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_subquery_corr_agg",
+    "q_subquery_exists",
+    "q_subquery_scalar",
+    "q_text_langid",
+    "q_text_ngrams",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_text_wordcount",
+    "q_text_wordcount_rdd",
+    "q_win_first_last",
+    "q_win_lag_lead",
+    "q_win_ntile_dist",
+    "q_win_rank",
+    "q_win_running",
+    # (2) code materially changes this round (3): PQ/MaxSim serving-table
+    # refactor + the recall query composed on PQ
+    "q_sim_pq_topk",
+    "q_sim_maxsim_topk",
+    "q_sim_pq_recall",
+    # stalest-r9 fill, alphabetical (19)
+    "q_agg_corr_exact",
+    "q_agg_mad",
+    "q_agg_rollup_reuse",
+    "q_agg_string_agg",
+    "q_agg_unpivot",
+    "q_agg_weighted_median",
+    "q_agg_winsorized",
+    "q_dedup_canonical",
+    "q_dedup_containment_bk",
+    "q_dedup_containment_bk_recall",
+    "q_dedup_embedding",
+    "q_dedup_minhash_recall",
+    "q_dedup_minhash_verified",
+    "q_dedup_semdedup_recall",
+    "q_dedup_simhash",
+    "q_dedup_simhash_recall",
+    "q_events_anomaly",
+    "q_events_autocorr",
+    "q_events_burst",
 )
 
 

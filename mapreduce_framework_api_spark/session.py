@@ -114,5 +114,8 @@ def clear_session_caches() -> None:
         graph._ADJ_CACHE,
         similarity._TIER_OUT_CACHE,
         similarity._SEM_INDEX_CACHE,
+        similarity._VEC_NORMS_CACHE,
+        similarity._LSH_CODES_CACHE,
+        similarity._IVF_INDEX_CACHE,
     ):
         d.clear()
