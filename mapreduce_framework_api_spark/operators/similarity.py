@@ -837,8 +837,26 @@ def _ivf_nprobe() -> int:
     knob unset; the sweep harness sets the env var and clears session
     caches between points. The knob is QUERY-TIME only: the index (and
     the persisted store) carries the full probe ranking and is
-    nprobe-independent."""
-    return int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", str(_IVF_NPROBE)))
+    nprobe-independent.
+
+    Validated eagerly: nprobe=0 would make the F.slice probe expansion
+    produce EMPTY probe lists — zero rows, silently — and a non-integer
+    would surface as an opaque plan-build ValueError, so both fail fast
+    here with a named error instead."""
+    raw = os.environ.get("SPARK_GRAFT_IVF_NPROBE")
+    if raw is None:
+        return _IVF_NPROBE
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_IVF_NPROBE must be an integer, got {raw!r}"
+        ) from None
+    if not 1 <= n <= _IVF_K:
+        raise ValueError(
+            f"SPARK_GRAFT_IVF_NPROBE must be in [1, {_IVF_K}], got {n}"
+        )
+    return n
 
 
 # Session cache for the IVF serving index: (assigned frame, int64
@@ -1162,6 +1180,86 @@ ORDER BY query_id, rk
 """  # shared with q_sim_pq_recall's composed oracle
 
 
+# Session cache for the PQ serving index: (code table, codebook tensor).
+# None = empty corpus (no codebook to train).
+_PQ_INDEX_CACHE: dict[tuple, tuple | None] = {}
+
+
+def pq_index(spark: SparkSession, sf_dir: str):
+    """Build (or serve from cache/store) the PQ serving index:
+    ``(codes, cbook)`` where ``codes`` is the full-corpus code table
+    (vec_id, codes array<int> — _PQ_M one-byte codes per vector, the 16×
+    compressed representation a production deployment persists at
+    ingest) and ``cbook`` the (M, K_eff, SUB) int64 codebook tensor
+    (kilobytes — it travels in the store manifest, not as a table).
+    Returns None on an empty corpus.
+
+    The code table is SPLIT-AGNOSTIC — every vector is coded; queries
+    filter at query time — for the same reason the IVF index carries the
+    full probe ranking: the persisted store must serve any downstream
+    query split, not bake one in. Lazy (no checkpoint): it feeds only
+    the index side of the search grid. A loaded ANN store
+    (operators/artifacts.py::load_ann_indexes) seeds this cache with the
+    store's parquet scan plus the manifest codebook, so scoring runs off
+    disk codes with zero encode work."""
+    import numpy as np
+    import pandas as pd
+
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    if key in _PQ_INDEX_CACHE:
+        return _PQ_INDEX_CACHE[key]
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = (
+        e.withColumn(
+            "h", F.md5(F.concat(F.lit("pq#"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if seed.empty:
+        _PQ_INDEX_CACHE[key] = None
+        return None
+    # a corpus smaller than _PQ_K trains a smaller codebook (the oracle's
+    # LIMIT does the same), so the reshape uses the actual seed count
+    cbook = (
+        np.floor(np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE)
+        .astype(np.int64)
+        .reshape(len(seed), _PQ_M, _PQ_SUB)
+        .transpose(1, 0, 2)  # (M, K_eff, SUB)
+    )
+
+    # The codebook is closed over as a plain array (a few KB — it ships
+    # with the task like the LSH hyperplane geometry; no broadcast).
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            iv = np.floor(v * _PQ_SCALE).astype(np.int64).reshape(-1, _PQ_M, _PQ_SUB)
+            codes = np.empty((len(pdf), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                x = iv[:, m, :]  # (n, SUB)
+                c = cbook[m]  # (K, SUB)
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2 * (x @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)  # first occurrence = lowest k
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    # parallelized(): the encode kernel is the per-row hot loop; a
+    # single-row-group fixture scan must be widened before it (the
+    # vec_norm_table rationale).
+    codes = parallelized(e).mapInPandas(encode, schema="vec_id long, codes array<int>")
+    _PQ_INDEX_CACHE[key] = (codes, cbook)
+    return codes, cbook
+
+
 @register(
     "q_sim_pq_topk",
     group="I",
@@ -1178,9 +1276,12 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the memory-bound regime's answer: at 100 TB the codes table is 16×
     smaller than the vectors and the scan is table-gathers, not FLOPs.
 
-    Plan shape: codebook = the 16 smallest-md5 seed vectors (driver
-    rows, corpus-size-independent — same engine-portable hash-sample as
-    IVF's quantizer — see q_sim_ivf_topk's seed block); encoding is one Arrow-batched
+    Plan shape: the codebook + full-corpus code table come from the
+    ``pq_index`` serving seam (persistable via
+    operators/artifacts.py::persist_ann_indexes): codebook = the 16
+    smallest-md5 seed vectors (driver rows, corpus-size-independent —
+    same engine-portable hash-sample as IVF's quantizer — see
+    q_sim_ivf_topk's seed block); encoding is one Arrow-batched
     mapInPandas argmin over integer-quantized L2 (exact: scaled int64,
     ties to the lower code); scoring reuses the general
     cogroup_block_pairs engine — queries × code-blocks, one numpy
@@ -1201,59 +1302,25 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    split = _hash_split("pqsplit")
-    seed = (
-        e.withColumn(
-            "h", F.md5(F.concat(F.lit("pq#"), F.col("vec_id").cast("string")))
-        )
-        .orderBy("h", "vec_id")
-        .limit(_PQ_K)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
-    if seed.empty:
+    idx = pq_index(spark, sf_dir)
+    if idx is None:
         # no vectors -> no codebook; an empty index yields an empty result
         # (np.stack on zero rows would raise instead)
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, adc_score long, rk int"
         )
-    # a corpus smaller than _PQ_K trains a smaller codebook (the oracle's
-    # LIMIT does the same), so the reshape uses the actual seed count
-    cbook = (
-        np.floor(np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE)
-        .astype(np.int64)
-        .reshape(len(seed), _PQ_M, _PQ_SUB)
-        .transpose(1, 0, 2)  # (M, K_eff, SUB)
+    codes_tbl, cbook = idx
+    split = _hash_split("pqsplit")
+    # The stored code table is split-agnostic; the query-time filter below
+    # carves out the index side (the extra coded query rows never reach
+    # the join — column-pruned and filtered at the scan).
+    index_codes = codes_tbl.filter(~split).select(
+        "vec_id", F.col("codes").alias("embedding")
     )
-    bc = spark.sparkContext.broadcast(cbook)
-
-    def encode(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            iv = np.floor(v * _PQ_SCALE).astype(np.int64).reshape(-1, _PQ_M, _PQ_SUB)
-            codes = np.empty((len(pdf), _PQ_M), dtype=np.int32)
-            for m in range(_PQ_M):
-                x = iv[:, m, :]  # (n, SUB)
-                c = bc.value[m]  # (K, SUB)
-                d2 = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2 * (x @ c.T)
-                    + (c * c).sum(axis=1)[None, :]
-                )
-                codes[:, m] = np.argmin(d2, axis=1)  # first occurrence = lowest k
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
-
-    index_codes = (
-        e.filter(~split)
-        .mapInPandas(encode, schema="vec_id long, codes array<int>")
-        .select("vec_id", F.col("codes").alias("embedding"))
-    )
-    queries = e.filter(split).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    queries = (
+        table(spark, sf_dir, "embeddings")
+        .filter(split)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
 
     def score_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
@@ -1270,7 +1337,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ids = qs["q_id"].to_numpy(dtype="int64")
         score = np.zeros((len(q_ids), len(x_ids)), dtype=np.int64)
         for m in range(_PQ_M):
-            lut = qi[:, m, :] @ bc.value[m].T  # (nq, K)
+            lut = qi[:, m, :] @ cbook[m].T  # (nq, K)
             score += lut[:, codes[:, m]]
         rows, nids, scs = _rowwise_topk(score, x_ids, _PQ_TOP_K)
         return pd.DataFrame(
@@ -1298,6 +1365,35 @@ _MS_M = 4  # "token vectors" per record (the 64-dim embedding as 4×16)
 _MS_SUB = 16
 _MS_SCALE = 1000
 _MS_TOP_K = 3
+
+
+# Session cache for the MaxSim serving table: the integer-quantized token
+# layout of every vector.
+_MS_TOKENS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def maxsim_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, itok array<long>): every vector's integer-quantized token
+    layout — floor(x * _MS_SCALE) per coordinate, read downstream as
+    _MS_M × _MS_SUB token bags — the MaxSim tier's serving table. Pure
+    JVM expression work (one higher-order transform per row, no Python),
+    lazy and column-prunable, split-agnostic like the PQ code table. A
+    loaded ANN store (operators/artifacts.py::load_ann_indexes) seeds
+    this cache with the store's parquet scan, so the scoring kernel
+    consumes pre-quantized int64 tokens straight off disk instead of
+    re-flooring the float corpus per query."""
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    got = _MS_TOKENS_CACHE.get(key)
+    if got is None:
+        got = table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _MS_SCALE).cast("long"),
+            ).alias("itok"),
+        )
+        _MS_TOKENS_CACHE[key] = got
+    return got
 
 
 @register(
@@ -1361,12 +1457,16 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Both grid sides come from the serving-table seam: the quantize pass
+    # runs as JVM expression work at the scan (or not at all, served from
+    # a loaded ANN store), and the kernel consumes pre-floored int64
+    # tokens — no per-pair re-quantization.
+    tok = maxsim_token_table(spark, sf_dir)
     split = _hash_split("maxsim")
-    queries = e.filter(split).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    queries = tok.filter(split).select(
+        F.col("vec_id").alias("q_id"), F.col("itok").alias("q_emb")
     )
-    index = e.filter(~split)
+    index = tok.filter(~split).select("vec_id", F.col("itok").alias("embedding"))
 
     def score_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
         if qs.empty or idx.empty:
@@ -1375,12 +1475,12 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype(
                 {"query_id": "int64", "neighbor_id": "int64", "maxsim_score": "int64"}
             )
-        q = np.floor(
-            np.stack(qs["q_emb"].to_numpy()).astype(np.float64) * _MS_SCALE
-        ).astype(np.int64).reshape(-1, _MS_M, _MS_SUB)
-        x = np.floor(
-            np.stack(idx["embedding"].to_numpy()).astype(np.float64) * _MS_SCALE
-        ).astype(np.int64).reshape(-1, _MS_M, _MS_SUB)
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.int64).reshape(
+            -1, _MS_M, _MS_SUB
+        )
+        x = np.stack(idx["embedding"].to_numpy()).astype(np.int64).reshape(
+            -1, _MS_M, _MS_SUB
+        )
         q_ids = qs["q_id"].to_numpy(dtype="int64")
         x_ids = idx["vec_id"].to_numpy(dtype="int64")
         # (nq*M, SUB) @ (SUB, nx*M) -> all subvector dots in ONE matmul.

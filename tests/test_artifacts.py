@@ -208,3 +208,150 @@ def test_streaming_lane_probes_store_loaded_indexes(spark, tmp_path):
         assert batch, "fixture arrival split must flag at least one pair"
     finally:
         clear_session_caches()
+
+
+_ANN_TIERS = (
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_sim_ivf_topk",
+    "q_sim_pq_topk",
+    "q_sim_maxsim_topk",
+)
+
+
+def test_ann_store_roundtrip_serves_all_five_tiers(spark, tmp_path):
+    """persist → clear → load the five similarity tiers' serving indexes,
+    then re-run every tier: results must be byte-identical to the
+    fresh-built run (the caches now hold the store's parquet scans, so
+    norms/codes/assignments/tokens all come off disk instead of their
+    build kernels). The IVF centroid matrix and PQ codebook tensor must
+    round-trip the manifest exactly."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators import similarity
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        load_ann_indexes,
+        persist_ann_indexes,
+    )
+    from mapreduce_framework_api_spark.sources.readers import session_cache_key
+
+    store = str(tmp_path / "ann_idx")
+    clear_session_caches()
+    try:
+        fresh = {n: _canon(QUERIES[n].fn(spark, SF_DIR)) for n in _ANN_TIERS}
+        _, cq_fresh = similarity.ivf_index(spark, SF_DIR)
+        _, cbook_fresh = similarity.pq_index(spark, SF_DIR)
+        counts = persist_ann_indexes(spark, SF_DIR, store)
+        assert set(counts) == {
+            "vec_norms",
+            "lsh_codes",
+            "ivf_assigned",
+            "pq_codes",
+            "maxsim_tokens",
+        }
+        assert all(n > 0 for n in counts.values()), counts
+
+        clear_session_caches()
+        loaded = load_ann_indexes(spark, SF_DIR, store)
+        assert loaded == counts
+        # The seeded caches ARE the seam: the serving-table builders must
+        # now return the parquet-backed frames...
+        key = session_cache_key(spark, SF_DIR, "embeddings")
+        assert (
+            similarity.vec_norm_table(spark, SF_DIR)
+            is similarity._VEC_NORMS_CACHE[key]
+        )
+        assert (
+            similarity.lsh_code_table(spark, SF_DIR)
+            is similarity._LSH_CODES_CACHE[key]
+        )
+        _, cq_loaded = similarity.ivf_index(spark, SF_DIR)
+        _, cbook_loaded = similarity.pq_index(spark, SF_DIR)
+        assert cq_loaded.dtype == np.int64 and np.array_equal(cq_fresh, cq_loaded)
+        assert cbook_loaded.dtype == np.int64 and np.array_equal(
+            cbook_fresh, cbook_loaded
+        )
+        # ...and every tier must agree exactly with its fresh-built run.
+        for name, want in fresh.items():
+            assert _canon(QUERIES[name].fn(spark, SF_DIR)) == want, name
+    finally:
+        clear_session_caches()
+
+
+def test_ann_store_rejects_stale_fingerprint(spark, tmp_path):
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        load_ann_indexes,
+        persist_ann_indexes,
+    )
+
+    store = str(tmp_path / "ann_idx")
+    clear_session_caches()
+    try:
+        persist_ann_indexes(spark, SF_DIR, store)
+        mpath = os.path.join(store, "ann_manifest.json")
+        m = json.load(open(mpath))
+        m["embeddings_fingerprint"] = ["tampered", 0, 0]
+        json.dump(m, open(mpath, "w"))
+        with pytest.raises(ValueError, match="fingerprint mismatch"):
+            load_ann_indexes(spark, SF_DIR, store)
+    finally:
+        clear_session_caches()
+
+
+def test_repersist_crash_leaves_no_loadable_stale_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """The re-persist staleness window (VERDICT r10/r11 advice): a persist
+    that crashes over an EXISTING store must leave a store that refuses
+    to load — never one whose old fingerprint-valid manifest silently
+    describes parquet that was being overwritten. The guard renames the
+    manifest aside at entry, so the crash leaves no manifest.json at all;
+    the .stale copy is forensic only and never read by a loader."""
+    from mapreduce_framework_api_spark.operators import artifacts
+
+    store = str(tmp_path / "artifacts")
+    clear_session_caches()
+    try:
+        persist_dedup_artifacts(spark, SF_DIR, store)
+        load_dedup_artifacts(spark, SF_DIR, store)  # baseline: loads fine
+        clear_session_caches()
+
+        def boom(*_a, **_k):
+            raise RuntimeError("simulated mid-persist crash")
+
+        monkeypatch.setattr(
+            artifacts, "_artifact_specs", lambda: {"shingle_table": (boom, {})}
+        )
+        with pytest.raises(RuntimeError, match="simulated mid-persist crash"):
+            persist_dedup_artifacts(spark, SF_DIR, store)
+        monkeypatch.undo()
+        assert not os.path.exists(os.path.join(store, "manifest.json"))
+        assert os.path.exists(os.path.join(store, "manifest.json.stale"))
+        with pytest.raises(FileNotFoundError):
+            load_dedup_artifacts(spark, SF_DIR, store)
+        # lockfile released on the failure path: a retry persist succeeds
+        counts = persist_dedup_artifacts(spark, SF_DIR, store)
+        clear_session_caches()
+        assert load_dedup_artifacts(spark, SF_DIR, store) == counts
+    finally:
+        clear_session_caches()
+
+
+def test_second_concurrent_writer_errors_cleanly(spark, tmp_path):
+    """Two persists racing one out_dir: the second must fail fast with a
+    named error (not interleave parquet overwrites under a winner-takes-
+    the-manifest race), and the first's lock must be gone after it
+    finishes so later persists run."""
+    store = str(tmp_path / "artifacts")
+    os.makedirs(store, exist_ok=True)
+    lock = os.path.join(store, "manifest.json.lock")
+    open(lock, "w").close()  # writer #1 holds the store
+    clear_session_caches()
+    try:
+        with pytest.raises(RuntimeError, match="another persist"):
+            persist_dedup_artifacts(spark, SF_DIR, store)
+        os.unlink(lock)  # writer #1 done (or stranded lock removed)
+        persist_dedup_artifacts(spark, SF_DIR, store)
+        assert not os.path.exists(lock)  # released on success
+    finally:
+        clear_session_caches()

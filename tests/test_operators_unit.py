@@ -1,6 +1,7 @@
 """Operator edge-case units (SURVEY.md §5.2 tier 3): synthetic inputs the
 fixtures can't produce — empty tables, orphan keys, all-duplicate keys."""
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2310,3 +2311,23 @@ def test_bk_verified_containment_recovers_exact_tier(spark):
             tuple(r) for r in bk_verified_containment(spark, sf_dir).collect()
         )
         assert verified == exact, sf_dir
+
+
+def test_ivf_nprobe_env_knob_is_validated(monkeypatch):
+    """SPARK_GRAFT_IVF_NPROBE=0 used to make the probe slice EMPTY —
+    q_sim_ivf_topk silently returned zero rows — and a non-integer raised
+    an opaque plan-build error; both must now fail fast with named
+    errors, and valid values pass through."""
+    from mapreduce_framework_api_spark.operators import similarity
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_NPROBE", raising=False)
+    assert similarity._ivf_nprobe() == similarity._IVF_NPROBE
+    monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "4")
+    assert similarity._ivf_nprobe() == 4
+    for bad in ("0", "-1", str(similarity._IVF_K + 1)):
+        monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_IVF_NPROBE"):
+            similarity._ivf_nprobe()
+    monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "two")
+    with pytest.raises(ValueError, match="must be an integer"):
+        similarity._ivf_nprobe()
