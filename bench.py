@@ -13,6 +13,11 @@ Timing discipline (BASELINE.md): warm session, Spark startup excluded; each
 query timed around its action (count of the materialized result — results
 stay distributed; no driver collect). A JIT/warmup pass of the flagship
 runs untimed first.
+
+Modes: default (cold-cache board, BENCH_FULL.json); ``--from-store``
+(persist all three artifact stores untimed, clear caches, load, time the
+identical board — BENCH_STORE.json); ``--isolate q1,q2`` (best-of-3
+adjudication in a fresh session).
 """
 
 from __future__ import annotations
@@ -119,38 +124,35 @@ def isolate(names: list[str]) -> None:
         sys.exit(1)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    registry = load_all_queries()
-    spark = get_spark("bench")
+def _safe_count(fn, *args) -> tuple[int | None, str | None]:
+    """Every warm-up and timed run is individually fenced: one broken query
+    must cost exactly its own row (recorded as an "err"), never the whole
+    bench — r02/r03 both produced rc=1 with zero timings for 77 healthy
+    queries because a single AnalysisException escaped."""
+    try:
+        return fn(*args).count(), None
+    except Exception as exc:
+        return None, f"{type(exc).__name__}: {exc}"[:500]
 
-    # untimed warmup: JVM/codegen/parquet-footer caches, plus one tiny
-    # Arrow kernel so the first Python-UDF query isn't billed for daemon
-    # + worker startup (warm-session discipline per BASELINE.md).
-    # The expression-heavy dedup signatures (trigram shingle folds, the
-    # 16-perm minhash / 64-bit simhash / 64-bit sign-LSH assemblies)
-    # cost ~8-9 s of ONE-TIME whole-stage-codegen JIT on first compile —
-    # a per-JVM constant every warm executor pays exactly once (measured:
-    # q_dedup_clusters 13.5 s cold vs 4.5 s once classes are compiled,
-    # identical data). Compiling is schema-dependent, not data-dependent,
-    # so it's warmed at sf0.001 where the data cost is nil.
-    # Every warm-up and timed run is individually fenced: one broken query
-    # must cost exactly its own row (recorded as an "err"), never the whole
-    # bench — r02/r03 both produced rc=1 with zero timings for 77 healthy
-    # queries because a single AnalysisException escaped.
-    def _safe_count(fn, *args) -> tuple[int | None, str | None]:
-        try:
-            return fn(*args).count(), None
-        except Exception as exc:
-            return None, f"{type(exc).__name__}: {exc}"[:500]
 
-    # Flagship warmup runs at sf0.001 (like every other warm query), NOT
-    # at the target sf_dir: q_text_wordcount now feeds the session-cached
-    # corpus_wordcount table, and a target-scale warmup would pre-build
-    # that cache outside the timed window — the timed wordcount/zipf/
-    # surprisal/vocab_coverage cells must include their own share of the
-    # shared work, exactly as the dedup/graph families already do.
+def _warmup(spark, registry, sf_dir: str) -> None:
+    """Untimed warmup: JVM/codegen/parquet-footer caches, plus one tiny
+    Arrow kernel so the first Python-UDF query isn't billed for daemon
+    + worker startup (warm-session discipline per BASELINE.md).
+    The expression-heavy dedup signatures (trigram shingle folds, the
+    16-perm minhash / 64-bit simhash / 64-bit sign-LSH assemblies)
+    cost ~8-9 s of ONE-TIME whole-stage-codegen JIT on first compile —
+    a per-JVM constant every warm executor pays exactly once (measured:
+    q_dedup_clusters 13.5 s cold vs 4.5 s once classes are compiled,
+    identical data). Compiling is schema-dependent, not data-dependent,
+    so it's warmed at sf0.001 where the data cost is nil.
+
+    Flagship warmup runs at sf0.001 (like every other warm query), NOT
+    at the target sf_dir: q_text_wordcount feeds the session-cached
+    corpus_wordcount table, and a target-scale warmup would pre-build
+    that cache outside the timed window — the timed wordcount/zipf/
+    surprisal/vocab_coverage cells must include their own share of the
+    shared work, exactly as the dedup/graph families already do."""
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     flagship_sf = warm_sf if os.path.isdir(warm_sf) else sf_dir
     _, err = _safe_count(registry["q_text_wordcount"].fn, spark, flagship_sf)
@@ -187,6 +189,10 @@ def main() -> None:
             if err:
                 print(f"# warmup {wq}: {err}", file=sys.stderr)
 
+
+def _timed_board(spark, registry, sf_dir: str) -> tuple[dict, dict]:
+    """The timed loop shared by the default board and --from-store: every
+    registered query timed around its action, per-query fenced."""
     import gc
 
     per_query: dict[str, float] = {}
@@ -211,7 +217,30 @@ def main() -> None:
         # in-bench than in isolation).
         del df
         gc.collect()
+    return per_query, errors
 
+
+def _emit(summary: dict, out_name: str) -> None:
+    """Full-fidelity record first (spec line + on-disk copy): the external
+    recorder keeps only the LAST ~2000 chars of stdout, and a 178-query
+    map is ~4-5 KB — r4/r5 both recorded "parsed": null because the one
+    big line was head-truncated inside that tail window. The LAST line is
+    a compact summary sized to survive the tail window."""
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w"
+    ) as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    print(json.dumps(compact_summary(summary)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    registry = load_all_queries()
+    spark = get_spark("bench")
+    _warmup(spark, registry, sf_dir)
+    per_query, errors = _timed_board(spark, registry, sf_dir)
     total = round(sum(per_query.values()), 3)
     summary = {
         "metric": "total_query_wall_sec",
@@ -222,20 +251,71 @@ def main() -> None:
     }
     if errors:
         summary["errors"] = errors
-    # Full-fidelity record first (spec line + on-disk copy): the external
-    # recorder keeps only the LAST ~2000 chars of stdout, and a 149-query
-    # map is ~4-5 KB — r4/r5 both recorded "parsed": null because the one
-    # big line was head-truncated inside that tail window.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as f:
-        json.dump(summary, f, indent=1)
-    print(json.dumps(summary))
-    # LAST line: a compact summary sized to survive the tail window —
-    # totals always, then as many of the slowest per-query times as fit.
-    # Per-query fidelity for ALL queries lives in BENCH_FULL.json + stderr.
-    print(json.dumps(compact_summary(summary)))
+    _emit(summary, "BENCH_FULL.json")
+    spark.stop()
+
+
+def from_store() -> None:
+    """``bench.py --from-store``: the ingest-then-serve production shape
+    as a gateable receipt. Persists all three artifact stores (dedup
+    kernels, ingest probe indexes, ANN serving indexes) UNTIMED — that is
+    the ingest job's cost, paid once per corpus — then clears every
+    session cache (the fresh search session), seeds them from the stores,
+    and times the full board identically to the default mode. The JSON
+    line keeps the same metric name so tools/bench_compare.py gates it
+    cell-for-cell against the same baseline; ``mode`` and
+    ``store_build_sec`` mark the provenance. Output lands in
+    BENCH_STORE.json (BENCH_FULL.json stays the default board's)."""
+    import shutil
+    import tempfile
+
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        load_ann_indexes,
+        load_dedup_artifacts,
+        load_ingest_indexes,
+        persist_ann_indexes,
+        persist_dedup_artifacts,
+        persist_ingest_indexes,
+    )
+    from mapreduce_framework_api_spark.session import clear_session_caches
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    registry = load_all_queries()
+    spark = get_spark("bench-from-store")
+    _warmup(spark, registry, sf_dir)
+
+    store = tempfile.mkdtemp(prefix="spark_graft_store_")
+    try:
+        t0 = time.perf_counter()
+        persist_dedup_artifacts(spark, sf_dir, os.path.join(store, "dedup"))
+        persist_ingest_indexes(spark, sf_dir, os.path.join(store, "ingest"))
+        persist_ann_indexes(spark, sf_dir, os.path.join(store, "ann"))
+        build_sec = round(time.perf_counter() - t0, 3)
+        print(f"# store build (untimed ingest cost): {build_sec:.2f}s",
+              file=sys.stderr)
+
+        clear_session_caches()  # the fresh serving session
+        load_dedup_artifacts(spark, sf_dir, os.path.join(store, "dedup"))
+        load_ingest_indexes(spark, sf_dir, os.path.join(store, "ingest"))
+        load_ann_indexes(spark, sf_dir, os.path.join(store, "ann"))
+
+        per_query, errors = _timed_board(spark, registry, sf_dir)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    total = round(sum(per_query.values()), 3)
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "mode": "from_store",
+        "store_build_sec": build_sec,
+    }
+    if errors:
+        summary["errors"] = errors
+    _emit(summary, "BENCH_STORE.json")
     spark.stop()
 
 
@@ -245,5 +325,7 @@ if __name__ == "__main__":
             print("usage: bench.py --isolate q1,q2,...", file=sys.stderr)
             sys.exit(2)
         isolate([n.strip() for n in sys.argv[2].split(",") if n.strip()])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--from-store":
+        from_store()
     else:
         main()

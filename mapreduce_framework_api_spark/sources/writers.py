@@ -111,6 +111,7 @@ def compact_small_files(
     fmt: str = "parquet",
     target_bytes: int = 128 << 20,
     partition_cols: list[str] | None = None,
+    sort_by: str | list[str] | None = None,
 ) -> dict:
     """Small-file compaction — the table-maintenance pass every long-lived
     100 TB lakehouse table needs: streaming ingests and fine-grained
@@ -136,14 +137,36 @@ def compact_small_files(
     flattening the directory tree: compacting a dt=.../ partitioned
     ingest keeps every later scan's partition pruning intact.
 
+    ``sort_by`` adds CLUSTERING to the rewrite — the compaction pass is
+    the one time the whole table moves anyway, so sorting it then is
+    free-ish and every later predicate scan on the clustering column(s)
+    pays less forever:
+
+    - unpartitioned: ``repartitionByRange(n, sort_by)`` +
+      ``sortWithinPartitions`` — output files hold DISJOINT value ranges
+      and sorted row groups, so a selective predicate prunes whole FILES
+      (footer min/max) and then whole row groups inside the survivors.
+      The range exchange replaces the round-robin one (same single
+      shuffle; Spark samples the sort key to place the bounds, so skewed
+      keys still yield even file sizes).
+    - partitioned: rows must route by partition key, so cross-file
+      ranges within one partition value stay hash-split; ``sort_by``
+      then clusters WITHIN each file (sorted row groups → row-group
+      min/max pruning), which is where most of the win lives once
+      partition pruning has already cut the directory list.
+
     Driver cost: one file listing (the same listing any scan does).
     Cluster cost: one read + one rebalance exchange + one write — linear,
-    no aggregation state."""
+    no aggregation state (the optional sort is per-output-partition)."""
     import math
     import os
     import shutil
 
     from mapreduce_framework_api_spark.sources.readers import read_any
+
+    sort_cols = (
+        [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    )
 
     def _data_files(p):
         out = []
@@ -157,6 +180,9 @@ def compact_small_files(
     total = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total / target_bytes))
     df = read_any(spark, path, fmt)
+    missing = [c for c in sort_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"sort_by columns not in table: {missing}")
     staging = path.rstrip("/") + "._compact_staging"
     if partition_cols:
         # Rebalance rows onto their partition key (plus a within-partition
@@ -227,6 +253,28 @@ def compact_small_files(
         # columns). The directory side already encodes nulls as Spark's
         # __HIVE_DEFAULT_PARTITION__ segment, so coalescing to that same
         # placeholder makes null partitions join their own sizing row.
+        # A REAL value equal to the placeholder string would collide with
+        # the null partition's sizing row (and is ambiguous on disk too:
+        # Spark writes that literal unescaped) — make it an explicit
+        # error rather than a silent mis-sizing. One column-pruned probe
+        # scan of the partition columns, cheap next to the full
+        # read+rewrite this pass does anyway (round-11 advice fix).
+        from functools import reduce as _reduce
+        from operator import or_ as _or
+
+        sentinel = "__HIVE_DEFAULT_PARTITION__"
+        clash = df.where(
+            _reduce(
+                _or,
+                [F.col(c).cast("string") == sentinel for c in partition_cols],
+            )
+        ).take(1)
+        if clash:
+            raise ValueError(
+                f"partition column value collides with Spark's null-"
+                f"partition placeholder {sentinel!r}; rewrite that value "
+                f"before compacting"
+            )
         key_expr = F.concat_ws(
             sep,
             *[
@@ -251,18 +299,28 @@ def compact_small_files(
             F.xxhash64(*[F.col(c) for c in hash_cols]),
             F.coalesce(F.col("_nsplit"), F.lit(1)),
         )
-        (
+        out = (
             routed.withColumn("_split", split)
             .drop("_pk", "_nsplit")
             .repartition(*[F.col(c) for c in partition_cols], F.col("_split"))
             .drop("_split")
-            .write.mode("overwrite")
+        )
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        (
+            out.write.mode("overwrite")
             .partitionBy(*partition_cols)
             .format(fmt)
             .save(staging)
         )
     else:
-        df.repartition(n_files).write.mode("overwrite").format(fmt).save(staging)
+        if sort_cols:
+            out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            out = df.repartition(n_files)
+        out.write.mode("overwrite").format(fmt).save(staging)
     rows_before = df.count()
     rows_after = read_any(spark, staging, fmt).count()
     if rows_after != rows_before:  # paranoia gate before the destructive swap

@@ -302,3 +302,114 @@ def test_compact_null_partition_gets_own_sizing_row(spark, tmp_path):
         assert os.path.getsize(f) <= 2 * target, (f, os.path.getsize(f))
     assert len(_glob.glob(f"{p}/dt=a/part-*")) == 1
     assert read_any(spark, p).count() == before_rows
+
+
+def test_compact_sort_by_clusters_layout_for_pruning(spark, tmp_path):
+    """``sort_by`` clustering (round-12): an unpartitioned compaction with
+    a clustering column must produce (a) byte-identical content, (b)
+    files holding DISJOINT value ranges (repartitionByRange → whole-file
+    min/max pruning), and (c) sorted row groups inside each file
+    (row-group min/max pruning). Verified against the parquet footers —
+    the same statistics any engine's scan pruner reads."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_api_spark.sources.readers import read_any
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "clust")
+    # shuffled key so the pre-compaction layout has NO clustering
+    src = spark.range(20000).select(
+        F.xxhash64("id").alias("k"), F.col("id").alias("v")
+    )
+    src.repartition(32).write.parquet(p)
+    before = sorted(tuple(r) for r in read_any(spark, p).collect())
+    stats = compact_small_files(spark, p, target_bytes=256 << 10, sort_by="k")
+    assert stats["files_before"] == 32
+    after = sorted(tuple(r) for r in read_any(spark, p).collect())
+    assert after == before
+
+    files = sorted(
+        os.path.join(p, f)
+        for f in os.listdir(p)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    assert len(files) >= 2, "need >=2 files to prove disjoint ranges"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_mins, col_maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # k is the first column
+            assert col.statistics is not None and col.statistics.has_min_max
+            col_mins.append(col.statistics.min)
+            col_maxs.append(col.statistics.max)
+        # row groups inside a file are sorted and non-overlapping
+        for a_max, b_min in zip(col_maxs, col_mins[1:]):
+            assert a_max <= b_min
+        ranges.append((min(col_mins), max(col_maxs)))
+    ranges.sort()
+    for (_lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, "file value ranges overlap — no file-level pruning"
+
+
+def test_compact_sort_by_within_partitioned_layout(spark, tmp_path):
+    """Partitioned compaction with ``sort_by``: the dt=... tree survives
+    (partition pruning intact) and every rewritten file has internally
+    sorted, non-overlapping row groups on the clustering column."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_api_spark.sources.readers import read_any
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "part_clust")
+    src = spark.range(9000).select(
+        F.xxhash64("id").alias("k"),
+        (F.col("id") % 3).alias("dt"),
+    )
+    src.repartition(16).write.partitionBy("dt").parquet(p)
+    before = sorted(tuple(r) for r in read_any(spark, p).collect())
+    compact_small_files(
+        spark, p, target_bytes=1 << 20, partition_cols=["dt"], sort_by="k"
+    )
+    after = sorted(tuple(r) for r in read_any(spark, p).collect())
+    assert after == before
+    assert sorted(
+        os.path.basename(d) for d in _glob.glob(os.path.join(p, "dt=*"))
+    ) == ["dt=0", "dt=1", "dt=2"]
+    for f in _glob.glob(os.path.join(p, "dt=*", "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        stats = [
+            md.row_group(rg).column(0).statistics for rg in range(md.num_row_groups)
+        ]
+        for a, b in zip(stats, stats[1:]):
+            assert a.max <= b.min
+
+
+def test_compact_rejects_unknown_sort_column(spark, tmp_path):
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    with pytest.raises(ValueError, match="sort_by columns not in table"):
+        compact_small_files(spark, p, sort_by="nope")
+
+
+def test_compact_rejects_null_placeholder_collision(spark, tmp_path):
+    """A REAL column value equal to __HIVE_DEFAULT_PARTITION__ reaching a
+    partitioned rewrite would (a) alias onto the null partition's sizing
+    row and (b) — far worse — be written as the null-partition directory,
+    so every later read returns NULL where the value was (Spark maps that
+    directory name to null). The hazard arises on the re-layout path: an
+    UNPARTITIONED table being compacted INTO a partitioned layout still
+    carries the literal in its data. The compactor must refuse loudly
+    (round-11 advice)."""
+    from mapreduce_framework_api_spark.sources.writers import compact_small_files
+
+    p = str(tmp_path / "clash")
+    spark.createDataFrame(
+        [(1, "__HIVE_DEFAULT_PARTITION__"), (2, "ok")], "id long, dt string"
+    ).write.parquet(p)  # unpartitioned: the literal survives on disk
+    with pytest.raises(ValueError, match="null-partition placeholder"):
+        compact_small_files(spark, p, partition_cols=["dt"])
