@@ -133,12 +133,20 @@ def encode_avi(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
     )
     strl = b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf)
     hdrl = b"hdrl" + _chunk(b"avih", avih) + _chunk(b"LIST", strl)
-    movi_items = [_chunk(b"00db", _rgb_to_dib(width, height, f)) for f in frames]
+    payloads = [_rgb_to_dib(width, height, f) for f in frames]
+    movi_items = [_chunk(b"00db", p) for p in payloads]
     movi = b"movi" + b"".join(movi_items)
-    # idx1: one entry per frame — offset is relative to the 'movi' tag
+    # idx1: one entry per frame — offset is relative to the 'movi' tag.
+    # The size field records the TRUE payload size (stride*height), taken
+    # from the payload itself, never derived back from the padded chunk:
+    # un-padding padded length is wrong for odd payloads (DIB payloads
+    # are always even — stride is a multiple of 4 — but the index format
+    # should not depend on that invariant; round-11 advice).
     idx_entries, off = [], 4
-    for f_chunk in movi_items:
-        idx_entries.append(b"00db" + struct.pack("<III", 0x10, off, len(f_chunk) - 8 - (len(f_chunk) & 1)))
+    for payload, f_chunk in zip(payloads, movi_items):
+        idx_entries.append(
+            b"00db" + struct.pack("<III", 0x10, off, len(payload))
+        )
         off += len(f_chunk)
     body = (
         b"AVI "

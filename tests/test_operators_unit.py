@@ -2331,3 +2331,39 @@ def test_ivf_nprobe_env_knob_is_validated(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "two")
     with pytest.raises(ValueError, match="must be an integer"):
         similarity._ivf_nprobe()
+
+
+# Per-tier recall/precision FLOOR PINS (VERDICT r10 task 8 / r11 stretch):
+# every registered quality instrument, pinned at a conservative sf0.01
+# floor ~60-70% of its observed value — loose enough to survive a fixture
+# regeneration (the metrics are hash-deterministic but fixture-dependent),
+# tight enough that a refactor silently HALVING a tier's recall goes red.
+# Observed sf0.01 values (round 12): bk_precision 9259, bk_recall 10000,
+# est_recall 10000, minhash 10000, semdedup 3142 (isotropic operating
+# point — documented), planted 10000, simhash 4800, ivf 3043, lsh 5915,
+# pq 1145.
+_RECALL_FLOORS = [
+    ("q_dedup_containment_bk_precision", "precision_x10000", 8500),
+    ("q_dedup_containment_bk_recall", "recall_x10000", 9500),
+    ("q_dedup_containment_est_recall", "recall_x10000", 9500),
+    ("q_dedup_minhash_recall", "recall_x10000", 9500),
+    ("q_dedup_semdedup_recall", "recall_x10000", 2000),
+    ("q_dedup_semdedup_recall_planted", "recall_x10000", 9500),
+    ("q_dedup_simhash_recall", "recall_x10000", 3000),
+    ("q_sim_ivf_recall", "recall_x10000", 2000),
+    ("q_sim_lsh_recall", "recall_x10000", 4000),
+    ("q_sim_pq_recall", "recall_x10000", 700),
+]
+
+
+@pytest.mark.parametrize("name,col,floor", _RECALL_FLOORS)
+def test_quality_instrument_floor(spark, name, col, floor):
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    row = (
+        load_all_queries()[name]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    assert row[col] >= floor, (name, row)

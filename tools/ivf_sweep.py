@@ -1,0 +1,93 @@
+"""IVF operating-point sweep: recall@3 vs wall across nprobe ∈ {1,2,4,8}
+at sf1 (the 10x scale_receipt corpus, 20k vectors) — the recall-vs-cost
+curve a production deployment reads before pinning the probe count.
+
+Protocol (the one _ivf_nprobe's docstring documents): per point, set
+SPARK_GRAFT_IVF_NPROBE, CLEAR every session cache (so each point
+genuinely re-executes — the tier-output cache tag carries the nprobe,
+but the shared ivf_index / sampled-truth caches do not carry it and
+must not leak across points' timings), then time q_sim_ivf_topk around
+its action and read q_sim_ivf_recall's one-row metric. The registered
+differential oracle stays pinned to the shipped default — the sweep
+never touches it; recall truth here is the exact sampled cosine top-3,
+which is nprobe-independent by construction.
+
+Two walls per point: COLD (index build + search — what one-shot
+sessions pay) and WARM (search riding the session ivf_index — what a
+serving deployment pays per query wave; the index is nprobe-invariant,
+so this is the number the knob actually moves).
+
+Usage: python tools/ivf_sweep.py [sf_dir]  (default .scratch/sf1;
+builds it via tools/scale_receipt.build_sf1 when missing)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scale_receipt import DST as SF1_DIR, build_sf1  # noqa: E402
+
+from mapreduce_framework_api_spark.registry import load_all_queries  # noqa: E402
+from mapreduce_framework_api_spark.session import (  # noqa: E402
+    clear_session_caches,
+    get_spark,
+)
+
+POINTS = (1, 2, 4, 8)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF1_DIR
+    if sf_dir == SF1_DIR and not os.path.isdir(sf_dir):
+        print("# building .scratch/sf1 (10x replica corpus)", file=sys.stderr)
+        build_sf1()
+    registry = load_all_queries()
+    spark = get_spark("ivf-sweep")
+    # warm the Arrow/codegen path once so point 1 isn't billed for JIT
+    clear_session_caches()
+    registry["q_sim_ivf_topk"].fn(spark, "/root/testdata/sf0.001").count()
+
+    rows = []
+    for nprobe in POINTS:
+        os.environ["SPARK_GRAFT_IVF_NPROBE"] = str(nprobe)
+        clear_session_caches()
+        t0 = time.perf_counter()
+        n_rows = registry["q_sim_ivf_topk"].fn(spark, sf_dir).count()
+        cold = time.perf_counter() - t0
+        # warm: the ivf_index + tier caches are populated; re-time the
+        # search with ONLY the tier-output cache dropped (the serving
+        # shape: frozen index, fresh query wave)
+        from mapreduce_framework_api_spark.operators import similarity
+
+        similarity._TIER_OUT_CACHE.clear()
+        t0 = time.perf_counter()
+        registry["q_sim_ivf_topk"].fn(spark, sf_dir).count()
+        warm = time.perf_counter() - t0
+        rec = registry["q_sim_ivf_recall"].fn(spark, sf_dir).collect()[0]
+        rows.append(
+            {
+                "nprobe": nprobe,
+                "rows": n_rows,
+                "cold_sec": round(cold, 2),
+                "warm_sec": round(warm, 2),
+                "n_queries": rec["n_queries"],
+                "n_truth": rec["n_truth"],
+                "n_hits": rec["n_hits"],
+                "recall_x10000": rec["recall_x10000"],
+            }
+        )
+        print(f"# {rows[-1]}", file=sys.stderr)
+    os.environ.pop("SPARK_GRAFT_IVF_NPROBE", None)
+    clear_session_caches()
+    print(json.dumps({"sf_dir": sf_dir, "points": rows}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
