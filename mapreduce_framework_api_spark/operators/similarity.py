@@ -1,6 +1,6 @@
 """Similarity search over the embeddings table (north-star surface).
 
-Six tiers (exact / ANN / multi-vector):
+Seven tiers (exact / ANN / composed / multi-vector):
 
 - ``q_sim_cosine_topk``: exact brute-force top-k — the correctness
   baseline. Both sides are hashed into bounded blocks and cogrouped on
@@ -26,6 +26,9 @@ Six tiers (exact / ANN / multi-vector):
 - ``q_sim_pq_topk``: product quantization — the memory-bound tier; the
   index is 4 one-byte codes per vector, scoring is ADC lookup-table
   gathers through the same block grid.
+- ``q_sim_ivfpq_topk``: the COMPOSED production shape — IVF routing
+  bounds who you score, PQ codes bound what you read per candidate;
+  both halves served from the persisted ANN store.
 - ``q_sim_maxsim_topk``: late interaction (ColBERT-style MaxSim) — the
   multi-vector semantics: per query token, the best-aligned index token;
   one matmul + max/sum reductions per block pair.
@@ -1635,6 +1638,291 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.expr("n_hits * 10000 div n_truth").cast("long").alias("recall_x10000"),
         )
+    )
+
+
+# ------------------------------------------------------------- IVF-PQ ------
+
+# The COMPOSED tier: IVF routing + PQ scoring — the FAISS-IVFPQ shape
+# that actually runs at 100 TB (the coarse quantizer bounds WHO you
+# score, the product quantizer bounds WHAT you read per candidate:
+# nprobe lists × 4 one-byte codes instead of corpus × 64 floats). Both
+# halves reuse the persisted serving indexes (ivf_index + pq_index), so
+# a loaded ANN store serves this tier with ZERO build kernels — the
+# composition is exactly why the store persists routing and codes as
+# separate split/nprobe-agnostic artifacts.
+_IVFPQ_TOP_K = 3
+
+_IVFPQ_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES}, pqe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
+  FROM embeddings
+), pqseed AS (
+  SELECT vec_id, piv FROM pqe
+  ORDER BY md5('pq#' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}
+), pqcb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, piv FROM pqseed
+), ms AS (
+  SELECT unnest(range(0, {_PQ_M})) AS m
+), cbm AS (
+  SELECT k, m, pqcb.piv[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS c
+  FROM pqcb CROSS JOIN ms
+), xm AS (
+  SELECT vec_id, m, piv[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS x
+  FROM pqe CROSS JOIN ms
+), d AS (
+  SELECT x.vec_id, x.m, c.k,
+         list_dot_product(x.x, x.x)
+           - 2 * list_dot_product(x.x, c.c)
+           + list_dot_product(c.c, c.c) AS d2
+  FROM xm x JOIN cbm c ON x.m = c.m
+), code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, k ASC) AS rk
+    FROM d
+  ) WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS q_id, c AS cluster FROM probe_rank WHERE pr <= {_IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE p.q_id <> a.vec_id
+), qm AS (
+  SELECT vec_id AS q_id, m,
+         piv[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS q
+  FROM pqe CROSS JOIN ms
+), adc AS (
+  SELECT c.q_id, c.n_id,
+         CAST(SUM(list_dot_product(qm.q, cbm.c)) AS BIGINT) AS adc_score
+  FROM cand c
+  JOIN qm ON qm.q_id = c.q_id
+  JOIN code co ON co.vec_id = c.n_id AND co.m = qm.m
+  JOIN cbm ON cbm.m = co.m AND cbm.k = co.k
+  GROUP BY c.q_id, c.n_id
+), ranked AS (
+  SELECT q_id AS vec_id, n_id AS neighbor_id, adc_score,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_score DESC, n_id ASC) AS rk
+  FROM adc
+)
+SELECT vec_id, neighbor_id, adc_score, rk
+FROM ranked WHERE rk <= {_IVFPQ_TOP_K}
+ORDER BY vec_id, rk
+"""  # shared with q_sim_ivfpq_recall's composed oracle
+
+
+@register(
+    "q_sim_ivfpq_topk",
+    group="I",
+    oracle=_IVFPQ_ORACLE,
+)
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (the SIXTH similarity tier): every vector
+    queries its _IVF_NPROBE nearest inverted lists (the IVF coarse
+    quantizer's integer-exact routing) and candidates are scored by PQ
+    asymmetric distance (per query, one 4×16 lookup table of subspace
+    dot products; per candidate, 4 table gathers on its one-byte codes).
+    This is the composition production vector search actually deploys at
+    scale — IVF bounds the candidate COUNT, PQ bounds the candidate
+    BYTES — and both halves come straight off the serving-index seams
+    (ivf_index routing + pq_index codes), so a loaded ANN store serves
+    the whole tier with zero build kernels.
+
+    Plan shape: index side = the assigned frame's (vec_id, cluster)
+    equi-joined to the code table (two thin columns; the 64-float
+    embeddings are NEVER read on the index side — the memory-bound
+    regime's point); query side = raw vectors exploded over their probe
+    slice; ONE cogroup on cluster id with an Arrow-batched LUT-gather
+    kernel per (query-batch × inverted list), per-list top-k inside the
+    kernel, global window re-rank. Integer end to end (the ADC scores
+    are exact int64 — same headroom argument as the PQ tier), so the
+    differential oracle is FULL: the SQL mirror composes the IVF
+    assignment CTE chain with the PQ codebook/encoding CTEs verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    tier_tag = f"ivfpq_topk@p{_ivf_nprobe()}"
+    cache_key = (*session_cache_key(spark, sf_dir, "embeddings"), tier_tag)
+    cached = _TIER_OUT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
+    idx = ivf_index(spark, sf_dir)
+    pq = pq_index(spark, sf_dir)
+    if idx is None or pq is None:
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, adc_score long, rk int"
+        )
+    assigned, _cq = idx
+    codes_tbl, cbook = pq
+    # Index side: cluster membership + codes only — the embeddings column
+    # is pruned away (4 bytes/vector through the shuffle, not 256).
+    index_side = assigned.select("vec_id", "cluster").join(codes_tbl, "vec_id")
+    query_side = assigned.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.slice("probes", 1, _ivf_nprobe())).alias("cluster"),
+    )
+
+    def score_cluster(qs: "pd.DataFrame", idx_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if qs.empty or idx_pdf.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "adc_score": []}
+            ).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "adc_score": "int64"}
+            )
+        q = np.stack(qs["q_emb"].to_numpy()).astype(np.float64)
+        qi = np.floor(q * _PQ_SCALE).astype(np.int64).reshape(-1, _PQ_M, _PQ_SUB)
+        codes = np.stack(idx_pdf["codes"].to_numpy()).astype(np.int64)  # (nx, M)
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        x_ids = idx_pdf["vec_id"].to_numpy(dtype="int64")
+        score = np.zeros((len(q_ids), len(x_ids)), dtype=np.int64)
+        for m in range(_PQ_M):
+            lut = qi[:, m, :] @ cbook[m].T  # (nq, K)
+            score += lut[:, codes[:, m]]
+        # per-list top-k inside the kernel (a neighbor lives in exactly
+        # one list — same containment argument as q_sim_ivf_topk), with
+        # self-exclusion since the query set is the corpus itself.
+        rows, nids, scs = _rowwise_topk(score, x_ids, _IVFPQ_TOP_K, q_ids=q_ids)
+        return pd.DataFrame(
+            {
+                "vec_id": q_ids[rows],
+                "neighbor_id": nids,
+                # _rowwise_topk goes through float64 for the self-mask;
+                # ADC scores are <= 64 * _PQ_SCALE² « 2^53 so the cast
+                # back is exact
+                "adc_score": scs.astype(np.int64),
+            }
+        )
+
+    scored = (
+        query_side.groupBy("cluster")
+        .cogroup(index_side.groupBy("cluster"))
+        .applyInPandas(
+            score_cluster, schema="vec_id long, neighbor_id long, adc_score long"
+        )
+    )
+    return _tier_cached(
+        tier_tag,
+        spark,
+        sf_dir,
+        lambda: _topk_rerank(
+            scored.dropDuplicates(["vec_id", "neighbor_id"]),
+            "vec_id",
+            "adc_score",
+            _IVFPQ_TOP_K,
+        ),
+    )
+
+
+@register(
+    "q_sim_ivfpq_recall",
+    group="I",
+    oracle=f"""
+WITH ivfpq AS (
+  {_IVFPQ_ORACLE}
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.piv, x.piv) DESC, x.vec_id ASC) AS rk
+    FROM base q JOIN base x ON q.vec_id <> x.vec_id
+  ) WHERE rk <= {_IVFPQ_TOP_K} AND {_recall_sample_sql("query_id")}
+), hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM ivfpq JOIN exact
+    ON ivfpq.vec_id = exact.query_id
+   AND ivfpq.neighbor_id = exact.neighbor_id
+), tot AS (
+  SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM exact
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_x10000
+FROM hits, tot
+""",
+)
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the composed IVF-PQ tier against the exact integer-dot
+    ground truth (the objective ADC approximates), on the deterministic
+    md5-sampled evaluation-query subset — the per-tier evaluation row
+    every other ANN tier already carries. Composed losses show up here
+    TOGETHER (routing loss: the true neighbor's list wasn't probed;
+    quantization loss: ADC misranked within a probed list), which is the
+    number a deployment actually tunes nprobe/codebook against. Truth
+    side: the same cogroup_block_pairs engine with an exact int-dot
+    kernel over sampled queries × full corpus and SELF-EXCLUSION (the
+    symmetric-query shape); cost ∝ |sample| × corpus, never quadratic."""
+    import numpy as np
+    import pandas as pd
+
+    ivfpq = q_sim_ivfpq_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(_recall_sample()).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def exact_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
+        if qs.empty or idx.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dot": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "dot": "int64"}
+            )
+        q = np.floor(
+            np.stack(qs["q_emb"].to_numpy()).astype(np.float64) * _PQ_SCALE
+        ).astype(np.int64)
+        x = np.floor(
+            np.stack(idx["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE
+        ).astype(np.int64)
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        x_ids = idx["vec_id"].to_numpy(dtype="int64")
+        dots = q.astype(np.float64) @ x.T.astype(np.float64)  # exact « 2^53
+        rows, nids, ds = _rowwise_topk(dots, x_ids, _IVFPQ_TOP_K, q_ids=q_ids)
+        return pd.DataFrame(
+            {
+                "query_id": q_ids[rows],
+                "neighbor_id": nids,
+                "dot": ds.astype(np.int64),
+            }
+        )
+
+    n = _parquet_row_count(sf_dir, "embeddings")
+    cand = cogroup_block_pairs(
+        queries,
+        e,
+        exact_pair,
+        "query_id long, neighbor_id long, dot long",
+        n_query_rows=max(1, n // 2),  # the ~1/2 recall sample
+        n_index_rows=n,
+    )
+    exact = _topk_rerank(cand, "query_id", "dot", _IVFPQ_TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ivfpq.join(
+        exact,
+        (ivfpq.vec_id == exact.query_id)
+        & (ivfpq.neighbor_id == exact.neighbor_id),
+    ).agg(F.count("*").cast("long").alias("n_hits"))
+    tot = exact.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_truth"),
+    )
+    return tot.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        "n_truth",
+        "n_hits",
+        F.expr("n_hits * 10000 div n_truth").cast("long").alias("recall_x10000"),
     )
 
 

@@ -216,6 +216,8 @@ _ANN_TIERS = (
     "q_sim_ivf_topk",
     "q_sim_pq_topk",
     "q_sim_maxsim_topk",
+    # the composed tier rides BOTH stored halves (ivf routing + pq codes)
+    "q_sim_ivfpq_topk",
 )
 
 

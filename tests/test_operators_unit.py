@@ -2353,6 +2353,10 @@ _RECALL_FLOORS = [
     ("q_sim_ivf_recall", "recall_x10000", 2000),
     ("q_sim_lsh_recall", "recall_x10000", 4000),
     ("q_sim_pq_recall", "recall_x10000", 700),
+    # composed tier: routing loss x quantization loss at the fixture-scale
+    # operating point (K=16 seed quantizer, nprobe=2, 16-entry codebook);
+    # observed 737
+    ("q_sim_ivfpq_recall", "recall_x10000", 400),
 ]
 
 
