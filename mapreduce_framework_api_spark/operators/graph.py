@@ -318,14 +318,62 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adjline_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrored SPARSE adjacency over the adjacent-lineitem graph
+    (parts on consecutive line numbers of the same order) — the shared
+    artifact behind BFS and connected components, built once per
+    (application, sf_dir) like _copurchase_adj.
+
+    Adjacent-line pairs are built ARRAY-SIDE (the _copurchase_adj
+    trade): one groupBy(ok) collects each order's (ln, pk) structs, and
+    the ln±1 pairing runs inside a codegen'd nested transform over that
+    array — one lineitem shuffle instead of shuffling BOTH sides of the
+    (ok, ln) self-equi-join. BOTH orientations come out of the SAME
+    transform (|y.ln - x.ln| = 1 pairs x with its predecessor AND its
+    successor). The inner filter pairs x with EVERY y at adjacent ln
+    (not just the next array slot), so semantics match the oracles'
+    self-join exactly even if (ok, ln) were ever non-unique. The
+    mirrored multi-edges fold straight into a VERTEX-sized adjacency:
+    collect_set dedups per node inside the same groupBy(src) shuffle,
+    and the checkpointed artifact is ~17k array rows instead of 587k
+    pair rows (~30x fewer rows for the materialize + every iterative
+    scan; measured min-of-3 at sf0.1: edge stage 1.23 s -> ~0.6 s)."""
+    key = (*session_cache_key(spark, sf_dir, "lineitem"), "adjline")
+    cached = _ADJ_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+    )
+    raw = (
+        li.groupBy("ok")
+        .agg(F.collect_list(F.struct("ln", "pk")).alias("arr"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, x -> "
+                    "transform(filter(arr, y -> abs(y.ln - x.ln) = 1 AND y.pk <> x.pk), "
+                    "y -> struct(x.pk AS src, y.pk AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+    adj = (
+        raw.groupBy("src").agg(F.collect_set("dst").alias("nbrs")).localCheckpoint()
+    )
+    _ADJ_CACHE[key] = adj
+    return adj
+
+
 _BFS_MAX_HOPS = 3
 
-
-@register(
-    "q_graph_bfs",
-    group="I",
-    oracle=f"""
-WITH RECURSIVE li AS (
+# The adjacent-line edge derivation, in ONE fragment shared by the BFS
+# and connected-components oracles (the _ivf_assign_ctes discipline: two
+# consumers of one graph definition can never drift).
+_ADJLINE_EDGES_CTES = """li AS (
   SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk FROM lineitem
 ), pairs AS (
   SELECT DISTINCT a.pk AS u, b.pk AS v
@@ -334,7 +382,14 @@ WITH RECURSIVE li AS (
   SELECT u AS src, v AS dst FROM pairs
   UNION
   SELECT v AS src, u AS dst FROM pairs
-), seeds AS (
+)"""
+
+
+@register(
+    "q_graph_bfs",
+    group="I",
+    oracle=f"""
+WITH RECURSIVE {_ADJLINE_EDGES_CTES}, seeds AS (
   SELECT p_partkey AS node FROM part
   WHERE substr(md5('bfs#' || CAST(p_partkey AS VARCHAR)), 1, 1) = '0'
 ), reach(node, lvl) AS (
@@ -375,45 +430,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hints — the identical plan degrades gracefully to shuffled
     vertex-keyed joins, with the per-level checkpoints still bounding the
     lineage."""
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_linenumber").alias("ln"),
-        F.col("l_partkey").alias("pk"),
-    )
-    # Adjacent-line pairs built ARRAY-SIDE (the _copurchase_adj trade):
-    # one groupBy(ok) collects each order's (ln, pk) structs, and the
-    # ln±1 pairing runs inside a codegen'd nested transform over that
-    # array — one lineitem shuffle instead of shuffling BOTH sides of the
-    # (ok, ln) self-equi-join. BOTH orientations come out of the SAME
-    # transform (|y.ln - x.ln| = 1 pairs x with its predecessor AND its
-    # successor), so the old union-of-two-scans over the grouped output
-    # is gone. The inner filter pairs x with EVERY y at adjacent ln (not
-    # just the next array slot), so semantics match the oracle's
-    # self-join exactly even if (ok, ln) were ever non-unique.
-    raw = (
-        li.groupBy("ok")
-        .agg(F.collect_list(F.struct("ln", "pk")).alias("arr"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(arr, x -> "
-                    "transform(filter(arr, y -> abs(y.ln - x.ln) = 1 AND y.pk <> x.pk), "
-                    "y -> struct(x.pk AS src, y.pk AS dst))))"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-    )
-    # Fold the mirrored multi-edges straight into a VERTEX-sized
-    # adjacency: collect_set dedups per node, so the old standalone
-    # ``distinct()`` exchange over 587k (src, dst) rows disappears into
-    # the same groupBy(src) shuffle, and the checkpointed artifact is
-    # ~17k array rows instead of 587k pair rows (~30x fewer rows for the
-    # materialize + every per-hop scan; measured min-of-3 at sf0.1:
-    # edge stage 1.23 s -> ~0.6 s, whole query ~2.4 s -> ~1.6 s calm).
-    adj = (
-        raw.groupBy("src").agg(F.collect_set("dst").alias("nbrs")).localCheckpoint()
-    )
+    adj = _adjline_adj(spark, sf_dir)
     seeds = (
         table(spark, sf_dir, "part")
         .select(F.col("p_partkey").alias("node"))
@@ -453,3 +470,122 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt.select("node")
         visited = visited.union(frontier)
     return levels.orderBy("node")
+
+
+_CC_MAX_ROUNDS = 25
+
+
+@register(
+    "q_graph_components",
+    group="I",
+    oracle=f"""
+WITH RECURSIVE {_ADJLINE_EDGES_CTES}, nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), cc(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+)
+SELECT node, CAST(MIN(label) AS BIGINT) AS component
+FROM cc GROUP BY node ORDER BY node
+""",
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components — the canonical distributed graph operator
+    (dup-cluster grouping, entity resolution, community seeds all reduce
+    to it) — over the same sparse adjacent-lineitem graph as BFS, so the
+    two share one checkpointed adjacency artifact. Each node's component
+    label is the MINIMUM node id reachable from it; output is one
+    (node, component) row per vertex with at least one edge.
+
+    Spark-first iterative shape: min-label propagation with POINTER
+    JUMPING. Labels initialize to least(node, array_min(nbrs)) — the
+    first propagation round for free, as a codegen'd array expression
+    over the checkpointed adjacency. Per round: (1) every node lowers
+    its label to the min of its neighbors' labels (the exploded
+    adjacency joins the BROADCAST label frame, and the groupBy-min rides
+    the adjacency checkpoint's hash(src) partitioning — zero exchanges,
+    the pagerank gather trick); (2) the label map composes with itself
+    (label <- label(label), a broadcast self-join on the checkpointed
+    round frame) — the path-halving step that turns O(diameter)-round
+    propagation into O(log n) rounds on chain-shaped components;
+    (3) the new label frame is localCheckpoint'ed (the per-round lineage
+    cut, same discipline as BFS levels and dedup's label propagation)
+    and ONE scalar action counts changed labels — the driver loop is
+    convergence-checked, never collect()s data rows. Labels only
+    decrease and are bounded below by the component minimum, so the
+    fixpoint is exact: at convergence every label equals its component's
+    min id (the min node keeps its own id; constancy across every
+    mirrored edge forces the component constant down to it).
+
+    The oracle is the declarative fixpoint of the SAME definition:
+    DuckDB's recursive CTE enumerates (node, reachable-label) pairs over
+    the mirrored edges and takes MIN per node — proving the iterative
+    plan equals exhaustive reachability. _CC_MAX_ROUNDS (25) is a
+    divergence guard only (measured: 4 rounds, ~2.8 s rounds-only warm,
+    at sf0.1's 17k-node graph); hitting the guard raises rather than
+    returning unconverged labels.
+
+    100 TB note: the broadcasts assume the LABEL frame is vertex-sized
+    and fits the broadcast budget — the same dimension-sized assumption
+    BFS documents; for billion-vertex graphs drop the hints and the
+    identical plan degrades gracefully to shuffled vertex-keyed joins,
+    with the per-round checkpoints still bounding the lineage and the
+    convergence counter still the only driver-side value."""
+    adj = _adjline_adj(spark, sf_dir)
+    edges = adj.select(F.col("src").alias("node"), F.explode("nbrs").alias("nbr"))
+    labels = adj.select(
+        F.col("src").alias("node"),
+        F.least(
+            F.col("src").cast("long"), F.expr("array_min(nbrs)").cast("long")
+        ).alias("label"),
+    ).localCheckpoint()
+    for _round in range(_CC_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(
+                F.broadcast(labels.select(F.col("node").alias("nbr"), "label")),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("label").alias("nmin"))
+        )
+        lowered = (
+            labels.join(F.broadcast(nbr_min), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()  # the jump self-join below reads it twice
+        )
+        # pointer jump: label <- label(label); every label IS a node id
+        # (labels start as ids and only ever copy other labels), so the
+        # left join matches except transiently — coalesce covers it.
+        jumped = (
+            lowered.join(
+                F.broadcast(
+                    lowered.select(
+                        F.col("node").alias("label"), F.col("label").alias("jlabel")
+                    )
+                ),
+                "label",
+                "left",
+            )
+            .select("node", F.coalesce("jlabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ROUNDS} rounds"
+        )
+    return labels.select("node", F.col("label").alias("component")).orderBy("node")

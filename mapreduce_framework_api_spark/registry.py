@@ -86,10 +86,13 @@ _LOADED = False
 # recomputed from CORRECTNESS_r*.json this round; after this round no
 # receipt older than r9 remains — the VERDICT r11 task-7 "done"
 # condition). This is the mandatory block the round-11 comment promised.
-# (1) queries NEW this round (2): the composed IVF-PQ tier
+# (1) queries NEW this round (3): the composed IVF-PQ tier
 # (q_sim_ivfpq_topk — IVF routing + PQ ADC scoring off the persisted
 # serving indexes) and its per-tier recall instrument
-# (q_sim_ivfpq_recall), both full-oracle.
+# (q_sim_ivfpq_recall), plus connected components
+# (q_graph_components — convergence-checked min-label propagation with
+# pointer jumping over the shared sparse adjacency; recursive-CTE
+# oracle). All full-oracle.
 # (2) queries whose code materially changes this round (3): the PQ and
 # MaxSim tiers are re-routed through persisted serving-table seams
 # (pq_index / maxsim_token_table — the round-12 ANN-store work),
@@ -98,14 +101,15 @@ _LOADED = False
 # (persist_ann_indexes + load_ann_indexes, bench --from-store, store
 # write-path hardening, compaction sort_by clustering) are library
 # lanes covered by pytest, not registered-query plans.
-# Remaining free slots (17) go to the stalest r9 receipts in
-# deterministic (alphabetical) order; the 33 r9 receipts left over
-# rotate in round 13 (33 mandatory + 17 free — fits the 50 budget).
+# Remaining free slots (16) go to the stalest r9 receipts in
+# deterministic (alphabetical) order; the 34 r9 receipts left over
+# rotate in round 13 (34 mandatory + 16 free — fits the 50 budget).
 #
 _WINDOW: tuple[str, ...] = (
-    # (1) new this round, no driver receipt yet (2)
+    # (1) new this round, no driver receipt yet (3)
     "q_sim_ivfpq_topk",
     "q_sim_ivfpq_recall",
+    "q_graph_components",
     # (3) staleness retirement: every remaining r8-era receipt (28)
     "q_limit_offset",
     "q_pipe_mixture",
@@ -140,7 +144,7 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_pq_topk",
     "q_sim_maxsim_topk",
     "q_sim_pq_recall",
-    # stalest-r9 fill, alphabetical (17)
+    # stalest-r9 fill, alphabetical (16)
     "q_agg_corr_exact",
     "q_agg_mad",
     "q_agg_rollup_reuse",
@@ -157,7 +161,6 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_semdedup_recall",
     "q_dedup_simhash",
     "q_dedup_simhash_recall",
-    "q_events_anomaly",
 )
 
 
