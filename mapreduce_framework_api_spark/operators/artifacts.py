@@ -279,9 +279,10 @@ _ANN_MANIFEST = "ann_manifest.json"
 
 
 def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Write the five similarity tiers' serving indexes — the tables a
-    production vector deployment builds ONCE at ingest and every search
-    session mounts read-only:
+    """Write the similarity tiers' FIVE serving indexes (all six tiers
+    ride them — the composed IVF-PQ tier consumes the ivf + pq halves) —
+    the tables a production vector deployment builds ONCE at ingest and
+    every search session mounts read-only:
 
     - ``vec_norms``: the brute-force tier's normed-vector table
       (similarity.vec_norm_table — vectors + precomputed norms);
@@ -338,7 +339,7 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
 
 def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Seed the five similarity-tier serving caches from a persisted ANN
+    """Seed the similarity tiers' five serving caches from a persisted ANN
     store (fingerprint-validated against ``sf_dir``'s embeddings table
     NOW, like every other loader — a store built against a regenerated
     corpus is an explicit error). Each cache gets the store's lazy
