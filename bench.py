@@ -51,6 +51,11 @@ def compact_summary(summary: dict, budget: int = 1800) -> dict:
         "n_errors": len(summary.get("errors", {})),
         "full": "BENCH_FULL.json",
     }
+    # Provenance markers survive compaction: a --from-store tail line must
+    # never masquerade as a default board in the recorder's window.
+    for k in ("mode", "store_build_sec"):
+        if k in summary:
+            compact[k] = summary[k]
     for name in sorted(per_query, key=per_query.get, reverse=True):
         compact["queries"][name] = per_query[name]
         if len(json.dumps(compact)) > budget:

@@ -140,3 +140,26 @@ def test_bench_compare_live_files_apply_agg_stats_correction():
     assert "q_agg_stats" not in r["cells_over_gate"], r["cells_over_gate"]
     assert "q_sim_ivf_recall" in r["corrections_applied"]
     assert "q_sim_ivf_recall" not in r["cells_over_gate"], r["cells_over_gate"]
+
+
+def test_compact_summary_preserves_from_store_provenance():
+    """A --from-store board's compact tail line must carry its provenance
+    markers — without them the recorder's window shows a JSON line
+    indistinguishable from a default board."""
+    from bench import compact_summary
+
+    s = {
+        "metric": "total_query_wall_sec",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {"q_a": 1.0},
+        "sf": 0.1,
+        "mode": "from_store",
+        "store_build_sec": 20.3,
+    }
+    c = compact_summary(s)
+    assert c["mode"] == "from_store"
+    assert c["store_build_sec"] == 20.3
+    # and a default board stays unchanged: no spurious keys
+    del s["mode"], s["store_build_sec"]
+    assert "mode" not in compact_summary(s)
