@@ -80,87 +80,75 @@ _LOADED = False
 # the suite is green at the round boundary too — the structural
 # cross-boundary red of rounds 7-8 is gone by construction.
 #
-# Round-12 window, by the standing policy (rotate-first commit):
-# (3) staleness retirement — ALL 28 remaining r8-era receipts (the exact
-# list the r01..r11 receipt union yields at the round-11 boundary,
+# Round-13 window, by the standing policy (rotate-first commit):
+# (3) staleness retirement — ALL 33 remaining r9-era receipts (the exact
+# list the r01..r12 receipt union yields at the round-12 boundary,
 # recomputed from CORRECTNESS_r*.json this round; after this round no
-# receipt older than r9 remains — the VERDICT r11 task-7 "done"
-# condition). This is the mandatory block the round-11 comment promised.
-# (1) queries NEW this round (3): the composed IVF-PQ tier
-# (q_sim_ivfpq_topk — IVF routing + PQ ADC scoring off the persisted
-# serving indexes) and its per-tier recall instrument
-# (q_sim_ivfpq_recall), plus connected components
-# (q_graph_components — convergence-checked min-label propagation with
-# pointer jumping over the shared sparse adjacency; recursive-CTE
-# oracle). All full-oracle.
-# (2) queries whose code materially changes this round (3): the PQ and
-# MaxSim tiers are re-routed through persisted serving-table seams
-# (pq_index / maxsim_token_table — the round-12 ANN-store work),
-# which changes their physical plans; q_sim_pq_recall composes
-# q_sim_pq_topk and changes with it. The round's other deliverables
-# (persist_ann_indexes + load_ann_indexes, bench --from-store, store
-# write-path hardening, compaction sort_by clustering) are library
-# lanes covered by pytest, not registered-query plans.
-# Remaining free slots (16) go to the stalest r9 receipts in
-# deterministic (alphabetical) order; the 34 r9 receipts left over
-# rotate in round 13 (34 mandatory + 16 free — fits the 50 budget).
+# receipt older than r10 remains — the VERDICT r12 task-3 "done"
+# condition). This is the mandatory block the round-12 comment promised.
+# Remaining free slots (17) go to the stalest r10 receipts in
+# deterministic (alphabetical) order; as round-13 feature work lands
+# (the IVF-PQ high-quality operating point + its recall pin, the
+# ivfpq probe lane — VERDICT r12 tasks 4 and 7), the NEW queries and
+# any materially-changed ones displace the TAIL of the r10 fill, per
+# the policy's priority order (new > changed > stalest). Displaced r10
+# rows stay within the staleness bound (horizon r11 at the r13
+# boundary) and rotate in round 14.
 #
 _WINDOW: tuple[str, ...] = (
-    # (1) new this round, no driver receipt yet (3)
-    "q_sim_ivfpq_topk",
-    "q_sim_ivfpq_recall",
-    "q_graph_components",
-    # (3) staleness retirement: every remaining r8-era receipt (28)
-    "q_limit_offset",
-    "q_pipe_mixture",
-    "q_privacy_ldiversity",
-    "q_scan_project",
-    "q_set_ops",
-    "q_sketch_bloom",
-    "q_sketch_cms",
-    "q_sketch_hll",
-    "q_sort_multi",
-    "q_stream_attrib",
-    "q_stream_late",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_subquery_corr_agg",
-    "q_subquery_exists",
-    "q_subquery_scalar",
-    "q_text_langid",
-    "q_text_ngrams",
-    "q_text_quality",
-    "q_text_tfidf",
-    "q_text_wordcount",
-    "q_text_wordcount_rdd",
-    "q_win_first_last",
-    "q_win_lag_lead",
-    "q_win_ntile_dist",
-    "q_win_rank",
-    "q_win_running",
-    # (2) code materially changes this round (3): PQ/MaxSim serving-table
-    # refactor + the recall query composed on PQ
-    "q_sim_pq_topk",
-    "q_sim_maxsim_topk",
-    "q_sim_pq_recall",
-    # stalest-r9 fill, alphabetical (16)
-    "q_agg_corr_exact",
-    "q_agg_mad",
-    "q_agg_rollup_reuse",
-    "q_agg_string_agg",
-    "q_agg_unpivot",
-    "q_agg_weighted_median",
-    "q_agg_winsorized",
-    "q_dedup_canonical",
-    "q_dedup_containment_bk",
-    "q_dedup_containment_bk_recall",
-    "q_dedup_embedding",
-    "q_dedup_minhash_recall",
-    "q_dedup_minhash_verified",
-    "q_dedup_semdedup_recall",
-    "q_dedup_simhash",
-    "q_dedup_simhash_recall",
+    # (3) staleness retirement: every remaining r9-era receipt (33)
+    "q_events_anomaly",
+    "q_events_autocorr",
+    "q_events_burst",
+    "q_events_cdc_compact",
+    "q_events_cooccurrence",
+    "q_events_latency_bands",
+    "q_events_ohlc",
+    "q_events_rfm",
+    "q_events_sessionize",
+    "q_events_streaks",
+    "q_events_timeweighted",
+    "q_events_transitions",
+    "q_fn_map",
+    "q_join_asof",
+    "q_join_asof_nearest",
+    "q_join_fuzzy",
+    "q_join_lateral_topn",
+    "q_merge_upsert",
+    "q_pipe_chunk_overlap",
+    "q_pipe_dataset_card",
+    "q_pipe_filter_cascade",
+    "q_pipe_pack_chunks",
+    "q_pipe_shuffle_order",
+    "q_pipe_upsample_epochs",
+    "q_profile_columns",
+    "q_set_ops_all",
+    "q_sim_ivf_recall",
+    "q_sim_lsh_recall",
+    "q_sketch_hist_quantile",
+    "q_sketch_hll_merge",
+    "q_sketch_hll_sliding",
+    "q_text_keywords",
+    "q_text_vocab_coverage",
+    # stalest-r10 fill, alphabetical (17) — tail displaced by round-13
+    # new/changed queries as they register
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_dedup_clusters",
+    "q_dedup_containment_bk_precision",
+    "q_dedup_containment_bk_verified",
+    "q_dedup_decontaminate",
+    "q_dedup_incremental",
+    "q_dedup_minhash",
+    "q_dedup_prefix_incremental",
+    "q_dedup_repeated_chunks",
+    "q_dedup_report",
+    "q_dedup_semdedup_incremental",
+    "q_dim_scd2",
+    "q_events_gapfill",
+    "q_events_heatmap",
+    "q_events_interpolate",
+    "q_filter_pred",
 )
 
 
