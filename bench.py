@@ -33,7 +33,8 @@ from mapreduce_framework_api_spark.registry import load_all_queries
 from mapreduce_framework_api_spark.session import get_spark
 
 
-def compact_summary(summary: dict, budget: int = 1800) -> dict:
+def compact_summary(summary: dict, budget: int = 1800,
+                    full_name: str = "BENCH_FULL.json") -> dict:
     """Tail-window-safe summary: totals always, then as many of the
     slowest per-query times as fit in ``budget`` serialized chars. The
     external recorder keeps only the last ~2000 chars of stdout, so the
@@ -49,7 +50,7 @@ def compact_summary(summary: dict, budget: int = 1800) -> dict:
         "sf": summary["sf"],
         "n_queries": len(per_query),
         "n_errors": len(summary.get("errors", {})),
-        "full": "BENCH_FULL.json",
+        "full": full_name,
     }
     # Provenance markers survive compaction: a --from-store tail line must
     # never masquerade as a default board in the recorder's window.
@@ -236,7 +237,7 @@ def _emit(summary: dict, out_name: str) -> None:
     ) as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
-    print(json.dumps(compact_summary(summary)))
+    print(json.dumps(compact_summary(summary, full_name=out_name)))
 
 
 def main() -> None:

@@ -279,10 +279,11 @@ _ANN_MANIFEST = "ann_manifest.json"
 
 
 def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Write the similarity tiers' FIVE serving indexes (all six tiers
-    ride them — the composed IVF-PQ tier consumes the ivf + pq halves) —
-    the tables a production vector deployment builds ONCE at ingest and
-    every search session mounts read-only:
+    """Write FIVE serving indexes, off which all SIX similarity tiers
+    serve (the composed IVF-PQ tier stores nothing of its own — it
+    consumes the ivf + pq halves) — the tables a production vector
+    deployment builds ONCE at ingest and every search session mounts
+    read-only:
 
     - ``vec_norms``: the brute-force tier's normed-vector table
       (similarity.vec_norm_table — vectors + precomputed norms);
@@ -366,6 +367,22 @@ def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
     def rd(name):
         return spark.read.parquet(os.path.join(out_dir, name))
+
+    # The stored geometry must match what the serving session would derive
+    # for this corpus: the LSH tier recomputes (g, d) from corpus metadata
+    # at query time and slices the stored code table with it, so a store
+    # whose recorded geometry disagrees would be silently mis-probed. The
+    # fingerprint check above makes this unreachable today; the assert
+    # pins it against any future change to the geometry derivation.
+    live_geom = similarity._lsh_geometry(spark, sf_dir)
+    stored_geom = manifest["lsh_geometry"]
+    if stored_geom is not None and tuple(stored_geom) != live_geom:
+        raise ValueError(
+            f"ANN store at {out_dir} records lsh_geometry={stored_geom} but "
+            f"this session derives {live_geom} for {sf_dir} — the geometry "
+            f"derivation changed since the store was built; re-run "
+            f"persist_ann_indexes"
+        )
 
     key = session_cache_key(spark, sf_dir, "embeddings")
     similarity._VEC_NORMS_CACHE[key] = rd("vec_norms")

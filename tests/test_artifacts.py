@@ -221,9 +221,10 @@ _ANN_TIERS = (
 )
 
 
-def test_ann_store_roundtrip_serves_all_five_tiers(spark, tmp_path):
-    """persist → clear → load the five similarity tiers' serving indexes,
-    then re-run every tier: results must be byte-identical to the
+def test_ann_store_roundtrip_serves_six_tiers_from_five_indexes(spark, tmp_path):
+    """persist → clear → load the FIVE stored serving indexes, then re-run
+    all SIX tiers served off them (the composed IVF-PQ tier rides the ivf
+    + pq halves): results must be byte-identical to the
     fresh-built run (the caches now hold the store's parquet scans, so
     norms/codes/assignments/tokens all come off disk instead of their
     build kernels). The IVF centroid matrix and PQ codebook tensor must

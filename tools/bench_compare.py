@@ -9,8 +9,19 @@ exceeds the 2x gate after corrections — so the gate verdict is a command,
 not prose adjudication (round-9 task; the q_agg_stats cell was re-flagged
 every round until its correction row existed somewhere the math reads).
 
+From-store boards (``mode: "from_store"`` in the summary, produced by
+``bench.py --from-store``) are gated against their OWN baseline —
+BENCH_STORE_BASELINE.json, adopted from the first calm from-store board
+(round 13) per the standing calm-boards-only precedent — because served
+cells structurally skip the index builds the cold baseline charges, so
+gating them against BENCH.json would hide serve-path regressions behind
+the build-time headroom. Methodology corrections apply to the cold
+baseline only (both standing rows concern cold-path build charging).
+
 Usage:
     python tools/bench_compare.py [current.json]   # default BENCH_FULL.json
+    python tools/bench_compare.py BENCH_STORE.json # auto-routes to the
+                                                   # from-store baseline
 """
 
 from __future__ import annotations
@@ -74,6 +85,7 @@ def compare(current: dict, baseline: dict, corrections: dict) -> dict:
     tot_cur = sum(cur[n] for n in common)
     return {
         "metric": "bench_gate_vs_baseline",
+        "baseline_kind": "cold",
         "gate": GATE,
         "n_common": len(common),
         "total_baseline_sec": round(tot_base, 3),
@@ -92,10 +104,23 @@ def main() -> None:
         # "parsed" (and is the COMPACT form — slowest cells only; pass
         # BENCH_FULL.json for full-board cells).
         current = current["parsed"]
-    baseline = json.load(open(os.path.join(REPO, "BENCH.json")))
-    corr_path = os.path.join(REPO, "BENCH_CORRECTIONS.json")
-    corrections = json.load(open(corr_path)) if os.path.exists(corr_path) else {}
+    if current.get("mode") == "from_store":
+        store_base = os.path.join(REPO, "BENCH_STORE_BASELINE.json")
+        if not os.path.exists(store_base):
+            raise SystemExit(
+                "from-store board but no BENCH_STORE_BASELINE.json — adopt "
+                "the first calm from-store board as the baseline first"
+            )
+        baseline = json.load(open(store_base))
+        corrections: dict = {}  # corrections are cold-path methodology rows
+        kind = "from_store"
+    else:
+        baseline = json.load(open(os.path.join(REPO, "BENCH.json")))
+        corr_path = os.path.join(REPO, "BENCH_CORRECTIONS.json")
+        corrections = json.load(open(corr_path)) if os.path.exists(corr_path) else {}
+        kind = "cold"
     result = compare(current, baseline, corrections)
+    result["baseline_kind"] = kind
     print(json.dumps(result, indent=1))
     sys.exit(1 if result["cells_over_gate"] else 0)
 

@@ -28,7 +28,11 @@ import os
 import sys
 import time
 
+# Repo root (package imports) AND the tools dir itself (scale_receipt):
+# when run as a script sys.path[0] is already tools/, but importing this
+# module as tools.ivf_sweep would otherwise fail to resolve scale_receipt.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
 
 from scale_receipt import DST as SF1_DIR, build_sf1  # noqa: E402
 
