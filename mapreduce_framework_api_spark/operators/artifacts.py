@@ -29,7 +29,7 @@ pruning applies (a consumer projecting only ``n`` never reads ``harr``).
 
 Three stores share the pattern: the dedup kernel artifacts
 (``persist_dedup_artifacts``), the incremental-ingest probe indexes
-(``persist_ingest_indexes``), and the five similarity tiers' ANN serving
+(``persist_ingest_indexes``), and the similarity tiers' ANN serving
 indexes (``persist_ann_indexes``). Every persist runs under
 ``_writer_guard`` (re-persist staleness + concurrent-writer protection);
 every load validates the source-table fingerprint before seeding caches.
@@ -279,11 +279,11 @@ _ANN_MANIFEST = "ann_manifest.json"
 
 
 def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Write FIVE serving indexes, off which all SIX similarity tiers
-    serve (the composed IVF-PQ tier stores nothing of its own — it
-    consumes the ivf + pq halves) — the tables a production vector
-    deployment builds ONCE at ingest and every search session mounts
-    read-only:
+    """Write SIX serving indexes, off which all EIGHT similarity-tier
+    queries serve (the two composed IVF-PQ operating points store no
+    routing of their own — each consumes the ivf half plus its own code
+    table) — the tables a production vector deployment builds ONCE at
+    ingest and every search session mounts read-only:
 
     - ``vec_norms``: the brute-force tier's normed-vector table
       (similarity.vec_norm_table — vectors + precomputed norms);
@@ -296,10 +296,13 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     - ``pq_codes``: the full-corpus PQ code table (vec_id, codes[M] —
       the 16× compressed representation); the (M, K, SUB) int64 codebook
       tensor travels in the manifest;
+    - ``pq_hq_codes``: the high-quality operating point's code table
+      (32 one-byte codes/vector, 8× compression); its (32, 256, 2)
+      codebook tensor travels in the manifest;
     - ``maxsim_tokens``: the MaxSim integer-quantized token table
       (vec_id, itok[64]).
 
-    All five are split/nprobe-agnostic: query-time knobs (hash splits,
+    All six are split/nprobe-agnostic: query-time knobs (hash splits,
     probe counts) slice the stored tables, never re-shape them. An empty
     corpus records null matrices and empty tables. Returns
     {name: row_count} for the ingest log."""
@@ -319,6 +322,10 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         cbook = None
         if pq is not None:
             frames["pq_codes"], cbook = pq
+        pq_hq = similarity.pq_hq_index(spark, sf_dir)
+        hq_cbook = None
+        if pq_hq is not None:
+            frames["pq_hq_codes"], hq_cbook = pq_hq
         frames["maxsim_tokens"] = similarity.maxsim_token_table(spark, sf_dir)
 
         counts = {}
@@ -333,6 +340,7 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
             "lsh_geometry": None if geom is None else list(geom),
             "ivf_centroids": None if cq is None else cq.tolist(),
             "pq_codebook": None if cbook is None else cbook.tolist(),
+            "pq_hq_codebook": None if hq_cbook is None else hq_cbook.tolist(),
             "rows": counts,
         }
         _write_manifest(out_dir, _ANN_MANIFEST, manifest)
@@ -340,7 +348,7 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
 
 def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Seed the similarity tiers' five serving caches from a persisted ANN
+    """Seed the similarity tiers' serving caches from a persisted ANN
     store (fingerprint-validated against ``sf_dir``'s embeddings table
     NOW, like every other loader — a store built against a regenerated
     corpus is an explicit error). Each cache gets the store's lazy
@@ -402,5 +410,14 @@ def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         if cbook is None
         else (rd("pq_codes"), np.array(cbook, dtype=np.int64))
     )
+    # Stores written before the HQ operating point existed (r12) lack the
+    # hq table; loading one leaves the hq cache unseeded so the tier
+    # falls back to its build path rather than erroring.
+    hq_cbook = manifest.get("pq_hq_codebook")
+    if hq_cbook is not None and "pq_hq_codes" in rows:
+        similarity._PQ_HQ_INDEX_CACHE[key] = (
+            rd("pq_hq_codes"),
+            np.array(hq_cbook, dtype=np.int64),
+        )
     similarity._MS_TOKENS_CACHE[key] = rd("maxsim_tokens")
     return rows

@@ -86,16 +86,33 @@ _LOADED = False
 # recomputed from CORRECTNESS_r*.json this round; after this round no
 # receipt older than r10 remains — the VERDICT r12 task-3 "done"
 # condition). This is the mandatory block the round-12 comment promised.
-# Remaining free slots (17) go to the stalest r10 receipts in
-# deterministic (alphabetical) order; as round-13 feature work lands
-# (the IVF-PQ high-quality operating point + its recall pin, the
-# ivfpq probe lane — VERDICT r12 tasks 4 and 7), the NEW queries and
-# any materially-changed ones displace the TAIL of the r10 fill, per
-# the policy's priority order (new > changed > stalest). Displaced r10
-# rows stay within the staleness bound (horizon r11 at the r13
-# boundary) and rotate in round 14.
+# (1) queries NEW this round (2): the IVF-PQ HIGH-QUALITY operating
+# point (q_sim_ivfpq_hq_topk — 32 subspaces × 256-entry codebooks,
+# nprobe=4, the deployable point on the compression/recall curve;
+# VERDICT r12 task 4) and its recall instrument
+# (q_sim_ivfpq_hq_recall, floor-pinned and compared >= the IVF
+# tier's recall in pytest). Both full-oracle.
+# (2) queries whose code materially changes this round (4): the PQ
+# index build is parameterized for the second operating point
+# (_pq_index_build) and the composed search/recall plans are shared
+# helpers now (_ivfpq_search / _ivfpq_exact_truth, which the default
+# tier's recall also rides via a cached shared truth) — so
+# q_sim_pq_topk, q_sim_pq_recall, q_sim_ivfpq_topk and
+# q_sim_ivfpq_recall re-verify on the refactored code paths.
+# Remaining free slots (11) go to the stalest r10 receipts in
+# deterministic (alphabetical) order; the displaced r10 rows stay
+# within the staleness bound (horizon r11 at the r13 boundary) and
+# rotate in round 14.
 #
 _WINDOW: tuple[str, ...] = (
+    # (1) new this round, no driver receipt yet (2)
+    "q_sim_ivfpq_hq_topk",
+    "q_sim_ivfpq_hq_recall",
+    # (2) code materially changes this round (4)
+    "q_sim_pq_topk",
+    "q_sim_pq_recall",
+    "q_sim_ivfpq_topk",
+    "q_sim_ivfpq_recall",
     # (3) staleness retirement: every remaining r9-era receipt (33)
     "q_events_anomaly",
     "q_events_autocorr",
@@ -130,8 +147,7 @@ _WINDOW: tuple[str, ...] = (
     "q_sketch_hll_sliding",
     "q_text_keywords",
     "q_text_vocab_coverage",
-    # stalest-r10 fill, alphabetical (17) — tail displaced by round-13
-    # new/changed queries as they register
+    # stalest-r10 fill, alphabetical (11)
     "q_agg_percentile",
     "q_agg_stats",
     "q_dedup_clusters",
@@ -143,12 +159,6 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_prefix_incremental",
     "q_dedup_repeated_chunks",
     "q_dedup_report",
-    "q_dedup_semdedup_incremental",
-    "q_dim_scd2",
-    "q_events_gapfill",
-    "q_events_heatmap",
-    "q_events_interpolate",
-    "q_filter_pred",
 )
 
 

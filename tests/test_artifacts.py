@@ -216,15 +216,17 @@ _ANN_TIERS = (
     "q_sim_ivf_topk",
     "q_sim_pq_topk",
     "q_sim_maxsim_topk",
-    # the composed tier rides BOTH stored halves (ivf routing + pq codes)
+    # the composed tiers ride stored halves (ivf routing + their code table)
     "q_sim_ivfpq_topk",
+    "q_sim_ivfpq_hq_topk",
 )
 
 
-def test_ann_store_roundtrip_serves_six_tiers_from_five_indexes(spark, tmp_path):
-    """persist → clear → load the FIVE stored serving indexes, then re-run
-    all SIX tiers served off them (the composed IVF-PQ tier rides the ivf
-    + pq halves): results must be byte-identical to the
+def test_ann_store_roundtrip_serves_all_tiers(spark, tmp_path):
+    """persist → clear → load every stored serving index (six), then
+    re-run every tier query served off them (_ANN_TIERS — the composed
+    IVF-PQ operating points ride the ivf half + their own code table):
+    results must be byte-identical to the
     fresh-built run (the caches now hold the store's parquet scans, so
     norms/codes/assignments/tokens all come off disk instead of their
     build kernels). The IVF centroid matrix and PQ codebook tensor must
@@ -244,12 +246,14 @@ def test_ann_store_roundtrip_serves_six_tiers_from_five_indexes(spark, tmp_path)
         fresh = {n: _canon(QUERIES[n].fn(spark, SF_DIR)) for n in _ANN_TIERS}
         _, cq_fresh = similarity.ivf_index(spark, SF_DIR)
         _, cbook_fresh = similarity.pq_index(spark, SF_DIR)
+        _, hq_cbook_fresh = similarity.pq_hq_index(spark, SF_DIR)
         counts = persist_ann_indexes(spark, SF_DIR, store)
         assert set(counts) == {
             "vec_norms",
             "lsh_codes",
             "ivf_assigned",
             "pq_codes",
+            "pq_hq_codes",
             "maxsim_tokens",
         }
         assert all(n > 0 for n in counts.values()), counts
@@ -270,9 +274,13 @@ def test_ann_store_roundtrip_serves_six_tiers_from_five_indexes(spark, tmp_path)
         )
         _, cq_loaded = similarity.ivf_index(spark, SF_DIR)
         _, cbook_loaded = similarity.pq_index(spark, SF_DIR)
+        _, hq_cbook_loaded = similarity.pq_hq_index(spark, SF_DIR)
         assert cq_loaded.dtype == np.int64 and np.array_equal(cq_fresh, cq_loaded)
         assert cbook_loaded.dtype == np.int64 and np.array_equal(
             cbook_fresh, cbook_loaded
+        )
+        assert hq_cbook_loaded.dtype == np.int64 and np.array_equal(
+            hq_cbook_fresh, hq_cbook_loaded
         )
         # ...and every tier must agree exactly with its fresh-built run.
         for name, want in fresh.items():

@@ -2357,6 +2357,10 @@ _RECALL_FLOORS = [
     # operating point (K=16 seed quantizer, nprobe=2, 16-entry codebook);
     # observed 737
     ("q_sim_ivfpq_recall", "recall_x10000", 400),
+    # the high-quality operating point (32 subspaces x 256-entry
+    # codebooks, nprobe=4 — the deployable point, r13); observed 4479 at
+    # sf0.01 (4611 sf0.001, 4693 sf0.1)
+    ("q_sim_ivfpq_hq_recall", "recall_x10000", 3000),
 ]
 
 
@@ -2371,3 +2375,28 @@ def test_quality_instrument_floor(spark, name, col, floor):
         .asDict()
     )
     assert row[col] >= floor, (name, row)
+
+
+def test_ivfpq_hq_recall_at_least_matches_ivf_tier(spark):
+    """The r12 verdict's deployability bar for the composed tier,
+    verbatim: the high-quality operating point's recall@3 must be >= the
+    plain IVF tier's on the same corpus (q_sim_ivf_recall evaluates IVF
+    with exact scoring at its shipped nprobe=2; the HQ composed point
+    buys its quantization loss back with nprobe=4). Floors alone can't
+    pin a RELATIVE claim, so this compares the two live numbers."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    queries = load_all_queries()
+    hq = (
+        queries["q_sim_ivfpq_hq_recall"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    ivf = (
+        queries["q_sim_ivf_recall"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    assert hq["recall_x10000"] >= ivf["recall_x10000"], (hq, ivf)
