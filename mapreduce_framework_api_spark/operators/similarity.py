@@ -2167,6 +2167,234 @@ def q_sim_ivfpq_hq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_frame(hq, exact)
 
 
+# --- IVF-PQ serving probe (arriving-query lane) ------------------------
+# The similarity side's ingest/serving lane (VERDICT r12 task 7): the
+# dedup modalities each have a batch + streaming ingest twin probing a
+# PERSISTED index; this is the same shape for vector search — arriving
+# QUERY vectors scored against the store-loaded ivf + pq_hq artifacts,
+# emitting every corpus collision above an ADC threshold. Stateless per
+# arrival (map-side probe assignment, stream-static equi-join on
+# cluster, per-row LUT scoring), so ONE check function serves the batch
+# registered query and the Structured Streaming twin
+# (streaming/pipelines.py::ivfpq_probe_stream).
+_HQ_PROBE_T = 250_000  # ADC threshold; unit vectors => ~cosine*1e6 scale
+
+
+def ivfpq_probe_index(spark: SparkSession, sf_dir: str):
+    """The probe lane's static target, assembled from the two persisted
+    serving seams exactly as a search session mounts them: the IVF
+    frame's (corpus_id, cluster) membership equi-joined to the HQ code
+    table — codes, never embeddings, on the index side. Returns
+    ``(frame, cq, cbook)`` or None on an empty corpus."""
+    idx = ivf_index(spark, sf_dir)
+    pq = pq_hq_index(spark, sf_dir)
+    if idx is None or pq is None:
+        return None
+    assigned, cq = idx
+    codes_tbl, cbook = pq
+    frame = (
+        assigned.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+        )
+        .join(codes_tbl.withColumnRenamed("vec_id", "corpus_id"), "corpus_id")
+    )
+    return frame, cq, cbook
+
+
+def ivfpq_probe_check(
+    new_vecs: DataFrame, probe_index: DataFrame, cq, cbook
+) -> DataFrame:
+    """Score arriving query vectors (vec_id, embedding) against the
+    persisted IVF + HQ-PQ serving indexes: map-side probe assignment
+    (each arrival's _HQ_NPROBE nearest coarse centroids — an Arrow
+    matmul against the closure-captured quantizer, no shuffle, no
+    state), stream-static equi-join on cluster id, then per-row ADC
+    scoring (one 32×256 LUT per arrival inside the Arrow batch, one
+    32-gather per candidate). Emits (new_id, corpus_id, cluster,
+    adc_score) for every collision with adc_score >= _HQ_PROBE_T and
+    corpus_id != new_id — threshold semantics, like every ingest lane,
+    because a per-arrival top-k would need ranking state a stateless
+    append stream cannot hold. The (new_id, corpus_id) pair key is
+    unique by construction (an arrival probes distinct clusters; a
+    corpus vector lives in exactly one), so append mode needs no
+    sink-side dedup.
+
+    Dirty-row contract (owned HERE, the semdedup_check precedent):
+    NULL / wrong-dimension embeddings are dropped before assignment
+    (np.stack on ragged input would crash the kernel). Zero-norm
+    vectors pass through harmlessly — ADC is a dot product, no
+    division — and score below any positive threshold."""
+    import numpy as np
+    import pandas as pd
+
+    if cq is None:
+        return new_vecs.select(
+            F.col("vec_id").alias("new_id"),
+            F.lit(0).cast("long").alias("corpus_id"),
+            F.lit(0).cast("long").alias("cluster"),
+            F.lit(0).cast("long").alias("adc_score"),
+        ).filter(F.lit(False))
+    d = int(cq.shape[1])
+    nprobe = min(_HQ_NPROBE, cq.shape[0])
+    clean = new_vecs.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == d)
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            iv = np.floor(v * _IVF_SCALE).astype(np.int64)
+            order = np.argsort(-(iv @ cq.T), axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "new_id": pdf["vec_id"].to_numpy().repeat(nprobe),
+                    "q_emb": pdf["embedding"].to_numpy().repeat(nprobe),
+                    "cluster": order.reshape(-1).astype("int64"),
+                }
+            )
+
+    probed = clean.mapInPandas(
+        probe, schema="new_id long, q_emb array<float>, cluster long"
+    )
+    j = probed.join(probe_index, "cluster")
+
+    def adc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_new, out_corpus, out_cluster, out_score = [], [], [], []
+            for new_id, grp in pdf.groupby("new_id", sort=False):
+                q = np.asarray(grp["q_emb"].iloc[0], dtype=np.float64)
+                qi = np.floor(q * _PQ_SCALE).astype(np.int64).reshape(_HQ_M, _HQ_SUB)
+                codes = np.stack(grp["codes"].to_numpy()).astype(np.int64)
+                score = np.zeros(len(grp), dtype=np.int64)
+                for m in range(_HQ_M):
+                    lut = qi[m] @ cbook[m].T  # (K,)
+                    score += lut[codes[:, m]]
+                corpus = grp["corpus_id"].to_numpy(dtype="int64")
+                keep = (score >= _HQ_PROBE_T) & (corpus != new_id)
+                out_new.append(np.full(int(keep.sum()), new_id, dtype=np.int64))
+                out_corpus.append(corpus[keep])
+                out_cluster.append(grp["cluster"].to_numpy(dtype="int64")[keep])
+                out_score.append(score[keep])
+            yield pd.DataFrame(
+                {
+                    "new_id": np.concatenate(out_new),
+                    "corpus_id": np.concatenate(out_corpus),
+                    "cluster": np.concatenate(out_cluster),
+                    "adc_score": np.concatenate(out_score),
+                }
+            )
+
+    return j.mapInPandas(
+        adc, schema="new_id long, corpus_id long, cluster long, adc_score long"
+    )
+
+
+_IVFPQ_PROBE_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES}, split AS (
+  SELECT vec_id,
+         substr(md5('pqsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM embeddings
+), pqe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
+  FROM embeddings
+), hqseed AS (
+  SELECT vec_id, piv FROM pqe
+  ORDER BY md5('pqhq#' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {_HQ_K}
+), hqcb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, piv FROM hqseed
+), ms AS (
+  SELECT unnest(range(0, {_HQ_M})) AS m
+), cbm AS (
+  SELECT k, m, hqcb.piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS c
+  FROM hqcb CROSS JOIN ms
+), xm AS (
+  SELECT vec_id, m, piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS x
+  FROM pqe CROSS JOIN ms
+), d AS (
+  SELECT x.vec_id, x.m, c.k,
+         list_dot_product(x.x, x.x)
+           - 2 * list_dot_product(x.x, c.c)
+           + list_dot_product(c.c, c.c) AS d2
+  FROM xm x JOIN cbm c ON x.m = c.m
+), code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, k ASC) AS rk
+    FROM d
+  ) WHERE rk = 1
+), arrivals AS (
+  SELECT p.vec_id AS q_id, p.c AS cluster
+  FROM probe_rank p JOIN split s ON p.vec_id = s.vec_id
+  WHERE s.is_new AND p.pr <= {_HQ_NPROBE}
+), cand AS (
+  SELECT ar.q_id, a.vec_id AS n_id, ar.cluster
+  FROM arrivals ar JOIN assigned a ON ar.cluster = a.cluster
+  WHERE ar.q_id <> a.vec_id
+), qm AS (
+  SELECT pqe.vec_id AS q_id, m,
+         piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS q
+  FROM pqe JOIN split s ON pqe.vec_id = s.vec_id CROSS JOIN ms
+  WHERE s.is_new
+), adc AS (
+  SELECT c.q_id, c.n_id, c.cluster,
+         CAST(SUM(list_dot_product(qm.q, cbm.c)) AS BIGINT) AS adc_score
+  FROM cand c
+  JOIN qm ON qm.q_id = c.q_id
+  JOIN code co ON co.vec_id = c.n_id AND co.m = qm.m
+  JOIN cbm ON cbm.m = co.m AND cbm.k = co.k
+  GROUP BY c.q_id, c.n_id, c.cluster
+)
+SELECT q_id AS new_id, n_id AS corpus_id,
+       CAST(cluster AS BIGINT) AS cluster, adc_score
+FROM adc
+WHERE adc_score >= {_HQ_PROBE_T}
+ORDER BY new_id, corpus_id
+"""
+
+
+@register(
+    "q_sim_ivfpq_probe",
+    group="I",
+    oracle=_IVFPQ_PROBE_ORACLE,
+)
+def q_sim_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving probe: the deterministic 1/8 arriving-query split
+    (the pq tiers' 'pqsplit' — one split definition across the PQ
+    family) scored against the persisted IVF + HQ-PQ serving indexes
+    via ivfpq_probe_check — the batch half of the similarity side's
+    ingest/serving lane (the q_dedup_*_incremental recipe, VERDICT r12
+    task 7). A loaded ANN store serves the whole probe: routing off
+    ivf_assigned, scoring off pq_hq_codes, zero build kernels. Output:
+    every (arrival, corpus) collision with integer ADC >= _HQ_PROBE_T
+    (~cosine 0.25). Self-matches are excluded (the fixture draws
+    arrivals from the corpus; an external arrival has no self to
+    exclude). Shares ivfpq_probe_check with the Structured Streaming
+    twin (streaming/pipelines.py::ivfpq_probe_stream); stream == batch
+    on drain is pinned in tests/test_streaming.py."""
+    pi = ivfpq_probe_index(spark, sf_dir)
+    if pi is None:
+        return spark.createDataFrame(
+            [], "new_id long, corpus_id long, cluster long, adc_score long"
+        )
+    frame, cq, cbook = pi
+    new_vecs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(_hash_split("pqsplit"))
+    )
+    return ivfpq_probe_check(parallelized(new_vecs), frame, cq, cbook).orderBy(
+        "new_id", "corpus_id"
+    )
+
+
 _OUT_SCALE = 1000
 _OUT_TOP_K = 3
 _OUT_DIM = 64

@@ -802,3 +802,39 @@ def semdedup_ingest_stream(
 
     index, cent = semdedup_corpus_index(spark, sf_dir)
     return semdedup_check(vec_stream.filter(sem_is_new()), index, cent)
+
+
+def ivfpq_probe_stream(
+    spark: SparkSession, vec_stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of q_sim_ivfpq_probe: arriving query vectors (the
+    deterministic 1/8 'pqsplit' slice) scored against the PERSISTED
+    IVF + HQ-PQ serving indexes through the SAME ivfpq_probe_check
+    transformation the batch query uses — the similarity side's
+    serving lane next to the four dedup ingest modalities. Stateless
+    by the same construction as semdedup_ingest_stream: probe
+    assignment is a map against the closure-captured coarse quantizer,
+    the probe is a stream-static equi-join on cluster id, and ADC is a
+    per-row LUT gather — no watermark, no state store; per-micro-batch
+    cost follows arrival rate × probed-list occupancy, never corpus
+    size or stream lifetime. A store-loaded session
+    (operators/artifacts.py::load_ann_indexes) serves both halves of
+    the static side from disk."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _hash_split,
+        ivfpq_probe_check,
+        ivfpq_probe_index,
+    )
+
+    pi = ivfpq_probe_index(spark, sf_dir)
+    if pi is None:
+        return vec_stream.select(
+            F.col("vec_id").alias("new_id"),
+            F.lit(0).cast("long").alias("corpus_id"),
+            F.lit(0).cast("long").alias("cluster"),
+            F.lit(0).cast("long").alias("adc_score"),
+        ).filter(F.lit(False))
+    frame, cq, cbook = pi
+    return ivfpq_probe_check(
+        vec_stream.filter(_hash_split("pqsplit")), frame, cq, cbook
+    )

@@ -219,6 +219,8 @@ _ANN_TIERS = (
     # the composed tiers ride stored halves (ivf routing + their code table)
     "q_sim_ivfpq_topk",
     "q_sim_ivfpq_hq_topk",
+    # the serving-probe lane rides ivf_assigned + pq_hq_codes
+    "q_sim_ivfpq_probe",
 )
 
 

@@ -437,6 +437,35 @@ def test_semdedup_ingest_stream_equals_batch_twin(spark):
     assert len(got) > 0
 
 
+def test_ivfpq_probe_stream_equals_batch_twin(spark):
+    """Stateless streaming ANN probe == the batch q_sim_ivfpq_probe on
+    drain (the similarity side's serving lane, r13): arriving vectors
+    probe the persisted IVF + HQ-PQ indexes through the shared
+    ivfpq_probe_check. The (new_id, corpus_id) pair key is unique by
+    construction (distinct probed clusters; one cluster per corpus
+    vector), so the comparison is on raw appended rows."""
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        ivfpq_probe_stream,
+        read_embeddings_stream,
+    )
+
+    stream = ivfpq_probe_stream(
+        spark, read_embeddings_stream(spark, SF_DIR), SF_DIR
+    )
+    run_to_memory(stream, "t_ivfpq_probe", output_mode="append")
+    got = [
+        (r["new_id"], r["corpus_id"], r["cluster"], r["adc_score"])
+        for r in spark.table("t_ivfpq_probe").collect()
+    ]
+    batch = [
+        (r["new_id"], r["corpus_id"], r["cluster"], r["adc_score"])
+        for r in load_all_queries()["q_sim_ivfpq_probe"].fn(spark, SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(batch)
+    assert len(got) == len(set(got))  # pair key unique, no dedup required
+    assert len(got) > 0
+
+
 def test_streaming_checkpoint_recovers_state_mid_stream(spark, tmp_path):
     """Crash/restart recovery of the CUSTOM STATE STORE mid-data — the
     durability property the round-10 artifact store covers for static
