@@ -305,6 +305,71 @@ def test_edge_semdedup_ingest_equals_batch(spark, edge_dir):
     assert got == batch
 
 
+def test_edge_ivfpq_probe_equals_batch(spark, edge_dir):
+    """The ANN serving probe on the edge EMBEDDINGS (exact-duplicate
+    vectors under distinct ids, nudged near-dups, extreme norms): the
+    stateless stream equals the batch twin row-for-row."""
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        ivfpq_probe_stream,
+        read_embeddings_stream,
+    )
+
+    stream = ivfpq_probe_stream(
+        spark, read_embeddings_stream(spark, edge_dir), edge_dir
+    )
+    run_to_memory(stream, "te_ivfpq_probe", output_mode="append")
+    got = sorted(tuple(r) for r in spark.table("te_ivfpq_probe").collect())
+    batch = sorted(
+        tuple(r)
+        for r in load_all_queries()["q_sim_ivfpq_probe"].fn(spark, edge_dir).collect()
+    )
+    assert got == batch
+
+
+def test_edge_ivfpq_probe_dirty_arrivals(spark, edge_dir, tmp_path):
+    """ivfpq_probe_check owns the dirty-row contract for the serving
+    probe: NULL / empty / wrong-dimension arrivals DROP before the
+    assignment kernel (np.stack would crash on ragged input); a
+    zero-norm arrival passes harmlessly (ADC is a dot product — scores
+    0, below any positive threshold, emits nothing); the clean
+    exact-dup arrival must collide with its corpus twin above the ADC
+    threshold; duplicate arriving ids emit one row PER input row
+    (append semantics) — and stream == batch on all of it."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _HQ_PROBE_T,
+        ivfpq_probe_check,
+        ivfpq_probe_index,
+    )
+
+    batch_df, schema = _dirty_vec_frame(spark)
+    stage = str(tmp_path / "dirty_probe_vecs")
+    batch_df.write.parquet(stage)
+    pi = ivfpq_probe_index(spark, edge_dir)
+    assert pi is not None
+    frame, cq, cbook = pi
+
+    batch = sorted(
+        tuple(r)
+        for r in ivfpq_probe_check(batch_df, frame, cq, cbook).collect()
+    )
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    run_to_memory(
+        ivfpq_probe_check(stream_in, frame, cq, cbook),
+        "te_probe_dirty",
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in spark.table("te_probe_dirty").collect())
+    assert got == batch
+    emitted_ids = {r[0] for r in got}
+    assert emitted_ids == {9004}, emitted_ids
+    # duplicate arriving id -> one collision row PER input row, both
+    # above the threshold against corpus vector 0
+    per_pair = [r for r in got if r[0] == 9004 and r[1] == 0]
+    assert len(per_pair) == 2 and all(r[3] >= _HQ_PROBE_T for r in per_pair), got
+
+
 def _dirty_vec_frame(spark):
     """Adversarial arriving vectors for the SemDeDup dirty-row contract:
     NULL embedding, empty list, wrong dimension, all-zero vector
