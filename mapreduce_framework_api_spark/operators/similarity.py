@@ -2013,7 +2013,34 @@ def _ann_recall_frame(tier: DataFrame, exact: DataFrame) -> DataFrame:
 _HQ_M = 32  # subspaces (2 dims each — the scalar-pair end of the curve)
 _HQ_SUB = 2
 _HQ_K = 256  # codebook entries per subspace (one byte per code)
-_HQ_NPROBE = 4  # pinned (not the env knob): the oracle composes with it
+_HQ_NPROBE = 4  # shipped default; the registered oracle composes with it
+
+
+def _hq_nprobe() -> int:
+    """Query-time probe count for the HQ operating point, env-tunable
+    (SPARK_GRAFT_IVFPQ_HQ_NPROBE) for the operating-curve sweep
+    (tools/ivf_sweep.py --tier ivfpq_hq) — the _ivf_nprobe recipe: the
+    registered oracle stays pinned to the shipped default so the
+    driver's differential check always runs with the knob unset; the
+    knob is QUERY-TIME only (the index and the persisted store carry
+    the full probe ranking). The serving-probe lane
+    (q_sim_ivfpq_probe) deliberately does NOT read this knob — its
+    threshold-emit contract and streaming twin are pinned to the
+    shipped default."""
+    raw = os.environ.get("SPARK_GRAFT_IVFPQ_HQ_NPROBE")
+    if raw is None:
+        return _HQ_NPROBE
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_IVFPQ_HQ_NPROBE must be an integer, got {raw!r}"
+        ) from None
+    if not 1 <= n <= _IVF_K:
+        raise ValueError(
+            f"SPARK_GRAFT_IVFPQ_HQ_NPROBE must be in [1, {_IVF_K}], got {n}"
+        )
+    return n
 
 _IVFPQ_HQ_ORACLE = f"""
 WITH {_IVF_ASSIGN_CTES}, pqe AS (
@@ -2112,11 +2139,11 @@ def q_sim_ivfpq_hq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         pq_hq_index,
-        _HQ_NPROBE,
+        _hq_nprobe(),
         _HQ_M,
         _HQ_SUB,
         _IVFPQ_TOP_K,
-        f"ivfpq_hq_topk@p{_HQ_NPROBE}",
+        f"ivfpq_hq_topk@p{_hq_nprobe()}",
     )
 
 

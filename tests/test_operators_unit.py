@@ -2333,6 +2333,26 @@ def test_ivf_nprobe_env_knob_is_validated(monkeypatch):
         similarity._ivf_nprobe()
 
 
+def test_hq_nprobe_env_knob_is_validated(monkeypatch):
+    """The HQ operating point's sweep knob (SPARK_GRAFT_IVFPQ_HQ_NPROBE)
+    carries the same fail-fast contract as the IVF knob: out-of-range
+    and non-integer values raise named errors, unset returns the
+    shipped default the registered oracle is pinned to."""
+    from mapreduce_framework_api_spark.operators import similarity
+
+    monkeypatch.delenv("SPARK_GRAFT_IVFPQ_HQ_NPROBE", raising=False)
+    assert similarity._hq_nprobe() == similarity._HQ_NPROBE
+    monkeypatch.setenv("SPARK_GRAFT_IVFPQ_HQ_NPROBE", "8")
+    assert similarity._hq_nprobe() == 8
+    for bad in ("0", "-1", str(similarity._IVF_K + 1)):
+        monkeypatch.setenv("SPARK_GRAFT_IVFPQ_HQ_NPROBE", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_IVFPQ_HQ_NPROBE"):
+            similarity._hq_nprobe()
+    monkeypatch.setenv("SPARK_GRAFT_IVFPQ_HQ_NPROBE", "four")
+    with pytest.raises(ValueError, match="must be an integer"):
+        similarity._hq_nprobe()
+
+
 # Per-tier recall/precision FLOOR PINS (VERDICT r10 task 8 / r11 stretch):
 # every registered quality instrument, pinned at a conservative sf0.01
 # floor ~60-70% of its observed value — loose enough to survive a fixture

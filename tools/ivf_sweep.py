@@ -17,8 +17,13 @@ sessions pay) and WARM (search riding the session ivf_index — what a
 serving deployment pays per query wave; the index is nprobe-invariant,
 so this is the number the knob actually moves).
 
-Usage: python tools/ivf_sweep.py [sf_dir]  (default .scratch/sf1;
-builds it via tools/scale_receipt.build_sf1 when missing)
+Usage: python tools/ivf_sweep.py [sf_dir] [--tier ivf|ivfpq_hq]
+(default .scratch/sf1, built via tools/scale_receipt.build_sf1 when
+missing; default tier ivf). --tier ivfpq_hq sweeps the HIGH-QUALITY
+composed operating point instead, via SPARK_GRAFT_IVFPQ_HQ_NPROBE over
+q_sim_ivfpq_hq_topk / q_sim_ivfpq_hq_recall — the in-repo reproduction
+of the SCALE.md round-13 curve (recall truth = the shared exact
+int-dot sampled top-3, nprobe-independent by construction).
 """
 
 from __future__ import annotations
@@ -44,9 +49,29 @@ from mapreduce_framework_api_spark.session import (  # noqa: E402
 
 POINTS = (1, 2, 4, 8)
 
+# tier -> (env knob, search query, recall query)
+TIERS = {
+    "ivf": ("SPARK_GRAFT_IVF_NPROBE", "q_sim_ivf_topk", "q_sim_ivf_recall"),
+    "ivfpq_hq": (
+        "SPARK_GRAFT_IVFPQ_HQ_NPROBE",
+        "q_sim_ivfpq_hq_topk",
+        "q_sim_ivfpq_hq_recall",
+    ),
+}
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF1_DIR
+    args = sys.argv[1:]
+    tier = "ivf"
+    if "--tier" in args:
+        i = args.index("--tier")
+        tier = args[i + 1]
+        del args[i : i + 2]
+    if tier not in TIERS:
+        print(f"unknown tier {tier!r}; choices: {sorted(TIERS)}", file=sys.stderr)
+        return 2
+    knob, q_search, q_recall = TIERS[tier]
+    sf_dir = args[0] if args else SF1_DIR
     if sf_dir == SF1_DIR and not os.path.isdir(sf_dir):
         print("# building .scratch/sf1 (10x replica corpus)", file=sys.stderr)
         build_sf1()
@@ -54,14 +79,14 @@ def main() -> int:
     spark = get_spark("ivf-sweep")
     # warm the Arrow/codegen path once so point 1 isn't billed for JIT
     clear_session_caches()
-    registry["q_sim_ivf_topk"].fn(spark, "/root/testdata/sf0.001").count()
+    registry[q_search].fn(spark, "/root/testdata/sf0.001").count()
 
     rows = []
     for nprobe in POINTS:
-        os.environ["SPARK_GRAFT_IVF_NPROBE"] = str(nprobe)
+        os.environ[knob] = str(nprobe)
         clear_session_caches()
         t0 = time.perf_counter()
-        n_rows = registry["q_sim_ivf_topk"].fn(spark, sf_dir).count()
+        n_rows = registry[q_search].fn(spark, sf_dir).count()
         cold = time.perf_counter() - t0
         # warm: the ivf_index + tier caches are populated; re-time the
         # search with ONLY the tier-output cache dropped (the serving
@@ -70,9 +95,9 @@ def main() -> int:
 
         similarity._TIER_OUT_CACHE.clear()
         t0 = time.perf_counter()
-        registry["q_sim_ivf_topk"].fn(spark, sf_dir).count()
+        registry[q_search].fn(spark, sf_dir).count()
         warm = time.perf_counter() - t0
-        rec = registry["q_sim_ivf_recall"].fn(spark, sf_dir).collect()[0]
+        rec = registry[q_recall].fn(spark, sf_dir).collect()[0]
         rows.append(
             {
                 "nprobe": nprobe,
@@ -86,9 +111,9 @@ def main() -> int:
             }
         )
         print(f"# {rows[-1]}", file=sys.stderr)
-    os.environ.pop("SPARK_GRAFT_IVF_NPROBE", None)
+    os.environ.pop(knob, None)
     clear_session_caches()
-    print(json.dumps({"sf_dir": sf_dir, "points": rows}))
+    print(json.dumps({"sf_dir": sf_dir, "tier": tier, "points": rows}))
     spark.stop()
     return 0
 
