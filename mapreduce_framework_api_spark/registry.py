@@ -86,7 +86,7 @@ _LOADED = False
 # recomputed from CORRECTNESS_r*.json this round; after this round no
 # receipt older than r10 remains — the VERDICT r12 task-3 "done"
 # condition). This is the mandatory block the round-12 comment promised.
-# (1) queries NEW this round (3): the IVF-PQ HIGH-QUALITY operating
+# (1) queries NEW this round (5): the IVF-PQ HIGH-QUALITY operating
 # point (q_sim_ivfpq_hq_topk — 32 subspaces × 256-entry codebooks,
 # nprobe=4, the deployable point on the compression/recall curve;
 # VERDICT r12 task 4), its recall instrument (q_sim_ivfpq_hq_recall,
@@ -94,7 +94,10 @@ _LOADED = False
 # the ANN serving-probe lane (q_sim_ivfpq_probe — arriving queries
 # scored against the store-loaded ivf + pq_hq artifacts, with a
 # stateless streaming twin pinned stream==batch; VERDICT r12 task
-# 7). All full-oracle.
+# 7), plus the two-stage retrieve-then-exact-rerank tier
+# (q_sim_ivfpq_hq_rerank — ADC top-16 shortlist refined by JVM
+# integer dots to the routing ceiling) and its recall instrument.
+# All full-oracle.
 # (2) queries whose code materially changes this round (4): the PQ
 # index build is parameterized for the second operating point
 # (_pq_index_build) and the composed search/recall plans are shared
@@ -102,16 +105,18 @@ _LOADED = False
 # tier's recall also rides via a cached shared truth) — so
 # q_sim_pq_topk, q_sim_pq_recall, q_sim_ivfpq_topk and
 # q_sim_ivfpq_recall re-verify on the refactored code paths.
-# Remaining free slots (10) go to the stalest r10 receipts in
+# Remaining free slots (8) go to the stalest r10 receipts in
 # deterministic (alphabetical) order; the displaced r10 rows stay
 # within the staleness bound (horizon r11 at the r13 boundary) and
 # rotate in round 14.
 #
 _WINDOW: tuple[str, ...] = (
-    # (1) new this round, no driver receipt yet (3)
+    # (1) new this round, no driver receipt yet (5)
     "q_sim_ivfpq_hq_topk",
     "q_sim_ivfpq_hq_recall",
     "q_sim_ivfpq_probe",
+    "q_sim_ivfpq_hq_rerank",
+    "q_sim_ivfpq_hq_rerank_recall",
     # (2) code materially changes this round (4)
     "q_sim_pq_topk",
     "q_sim_pq_recall",
@@ -151,7 +156,7 @@ _WINDOW: tuple[str, ...] = (
     "q_sketch_hll_sliding",
     "q_text_keywords",
     "q_text_vocab_coverage",
-    # stalest-r10 fill, alphabetical (10)
+    # stalest-r10 fill, alphabetical (8)
     "q_agg_percentile",
     "q_agg_stats",
     "q_dedup_clusters",
@@ -160,8 +165,6 @@ _WINDOW: tuple[str, ...] = (
     "q_dedup_decontaminate",
     "q_dedup_incremental",
     "q_dedup_minhash",
-    "q_dedup_prefix_incremental",
-    "q_dedup_repeated_chunks",
 )
 
 

@@ -221,6 +221,8 @@ _ANN_TIERS = (
     "q_sim_ivfpq_hq_topk",
     # the serving-probe lane rides ivf_assigned + pq_hq_codes
     "q_sim_ivfpq_probe",
+    # two-stage retrieval rides the HQ shortlist + the raw vector table
+    "q_sim_ivfpq_hq_rerank",
 )
 
 

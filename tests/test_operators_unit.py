@@ -2381,6 +2381,10 @@ _RECALL_FLOORS = [
     # codebooks, nprobe=4 — the deployable point, r13); observed 4479 at
     # sf0.01 (4611 sf0.001, 4693 sf0.1)
     ("q_sim_ivfpq_hq_recall", "recall_x10000", 3000),
+    # two-stage retrieval (HQ ADC shortlist -> exact refine, r13);
+    # observed 4690 at sf0.01 (4927 sf0.001, 5160 sf0.1 = the nprobe=4
+    # routing ceiling)
+    ("q_sim_ivfpq_hq_rerank_recall", "recall_x10000", 3500),
 ]
 
 
