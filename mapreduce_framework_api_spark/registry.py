@@ -80,91 +80,75 @@ _LOADED = False
 # the suite is green at the round boundary too — the structural
 # cross-boundary red of rounds 7-8 is gone by construction.
 #
-# Round-13 window, by the standing policy (rotate-first commit):
-# (3) staleness retirement — ALL 33 remaining r9-era receipts (the exact
-# list the r01..r12 receipt union yields at the round-12 boundary,
+# Round-14 window, by the standing policy (rotate-first commit):
+# (3) staleness retirement — ALL 40 remaining r10-era receipts (the exact
+# list the r01..r13 receipt union yields at the round-13 boundary,
 # recomputed from CORRECTNESS_r*.json this round; after this round no
-# receipt older than r10 remains — the VERDICT r12 task-3 "done"
-# condition). This is the mandatory block the round-12 comment promised.
-# (1) queries NEW this round (5): the IVF-PQ HIGH-QUALITY operating
-# point (q_sim_ivfpq_hq_topk — 32 subspaces × 256-entry codebooks,
-# nprobe=4, the deployable point on the compression/recall curve;
-# VERDICT r12 task 4), its recall instrument (q_sim_ivfpq_hq_recall,
-# floor-pinned and compared >= the IVF tier's recall in pytest), and
-# the ANN serving-probe lane (q_sim_ivfpq_probe — arriving queries
-# scored against the store-loaded ivf + pq_hq artifacts, with a
-# stateless streaming twin pinned stream==batch; VERDICT r12 task
-# 7), plus the two-stage retrieve-then-exact-rerank tier
-# (q_sim_ivfpq_hq_rerank — ADC top-16 shortlist refined by JVM
-# integer dots to the routing ceiling) and its recall instrument.
-# All full-oracle.
-# (2) queries whose code materially changes this round (4): the PQ
-# index build is parameterized for the second operating point
-# (_pq_index_build) and the composed search/recall plans are shared
-# helpers now (_ivfpq_search / _ivfpq_exact_truth, which the default
-# tier's recall also rides via a cached shared truth) — so
-# q_sim_pq_topk, q_sim_pq_recall, q_sim_ivfpq_topk and
-# q_sim_ivfpq_recall re-verify on the refactored code paths.
-# Remaining free slots (8) go to the stalest r10 receipts in
-# deterministic (alphabetical) order; the displaced r10 rows stay
-# within the staleness bound (horizon r11 at the r13 boundary) and
-# rotate in round 14.
+# receipt older than r11 remains — the VERDICT r13 task-3 "done"
+# condition). This is the mandatory block the round-13 comment promised.
+# Remaining free slots (10) start as the stalest r11 receipts in
+# deterministic (alphabetical) order; as round-14 feature work lands
+# (the corpus-scaled IVF operating point, filtered ANN, the index
+# append lane — VERDICT r13 tasks 1/5/6), each NEW query swaps into a
+# fill slot per policy clause (1), displacing the r11 row back out —
+# displaced rows keep their r11 receipt, inside the horizon-r11 bound
+# at the r14 boundary, and rotate in round 15.
 #
 _WINDOW: tuple[str, ...] = (
-    # (1) new this round, no driver receipt yet (5)
-    "q_sim_ivfpq_hq_topk",
-    "q_sim_ivfpq_hq_recall",
-    "q_sim_ivfpq_probe",
-    "q_sim_ivfpq_hq_rerank",
-    "q_sim_ivfpq_hq_rerank_recall",
-    # (2) code materially changes this round (4)
-    "q_sim_pq_topk",
-    "q_sim_pq_recall",
-    "q_sim_ivfpq_topk",
-    "q_sim_ivfpq_recall",
-    # (3) staleness retirement: every remaining r9-era receipt (33)
-    "q_events_anomaly",
-    "q_events_autocorr",
-    "q_events_burst",
-    "q_events_cdc_compact",
-    "q_events_cooccurrence",
-    "q_events_latency_bands",
-    "q_events_ohlc",
-    "q_events_rfm",
-    "q_events_sessionize",
-    "q_events_streaks",
-    "q_events_timeweighted",
-    "q_events_transitions",
-    "q_fn_map",
-    "q_join_asof",
-    "q_join_asof_nearest",
-    "q_join_fuzzy",
-    "q_join_lateral_topn",
-    "q_merge_upsert",
-    "q_pipe_chunk_overlap",
-    "q_pipe_dataset_card",
-    "q_pipe_filter_cascade",
-    "q_pipe_pack_chunks",
-    "q_pipe_shuffle_order",
-    "q_pipe_upsample_epochs",
-    "q_profile_columns",
-    "q_set_ops_all",
-    "q_sim_ivf_recall",
-    "q_sim_lsh_recall",
-    "q_sketch_hist_quantile",
-    "q_sketch_hll_merge",
-    "q_sketch_hll_sliding",
-    "q_text_keywords",
-    "q_text_vocab_coverage",
-    # stalest-r10 fill, alphabetical (8)
-    "q_agg_percentile",
-    "q_agg_stats",
-    "q_dedup_clusters",
-    "q_dedup_containment_bk_precision",
-    "q_dedup_containment_bk_verified",
-    "q_dedup_decontaminate",
-    "q_dedup_incremental",
-    "q_dedup_minhash",
+    # (1) new this round, no driver receipt yet (swapped into the fill
+    # block below as they land)
+    # (3) staleness retirement: every remaining r10-era receipt (40)
+    "q_dedup_prefix_incremental",
+    "q_dedup_repeated_chunks",
+    "q_dedup_report",
+    "q_dedup_semdedup_incremental",
+    "q_dim_scd2",
+    "q_events_gapfill",
+    "q_events_heatmap",
+    "q_events_interpolate",
+    "q_filter_pred",
+    "q_fn_array",
+    "q_fn_conditional",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_string",
+    "q_graph_bfs",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_multimodal_audio_stats",
+    "q_multimodal_video_frames",
+    "q_mv_incremental",
+    "q_pipe_end_to_end",
+    "q_pipe_interleave",
+    "q_pipe_quantile_norm",
+    "q_pipe_snapshot_diff",
+    "q_pipe_split_leakage",
+    "q_pipe_token_budget",
+    "q_privacy_kanonymity",
+    "q_sim_ann_lsh",
+    "q_sim_cosine_topk",
+    "q_sim_ivf_topk",
+    "q_sim_knn_classify",
+    "q_sim_outliers",
+    "q_sim_search_split",
+    "q_stream_topk_windowed",
+    "q_text_bpe_encode",
+    "q_text_bpe_merges",
+    "q_text_inverted_index",
+    "q_text_langid_confusion",
+    # fill block: stalest-r11, alphabetical; new r14 queries swap in here
+    "q_agg_basic",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_mode",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_skew_salted",
+    "q_dedup_containment",
+    "q_dedup_containment_est",
 )
 
 
