@@ -2388,7 +2388,10 @@ def ivfpq_probe_check(
     NULL / wrong-dimension embeddings are dropped before assignment
     (np.stack on ragged input would crash the kernel). Zero-norm
     vectors pass through harmlessly — ADC is a dot product, no
-    division — and score below any positive threshold."""
+    division — and score below any positive threshold. Duplicate
+    arriving ids score per row against each row's OWN embedding (LUTs
+    are keyed on embedding bytes, not new_id), so same-id divergent
+    arrivals cannot diverge between stream and batch."""
     import numpy as np
     import pandas as pd
 
@@ -2430,7 +2433,17 @@ def ivfpq_probe_check(
             if pdf.empty:
                 continue
             out_new, out_corpus, out_cluster, out_score = [], [], [], []
-            for new_id, grp in pdf.groupby("new_id", sort=False):
+            # Group by the embedding VALUE, not new_id: duplicate arriving
+            # ids may carry DIFFERENT embeddings, and each row must score
+            # against its own vector (the semdedup_check per-row precedent;
+            # keying on new_id silently scored the whole group with the
+            # first row's vector, and pandas/micro-batch order decided
+            # which — ADVICE r13). Byte-keying keeps the
+            # one-LUT-per-distinct-query amortization.
+            key = pdf["q_emb"].map(
+                lambda a: np.asarray(a, dtype=np.float64).tobytes()
+            )
+            for _, grp in pdf.groupby(key, sort=False):
                 q = np.asarray(grp["q_emb"].iloc[0], dtype=np.float64)
                 qi = np.floor(q * _PQ_SCALE).astype(np.int64).reshape(_HQ_M, _HQ_SUB)
                 codes = np.stack(grp["codes"].to_numpy()).astype(np.int64)
@@ -2438,9 +2451,10 @@ def ivfpq_probe_check(
                 for m in range(_HQ_M):
                     lut = qi[m] @ cbook[m].T  # (K,)
                     score += lut[codes[:, m]]
+                new_ids = grp["new_id"].to_numpy(dtype="int64")
                 corpus = grp["corpus_id"].to_numpy(dtype="int64")
-                keep = (score >= _HQ_PROBE_T) & (corpus != new_id)
-                out_new.append(np.full(int(keep.sum()), new_id, dtype=np.int64))
+                keep = (score >= _HQ_PROBE_T) & (corpus != new_ids)
+                out_new.append(new_ids[keep])
                 out_corpus.append(corpus[keep])
                 out_cluster.append(grp["cluster"].to_numpy(dtype="int64")[keep])
                 out_score.append(score[keep])

@@ -370,6 +370,63 @@ def test_edge_ivfpq_probe_dirty_arrivals(spark, edge_dir, tmp_path):
     assert len(per_pair) == 2 and all(r[3] >= _HQ_PROBE_T for r in per_pair), got
 
 
+def test_edge_ivfpq_probe_dup_id_divergent_embeddings(spark, edge_dir, tmp_path):
+    """Same arriving id, DIFFERENT embeddings (ADVICE r13): each row must
+    be scored against its OWN vector. Row A carries corpus vector 0's
+    embedding (support {0,3,9}) and must collide with corpus 0 and its
+    exact twin 100; row B carries corpus vector 20's embedding (support
+    {20,15,13} — orthogonal to vec 0, dot = 0) and must collide with
+    corpus 20. A new_id-keyed LUT would score B's candidates with A's
+    vector (ADC ~0, below threshold) and silently drop the corpus-20
+    collision — and which row wins would depend on pandas/micro-batch
+    order, breaking stream == batch. Both rows ride ONE partition so the
+    grouped kernel actually sees them together."""
+    from pyspark.sql import types as T
+
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _HQ_PROBE_T,
+        ivfpq_probe_check,
+        ivfpq_probe_index,
+    )
+
+    vec_a = [0.0] * 64
+    vec_a[0], vec_a[3], vec_a[9] = 1.0, 0.5, -0.25       # == corpus vec 0
+    vec_b = [0.0] * 64
+    vec_b[20], vec_b[15], vec_b[13] = 1.0, 0.5, -0.25    # == corpus vec 20
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    batch_df = spark.createDataFrame(
+        [(9005, vec_a), (9005, vec_b)], schema
+    ).coalesce(1)
+    pi = ivfpq_probe_index(spark, edge_dir)
+    assert pi is not None
+    frame, cq, cbook = pi
+
+    batch = sorted(
+        tuple(r) for r in ivfpq_probe_check(batch_df, frame, cq, cbook).collect()
+    )
+    pairs = {(r[0], r[1]) for r in batch}
+    assert (9005, 0) in pairs and (9005, 100) in pairs, batch   # row A's twins
+    assert (9005, 20) in pairs, batch                           # row B's twin
+    assert all(r[3] >= _HQ_PROBE_T for r in batch), batch
+
+    # stream twin: one file => one micro-batch => same pandas grouping
+    stage = str(tmp_path / "divergent_probe_vecs")
+    batch_df.write.parquet(stage)
+    stream_in = spark.readStream.schema(schema).parquet(stage)
+    run_to_memory(
+        ivfpq_probe_check(stream_in, frame, cq, cbook),
+        "te_probe_divergent",
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in spark.table("te_probe_divergent").collect())
+    assert got == batch
+
+
 def _dirty_vec_frame(spark):
     """Adversarial arriving vectors for the SemDeDup dirty-row contract:
     NULL embedding, empty list, wrong dimension, all-zero vector

@@ -60,7 +60,9 @@ def corrected_baseline(
     return out
 
 
-def compare(current: dict, baseline: dict, corrections: dict) -> dict:
+def compare(
+    current: dict, baseline: dict, corrections: dict, baseline_kind: str = "cold"
+) -> dict:
     base = corrected_baseline(baseline.get("queries", {}), corrections)
     cur = current.get("queries", {})
     common = sorted(set(base) & {k for k, v in cur.items() if v is not None})
@@ -85,7 +87,7 @@ def compare(current: dict, baseline: dict, corrections: dict) -> dict:
     tot_cur = sum(cur[n] for n in common)
     return {
         "metric": "bench_gate_vs_baseline",
-        "baseline_kind": "cold",
+        "baseline_kind": baseline_kind,
         "gate": GATE,
         "n_common": len(common),
         "total_baseline_sec": round(tot_base, 3),
@@ -119,8 +121,7 @@ def main() -> None:
         corr_path = os.path.join(REPO, "BENCH_CORRECTIONS.json")
         corrections = json.load(open(corr_path)) if os.path.exists(corr_path) else {}
         kind = "cold"
-    result = compare(current, baseline, corrections)
-    result["baseline_kind"] = kind
+    result = compare(current, baseline, corrections, baseline_kind=kind)
     print(json.dumps(result, indent=1))
     sys.exit(1 if result["cells_over_gate"] else 0)
 

@@ -65,6 +65,9 @@ def main() -> int:
     tier = "ivf"
     if "--tier" in args:
         i = args.index("--tier")
+        if i + 1 >= len(args):
+            print(f"--tier needs a value; choices: {sorted(TIERS)}", file=sys.stderr)
+            return 2
         tier = args[i + 1]
         del args[i : i + 2]
     if tier not in TIERS:
