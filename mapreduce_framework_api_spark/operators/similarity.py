@@ -1743,11 +1743,13 @@ def _ivfpq_search(
     SUB: int,
     top_k: int,
     tier_tag: str,
+    ivf_fn=None,
 ) -> DataFrame:
-    """The composed IVF-PQ search plan, shared by both registered
-    operating points (the default 64×-compression tier and the
-    high-quality 8× tier — they differ only in codebook geometry and
-    probe width). Plan shape: index side = the assigned frame's
+    """The composed IVF-PQ search plan, shared by all registered
+    operating points (the default 64×-compression tier, the
+    high-quality 8× tier, and the corpus-scaled-K tier — they differ
+    only in codebook geometry, probe width, and — via ``ivf_fn`` —
+    which coarse quantizer routes). Plan shape: index side = the assigned frame's
     (vec_id, cluster) equi-joined to the code table (two thin columns;
     the 64-float embeddings are NEVER read on the index side — the
     memory-bound regime's point); query side = raw vectors exploded
@@ -1762,7 +1764,7 @@ def _ivfpq_search(
     if cached is not None:
         return cached
 
-    idx = ivf_index(spark, sf_dir)
+    idx = (ivf_fn or ivf_index)(spark, sf_dir)
     pq = pq_idx(spark, sf_dir)
     if idx is None or pq is None:
         return spark.createDataFrame(
@@ -2329,6 +2331,320 @@ def q_sim_ivfpq_hq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = q_sim_ivfpq_hq_rerank(spark, sf_dir).select("vec_id", "neighbor_id")
     exact = _ivfpq_exact_truth(spark, sf_dir)
     return _ann_recall_frame(rr, exact)
+
+
+# --- Corpus-scaled coarse quantizer (the K ~ sqrt(N) operating point) --
+# Every tier above routes through the FIXED _IVF_K = 16 coarse quantizer,
+# so probed-candidate work per query is nprobe * N/16 — linear in corpus
+# size with a constant factor (the VERDICT r13 scale-killer: at 100x data
+# each inverted list is 100x longer and every probe scores all of it).
+# Production IVF scales the list count with the corpus (FAISS guidance:
+# K on the order of sqrt(N)); this operating point does exactly that,
+# fully oracle-reproducible:
+#   K      = max(16, ceil(sqrt(N)))     -- list count grows with corpus
+#   nprobe = clamp(ceil(sqrt(K)), 4, 16) -- probe width grows ~N^(1/4)
+# Per-query candidate work = nprobe * N/K ~ N^(3/4): SUBLINEAR, where the
+# fixed-K tiers are linear. N comes from parquet footer metadata on the
+# Spark side and COUNT(*) in the oracle; ceil/sqrt are IEEE-exact in both
+# engines (sqrt is correctly rounded; N « 2^52), so both derive the SAME
+# K and nprobe from the data — the knob table stays declarative. The
+# stored probe ranking is cut at depth 16 (constant bytes/vector — a full
+# K-deep ranking would be sqrt(N) ints per vector, reintroducing the very
+# growth this point removes), which caps nprobe at 16; past N = 16^4 the
+# formula saturates there (at that scale recall is routing-bound and the
+# next dollar goes to k-means centroids, not more random probes).
+# Scoring composes the SAME HQ codebooks (32x2, 256 entries) — only the
+# router changes, so the recall delta vs q_sim_ivfpq_hq_* isolates the
+# quantizer-scaling cost.
+_IVF_SCALED_MIN_K = 16
+_IVF_SCALED_SALT = "ivfs#"  # distinct seed universe from the K=16 quantizer
+_IVF_SCALED_PROBE_DEPTH = 16
+_IVF_SCALED_NPROBE_MIN = 4
+
+
+def _ivf_scaled_k(n: int) -> int:
+    return max(_IVF_SCALED_MIN_K, math.ceil(math.sqrt(n))) if n else _IVF_SCALED_MIN_K
+
+
+def _ivf_scaled_nprobe(k: int) -> int:
+    """Shipped probe width at list count ``k``; env-tunable
+    (SPARK_GRAFT_IVF_SCALED_NPROBE) for the operating-curve sweep, the
+    _ivf_nprobe recipe — the registered oracle is pinned to the derived
+    default, so the driver's differential check always runs unset."""
+    raw = os.environ.get("SPARK_GRAFT_IVF_SCALED_NPROBE")
+    if raw is None:
+        return min(
+            _IVF_SCALED_PROBE_DEPTH,
+            max(_IVF_SCALED_NPROBE_MIN, math.ceil(math.sqrt(k))),
+        )
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_IVF_SCALED_NPROBE must be an integer, got {raw!r}"
+        ) from None
+    if not 1 <= n <= _IVF_SCALED_PROBE_DEPTH:
+        raise ValueError(
+            f"SPARK_GRAFT_IVF_SCALED_NPROBE must be in "
+            f"[1, {_IVF_SCALED_PROBE_DEPTH}], got {n}"
+        )
+    return n
+
+
+_IVF_SCALED_INDEX_CACHE: dict[tuple, tuple | None] = {}
+
+
+def ivf_scaled_index(spark: SparkSession, sf_dir: str):
+    """The corpus-scaled coarse quantizer's serving index: ``(assigned,
+    cq)`` like ivf_index, with K = _ivf_scaled_k(N) salted md5 seeds
+    ('ivfs#' — a disjoint seed universe from the fixed-K quantizer) and
+    the probe ranking stored only to depth _IVF_SCALED_PROBE_DEPTH
+    (constant bytes per vector; the fixed-K index can afford its full
+    16-deep ranking only because K is 16). The centroid matrix is
+    K x 64 int64 — ~0.5 KB per 16 lists, still a broadcast at K = 32k
+    (N = 1e9) — and the seed fetch is K driver rows (the md5 top-K CTE
+    is K-agnostic, which is what makes this point oracle-safe)."""
+    import numpy as np
+    import pandas as pd
+
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    if key in _IVF_SCALED_INDEX_CACHE:
+        return _IVF_SCALED_INDEX_CACHE[key]
+
+    k = _ivf_scaled_k(_parquet_row_count(sf_dir, "embeddings"))
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = (
+        e.withColumn(
+            "h",
+            F.md5(F.concat(F.lit(_IVF_SCALED_SALT), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if seed.empty:
+        _IVF_SCALED_INDEX_CACHE[key] = None
+        return None
+    cq = np.floor(
+        np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _IVF_SCALE
+    ).astype(np.int64)
+    cent = spark.sparkContext.broadcast(cq)
+    depth = min(len(seed), _IVF_SCALED_PROBE_DEPTH)
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            iv = np.floor(v * _IVF_SCALE).astype(np.int64)
+            dots = iv @ cent.value.T  # int64: exact, engine-portable
+            # stable sort on -dots => ties keep ascending centroid index
+            # (the oracle's dot DESC, c ASC row_number order); cut to the
+            # stored probe depth — top-16 of K, not all K
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :depth]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": order[:, 0].astype("int32"),
+                    "probes": list(order.astype("int32")),
+                }
+            )
+
+    assigned = e.mapInPandas(
+        assign,
+        schema="vec_id long, embedding array<float>, cluster int, probes array<int>",
+    ).localCheckpoint()
+    _IVF_SCALED_INDEX_CACHE[key] = (assigned, cq)
+    return assigned, cq
+
+
+# The scaled-quantizer CTE chain: identical to _IVF_ASSIGN_CTES except
+# the seed count comes FROM the data (kp), the seed hash is salted, and
+# the probe width np derives from kp — both engines compute K and nprobe
+# from the same COUNT(*), so the operating point self-scales without a
+# constant anywhere.
+_IVF_SCALED_ASSIGN_CTES = f"""iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS q,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), kp AS (
+  SELECT GREATEST({_IVF_SCALED_MIN_K},
+                  CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM embeddings
+), npp AS (
+  SELECT LEAST({_IVF_SCALED_PROBE_DEPTH},
+               GREATEST({_IVF_SCALED_NPROBE_MIN},
+                        CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT))) AS np
+  FROM kp
+), seedrank AS (
+  SELECT vec_id, q,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('{_IVF_SCALED_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS sr
+  FROM iv
+), cent AS (
+  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+  FROM seedrank, kp WHERE sr <= kp.k
+), dots AS (
+  SELECT iv.vec_id, cent.c,
+         CAST(list_dot_product(iv.q, cent.cq) AS BIGINT) AS dot
+  FROM iv, cent
+), probe_rank AS (
+  SELECT vec_id, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS pr
+  FROM dots
+), assigned AS (
+  SELECT vec_id, c AS cluster FROM probe_rank WHERE pr = 1
+)"""
+
+# Scaled chain composed with the SAME HQ codebook CTEs as _IVFPQ_HQ_CHAIN
+# (pqe/hqseed/.../code verbatim — one codebook definition, two routers).
+_IVFPQ_SCALED_CHAIN = f"""{_IVF_SCALED_ASSIGN_CTES}, pqe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
+  FROM embeddings
+), hqseed AS (
+  SELECT vec_id, piv FROM pqe
+  ORDER BY md5('pqhq#' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {_HQ_K}
+), hqcb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, piv FROM hqseed
+), ms AS (
+  SELECT unnest(range(0, {_HQ_M})) AS m
+), cbm AS (
+  SELECT k, m, hqcb.piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS c
+  FROM hqcb CROSS JOIN ms
+), xm AS (
+  SELECT vec_id, m, piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS x
+  FROM pqe CROSS JOIN ms
+), d AS (
+  SELECT x.vec_id, x.m, c.k,
+         list_dot_product(x.x, x.x)
+           - 2 * list_dot_product(x.x, c.c)
+           + list_dot_product(c.c, c.c) AS d2
+  FROM xm x JOIN cbm c ON x.m = c.m
+), code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, k ASC) AS rk
+    FROM d
+  ) WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS q_id, c AS cluster
+  FROM probe_rank, npp WHERE pr <= npp.np
+), cand AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE p.q_id <> a.vec_id
+), qm AS (
+  SELECT vec_id AS q_id, m,
+         piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS q
+  FROM pqe CROSS JOIN ms
+), adc AS (
+  SELECT c.q_id, c.n_id,
+         CAST(SUM(list_dot_product(qm.q, cbm.c)) AS BIGINT) AS adc_score
+  FROM cand c
+  JOIN qm ON qm.q_id = c.q_id
+  JOIN code co ON co.vec_id = c.n_id AND co.m = qm.m
+  JOIN cbm ON cbm.m = co.m AND cbm.k = co.k
+  GROUP BY c.q_id, c.n_id
+), ranked AS (
+  SELECT q_id AS vec_id, n_id AS neighbor_id, adc_score,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_score DESC, n_id ASC) AS rk
+  FROM adc
+)"""
+
+_IVFPQ_SCALED_ORACLE = f"""
+WITH {_IVFPQ_SCALED_CHAIN}
+SELECT vec_id, neighbor_id, adc_score, rk
+FROM ranked WHERE rk <= {_IVFPQ_TOP_K}
+ORDER BY vec_id, rk
+"""  # shared with q_sim_ivfpq_scaled_recall's composed oracle
+
+
+@register(
+    "q_sim_ivfpq_scaled_topk",
+    group="I",
+    oracle=_IVFPQ_SCALED_ORACLE,
+)
+def q_sim_ivfpq_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at the CORPUS-SCALED operating point (VERDICT r13 task 1):
+    the same composed plan as q_sim_ivfpq_hq_topk — HQ codebooks, ADC
+    scoring, one cogroup on cluster id — routed through a coarse
+    quantizer whose list count scales with the corpus: K = max(16,
+    ceil(sqrt(N))), nprobe = clamp(ceil(sqrt(K)), 4, 16). Per-query
+    candidate work is nprobe * N/K ~ N^(3/4) — SUBLINEAR in corpus size,
+    where every fixed-K tier is linear (at sf1 this point probes ~3.4k
+    candidates/query vs the HQ point's ~12.5k, and the gap widens as
+    N^(3/4) vs N). Both engines derive K and nprobe from the SAME
+    count (parquet footers / COUNT(*)); seeds are salted md5 top-K, so
+    the differential oracle stays FULL at any corpus size."""
+    k = _ivf_scaled_k(_parquet_row_count(sf_dir, "embeddings"))
+    nprobe = _ivf_scaled_nprobe(k)
+    return _ivfpq_search(
+        spark,
+        sf_dir,
+        pq_hq_index,
+        nprobe,
+        _HQ_M,
+        _HQ_SUB,
+        _IVFPQ_TOP_K,
+        f"ivfpq_scaled_topk@k{k}p{nprobe}",
+        ivf_fn=ivf_scaled_index,
+    )
+
+
+@register(
+    "q_sim_ivfpq_scaled_recall",
+    group="I",
+    oracle=f"""
+WITH ivfpq AS (
+  {_IVFPQ_SCALED_ORACLE}
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.piv, x.piv) DESC, x.vec_id ASC) AS rk
+    FROM base q JOIN base x ON q.vec_id <> x.vec_id
+  ) WHERE rk <= {_IVFPQ_TOP_K} AND {_recall_sample_sql("query_id")}
+), hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM ivfpq JOIN exact
+    ON ivfpq.vec_id = exact.query_id
+   AND ivfpq.neighbor_id = exact.neighbor_id
+), tot AS (
+  SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM exact
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_x10000
+FROM hits, tot
+""",
+)
+def q_sim_ivfpq_scaled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the corpus-scaled composed point against the SAME
+    shared exact truth as every other composed instrument — the fourth
+    point on the operating curve, and the one that reads the PRICE of
+    quantizer scaling: the delta vs q_sim_ivfpq_hq_recall is what
+    sublinear candidate work costs in recall on this corpus (the
+    fixed-K point probes a constant 1/4 of the corpus; this point's
+    probed fraction shrinks as N^(-1/4)). Floor-pinned in
+    tests/test_operators_unit.py like the other instruments."""
+    sc = q_sim_ivfpq_scaled_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    exact = _ivfpq_exact_truth(spark, sf_dir)
+    return _ann_recall_frame(sc, exact)
 
 
 # --- IVF-PQ serving probe (arriving-query lane) ------------------------

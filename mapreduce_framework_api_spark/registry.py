@@ -95,8 +95,13 @@ _LOADED = False
 # at the r14 boundary, and rotate in round 15.
 #
 _WINDOW: tuple[str, ...] = (
-    # (1) new this round, no driver receipt yet (swapped into the fill
-    # block below as they land)
+    # (1) new this round, no driver receipt yet: the corpus-scaled
+    # coarse-quantizer operating point (K ~ sqrt(N) md5 seeds, nprobe ~
+    # N^(1/4); VERDICT r13 task 1) + its recall instrument — both
+    # full-oracle (the scaled CTE chain derives K and nprobe from
+    # COUNT(*), so the oracle self-scales with the corpus).
+    "q_sim_ivfpq_scaled_topk",
+    "q_sim_ivfpq_scaled_recall",
     # (3) staleness retirement: every remaining r10-era receipt (40)
     "q_dedup_prefix_incremental",
     "q_dedup_repeated_chunks",
@@ -147,8 +152,6 @@ _WINDOW: tuple[str, ...] = (
     "q_agg_pivot",
     "q_agg_rollup",
     "q_agg_skew_salted",
-    "q_dedup_containment",
-    "q_dedup_containment_est",
 )
 
 

@@ -117,6 +117,7 @@ def clear_session_caches() -> None:
         similarity._VEC_NORMS_CACHE,
         similarity._LSH_CODES_CACHE,
         similarity._IVF_INDEX_CACHE,
+        similarity._IVF_SCALED_INDEX_CACHE,
         similarity._PQ_INDEX_CACHE,
         similarity._PQ_HQ_INDEX_CACHE,
         similarity._MS_TOKENS_CACHE,

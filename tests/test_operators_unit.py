@@ -2385,6 +2385,11 @@ _RECALL_FLOORS = [
     # observed 4690 at sf0.01 (4927 sf0.001, 5160 sf0.1 = the nprobe=4
     # routing ceiling)
     ("q_sim_ivfpq_hq_rerank_recall", "recall_x10000", 3500),
+    # corpus-scaled quantizer point (K ~ sqrt(N), nprobe ~ N^(1/4), r14):
+    # observed 4743 at sf0.01 (4729 sf0.001, 4199 sf0.1 — recall drifts
+    # DOWN as the probed fraction shrinks N^(-1/4); that drift is the
+    # instrument's point, the floor only guards against halving)
+    ("q_sim_ivfpq_scaled_recall", "recall_x10000", 3000),
 ]
 
 
@@ -2399,6 +2404,38 @@ def test_quality_instrument_floor(spark, name, col, floor):
         .asDict()
     )
     assert row[col] >= floor, (name, row)
+
+
+def test_ivf_scaled_knob_formulas(monkeypatch):
+    """The corpus-scaled quantizer's operating point is a pair of pure
+    functions of N — pin the formulas (K = max(16, ceil(sqrt(N))),
+    nprobe = clamp(ceil(sqrt(K)), 4, 16)) and the scale claim itself:
+    per-query candidate work nprobe * N/K must grow SUBLINEARLY (a 100x
+    corpus costs < 40x per query; the fixed-K tiers cost exactly 100x).
+    Also the env-knob fail-fast contract (the _ivf_nprobe recipe)."""
+    from mapreduce_framework_api_spark.operators import similarity as s
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_SCALED_NPROBE", raising=False)
+    assert s._ivf_scaled_k(0) == 16
+    assert s._ivf_scaled_k(100) == 16       # clamped floor
+    assert s._ivf_scaled_k(500) == 23
+    assert s._ivf_scaled_k(2000) == 45
+    assert s._ivf_scaled_k(1_000_000) == 1000
+    assert s._ivf_scaled_nprobe(16) == 4
+    assert s._ivf_scaled_nprobe(45) == 7
+    assert s._ivf_scaled_nprobe(1000) == 16  # depth-capped
+    for n in (2_000, 50_000):
+        work = lambda m: s._ivf_scaled_nprobe(s._ivf_scaled_k(m)) * m / s._ivf_scaled_k(m)
+        assert work(100 * n) / work(n) < 40, n
+    monkeypatch.setenv("SPARK_GRAFT_IVF_SCALED_NPROBE", "9")
+    assert s._ivf_scaled_nprobe(45) == 9
+    for bad in ("0", str(s._IVF_SCALED_PROBE_DEPTH + 1)):
+        monkeypatch.setenv("SPARK_GRAFT_IVF_SCALED_NPROBE", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_IVF_SCALED_NPROBE"):
+            s._ivf_scaled_nprobe(45)
+    monkeypatch.setenv("SPARK_GRAFT_IVF_SCALED_NPROBE", "seven")
+    with pytest.raises(ValueError, match="must be an integer"):
+        s._ivf_scaled_nprobe(45)
 
 
 def test_ivfpq_hq_recall_at_least_matches_ivf_tier(spark):

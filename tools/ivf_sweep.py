@@ -57,6 +57,11 @@ TIERS = {
         "q_sim_ivfpq_hq_topk",
         "q_sim_ivfpq_hq_recall",
     ),
+    "ivfpq_scaled": (
+        "SPARK_GRAFT_IVF_SCALED_NPROBE",
+        "q_sim_ivfpq_scaled_topk",
+        "q_sim_ivfpq_scaled_recall",
+    ),
 }
 
 
