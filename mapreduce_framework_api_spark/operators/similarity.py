@@ -1744,6 +1744,7 @@ def _ivfpq_search(
     top_k: int,
     tier_tag: str,
     ivf_fn=None,
+    index_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ search plan, shared by all registered
     operating points (the default 64×-compression tier, the
@@ -1775,6 +1776,13 @@ def _ivfpq_search(
     # Index side: cluster membership + codes only — the embeddings column
     # is pruned away (M bytes/vector through the shuffle, not 256).
     index_side = assigned.select("vec_id", "cluster").join(codes_tbl, "vec_id")
+    if index_ids is not None:
+        # Hybrid (filtered) search: the metadata predicate PRE-filters the
+        # candidate set before any ADC work — an id equi-join against the
+        # predicate's (pushed-down, column-pruned) scan. Routing is
+        # untouched: probe lists stay full-corpus so the filter can
+        # tighten without re-indexing.
+        index_side = index_side.join(index_ids, "vec_id")
     query_side = assigned.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -2045,9 +2053,13 @@ def _hq_nprobe() -> int:
     return n
 
 # The full HQ CTE chain (assignment → codebook → codes → probes → ADC →
-# ranked), shared verbatim by the tier oracle, its recall oracle, and
-# the exact-rerank oracle — one chain, three consumers, zero drift.
-_IVFPQ_HQ_CHAIN = f"""{_IVF_ASSIGN_CTES}, pqe AS (
+# ranked), shared verbatim by the tier oracle, its recall oracle, the
+# exact-rerank oracle, and (with ``cand_pred``) the filtered-search
+# oracle — one chain, many consumers, zero drift. ``cand_pred`` appends
+# a predicate to the candidate CTE's WHERE — the hybrid-search filter,
+# applied BEFORE ADC scoring exactly where the Spark plan applies it.
+def _ivfpq_hq_chain(cand_pred: str = "") -> str:
+    return f"""{_IVF_ASSIGN_CTES}, pqe AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
@@ -2083,7 +2095,7 @@ _IVFPQ_HQ_CHAIN = f"""{_IVF_ASSIGN_CTES}, pqe AS (
 ), cand AS (
   SELECT DISTINCT p.q_id, a.vec_id AS n_id
   FROM probes p JOIN assigned a USING (cluster)
-  WHERE p.q_id <> a.vec_id
+  WHERE p.q_id <> a.vec_id{cand_pred}
 ), qm AS (
   SELECT vec_id AS q_id, m,
          piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS q
@@ -2102,6 +2114,9 @@ _IVFPQ_HQ_CHAIN = f"""{_IVF_ASSIGN_CTES}, pqe AS (
                             ORDER BY adc_score DESC, n_id ASC) AS rk
   FROM adc
 )"""
+
+
+_IVFPQ_HQ_CHAIN = _ivfpq_hq_chain()
 
 _IVFPQ_HQ_ORACLE = f"""
 WITH {_IVFPQ_HQ_CHAIN}
@@ -2645,6 +2660,178 @@ def q_sim_ivfpq_scaled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = q_sim_ivfpq_scaled_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     exact = _ivfpq_exact_truth(spark, sf_dir)
     return _ann_recall_frame(sc, exact)
+
+
+# --- Filtered (hybrid) ANN search ---------------------------------------
+# Production vector search is rarely unfiltered: the common ask is
+# "nearest neighbors WHERE <metadata predicate>" (a source/label/tenant
+# filter composed with similarity). This registered point PRE-filters:
+# the predicate cuts the index side's code table BEFORE ADC scoring
+# (candidate work ∝ predicate selectivity × probed occupancy), while
+# routing stays full-corpus — so any predicate can be served off the one
+# stored index, and a query whose probed lists contain no qualifying
+# row honestly returns fewer-than-k (the post-filter alternative — rank
+# first, filter after — silently starves selective predicates instead).
+_FILTER_LABELS = (1, 2)  # the demo predicate: ~20% of the corpus
+_FILTER_PRED_SQL = f"label IN {_FILTER_LABELS}"
+_FILTER_CAND_PRED = (
+    "\n    AND a.vec_id IN "
+    f"(SELECT vec_id FROM embeddings WHERE {_FILTER_PRED_SQL})"
+)
+_IVFPQ_FILTERED_CHAIN = _ivfpq_hq_chain(cand_pred=_FILTER_CAND_PRED)
+
+
+def _filter_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predicate's id set — a column-pruned, predicate-pushed scan
+    (vec_id + label only; .explain shows the PushedFilters reaching the
+    parquet reader)."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isin(*_FILTER_LABELS))
+        .select("vec_id")
+    )
+
+
+@register(
+    "q_sim_filtered_topk",
+    group="I",
+    oracle=f"""
+WITH {_IVFPQ_FILTERED_CHAIN}
+SELECT vec_id, neighbor_id, adc_score, rk
+FROM ranked WHERE rk <= {_IVFPQ_TOP_K}
+ORDER BY vec_id, rk
+""",
+)
+def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (VERDICT r13 task 5): top-3 neighbors SATISFYING a
+    metadata predicate (label IN (1, 2) — ~20% of the corpus), served by
+    the HQ composed tier with the predicate pushed in BEFORE scoring:
+    the index side's (cluster, codes) rows are cut by an id equi-join
+    against the predicate's pruned scan, so ADC work scales with the
+    predicate's selectivity — not the corpus — while the probe routing
+    (and therefore the persisted index) stays predicate-agnostic.
+    Queries are the full corpus, self-matches excluded as usual; a
+    query whose probed lists hold no qualifying row returns < k rows
+    (the pre-filter contract — no silent starvation). FULL oracle: the
+    shared HQ CTE chain with the same predicate on its candidate CTE."""
+    return _ivfpq_search(
+        spark,
+        sf_dir,
+        pq_hq_index,
+        _hq_nprobe(),
+        _HQ_M,
+        _HQ_SUB,
+        _IVFPQ_TOP_K,
+        f"filtered_topk@p{_hq_nprobe()}",
+        index_ids=_filter_ids(spark, sf_dir),
+    )
+
+
+def _filtered_exact_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-dot top-3 over the FILTERED index side for the
+    sampled evaluation queries — the ground truth the hybrid tier is
+    graded against (the _ivfpq_exact_truth recipe with the predicate on
+    the index axis; a filtered tier graded on unfiltered truth would
+    score 0 on every query whose true neighbors fail the predicate)."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    queries = e.filter(_recall_sample()).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    index = e.filter(F.col("label").isin(*_FILTER_LABELS)).select(
+        "vec_id", "embedding"
+    )
+
+    def exact_pair(qs: "pd.DataFrame", idx: "pd.DataFrame") -> "pd.DataFrame":
+        if qs.empty or idx.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dot": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "dot": "int64"}
+            )
+        q = np.floor(
+            np.stack(qs["q_emb"].to_numpy()).astype(np.float64) * _PQ_SCALE
+        ).astype(np.int64)
+        x = np.floor(
+            np.stack(idx["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE
+        ).astype(np.int64)
+        q_ids = qs["q_id"].to_numpy(dtype="int64")
+        x_ids = idx["vec_id"].to_numpy(dtype="int64")
+        dots = q.astype(np.float64) @ x.T.astype(np.float64)  # exact « 2^53
+        rows, nids, ds = _rowwise_topk(dots, x_ids, _IVFPQ_TOP_K, q_ids=q_ids)
+        return pd.DataFrame(
+            {
+                "query_id": q_ids[rows],
+                "neighbor_id": nids,
+                "dot": ds.astype(np.int64),
+            }
+        )
+
+    n = _parquet_row_count(sf_dir, "embeddings")
+    cand = cogroup_block_pairs(
+        queries,
+        index,
+        exact_pair,
+        "query_id long, neighbor_id long, dot long",
+        n_query_rows=max(1, n // 2),  # the ~1/2 recall sample
+        n_index_rows=max(1, n // 5),  # ~20% predicate selectivity
+    )
+    return _tier_cached(
+        "filtered_exact_truth",
+        spark,
+        sf_dir,
+        lambda: _topk_rerank(cand, "query_id", "dot", _IVFPQ_TOP_K).select(
+            "query_id", "neighbor_id"
+        ),
+    )
+
+
+@register(
+    "q_sim_filtered_recall",
+    group="I",
+    oracle=f"""
+WITH fivfpq AS (
+WITH {_IVFPQ_FILTERED_CHAIN}
+SELECT vec_id, neighbor_id FROM ranked WHERE rk <= {_IVFPQ_TOP_K}
+), base AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.piv, x.piv) DESC, x.vec_id ASC) AS rk
+    FROM base q JOIN base x
+      ON q.vec_id <> x.vec_id AND x.{_FILTER_PRED_SQL}
+  ) WHERE rk <= {_IVFPQ_TOP_K} AND {_recall_sample_sql("query_id")}
+), hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM fivfpq JOIN exact
+    ON fivfpq.vec_id = exact.query_id
+   AND fivfpq.neighbor_id = exact.neighbor_id
+), tot AS (
+  SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM exact
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_x10000
+FROM hits, tot
+""",
+)
+def q_sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the hybrid (pre-filtered) tier against the FILTERED
+    exact truth — same evaluation sample and k as the other composed
+    instruments, truth restricted to the predicate's rows (grading a
+    filtered tier on unfiltered truth would conflate predicate
+    selectivity with routing quality). Floor-pinned in
+    tests/test_operators_unit.py."""
+    ft = q_sim_filtered_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    exact = _filtered_exact_truth(spark, sf_dir)
+    return _ann_recall_frame(ft, exact)
 
 
 # --- IVF-PQ serving probe (arriving-query lane) ------------------------

@@ -102,6 +102,11 @@ _WINDOW: tuple[str, ...] = (
     # COUNT(*), so the oracle self-scales with the corpus).
     "q_sim_ivfpq_scaled_topk",
     "q_sim_ivfpq_scaled_recall",
+    # ... the filtered (hybrid) ANN point (predicate pushed into the HQ
+    # tier before ADC scoring; VERDICT r13 task 5) + its recall
+    # instrument vs the filtered exact truth — both full-oracle.
+    "q_sim_filtered_topk",
+    "q_sim_filtered_recall",
     # (3) staleness retirement: every remaining r10-era receipt (40)
     "q_dedup_prefix_incremental",
     "q_dedup_repeated_chunks",
@@ -150,8 +155,6 @@ _WINDOW: tuple[str, ...] = (
     "q_agg_grouping_sets",
     "q_agg_mode",
     "q_agg_pivot",
-    "q_agg_rollup",
-    "q_agg_skew_salted",
 )
 
 

@@ -2390,6 +2390,9 @@ _RECALL_FLOORS = [
     # DOWN as the probed fraction shrinks N^(-1/4); that drift is the
     # instrument's point, the floor only guards against halving)
     ("q_sim_ivfpq_scaled_recall", "recall_x10000", 3000),
+    # hybrid (pre-filtered) search vs the FILTERED exact truth (r14):
+    # observed 4347 at sf0.01 (4479 sf0.001, 4355 sf0.1)
+    ("q_sim_filtered_recall", "recall_x10000", 3000),
 ]
 
 
