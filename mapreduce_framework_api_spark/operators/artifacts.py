@@ -347,6 +347,69 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return counts
 
 
+def append_ann_indexes(
+    spark: SparkSession, new_vecs, out_dir: str
+) -> dict:
+    """Append arriving vectors to ALL SIX stored serving tables under
+    the store's FROZEN derived state — the manifest's quantizer,
+    codebooks, and LSH geometry; nothing is retrained or reshaped (the
+    incremental-MV discipline, q_mv_incremental): appended rows are the
+    same bytes a from-scratch bulk build under that state would produce
+    for those vectors (ivfpq_append_check is the ONE kernel both paths
+    run — pinned row-identical in tests/test_artifacts.py), so
+    probe-after-append == probe-after-rebuild by construction. Runs
+    under _writer_guard like every persist: the manifest goes offline
+    for the write window (loads fail loudly mid-append), a concurrent
+    writer errors on the lockfile, and the updated manifest — counts
+    advanced, an ``appended`` audit log entry added — lands at the end.
+
+    LSH caveat (the one non-stationary table): codes append under the
+    STORED (g, d); the geometry is occupancy-targeted to the build-time
+    corpus size, so heavy growth degrades bucket occupancy until the
+    deployment re-bands on its compaction cadence — production behavior,
+    recorded here rather than hidden by silently re-deriving g (which
+    would orphan every previously stored code). Returns
+    {table: appended_row_count}."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators import similarity
+
+    with _writer_guard(out_dir, _ANN_MANIFEST):
+        # the guard just moved the live manifest aside; read the frozen
+        # state from there so two serialized appenders each see the
+        # counts their predecessor committed
+        with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
+            manifest = json.load(f)
+        cq = manifest["ivf_centroids"]
+        cbook = manifest["pq_codebook"]
+        hq_cbook = manifest.get("pq_hq_codebook")
+        if cq is None or cbook is None or hq_cbook is None:
+            raise ValueError(
+                f"ANN store at {out_dir} has no frozen quantizer/codebooks "
+                f"(empty-corpus or pre-HQ store) — appends need a full "
+                f"build first; re-run persist_ann_indexes"
+            )
+        geom = manifest["lsh_geometry"]
+        frames = similarity.ann_append_frames(
+            spark,
+            new_vecs,
+            np.array(cq, dtype=np.int64),
+            np.array(cbook, dtype=np.int64),
+            np.array(hq_cbook, dtype=np.int64),
+            None if geom is None else tuple(geom),
+        )
+        appended = {}
+        for name, df in frames.items():
+            path = os.path.join(out_dir, name)
+            df.write.mode("append").parquet(path)
+            total = spark.read.parquet(path).count()
+            appended[name] = total - manifest["rows"][name]
+            manifest["rows"][name] = total
+        manifest.setdefault("appended", []).append(appended)
+        _write_manifest(out_dir, _ANN_MANIFEST, manifest)
+    return appended
+
+
 def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Seed the similarity tiers' serving caches from a persisted ANN
     store (fingerprint-validated against ``sf_dir``'s embeddings table

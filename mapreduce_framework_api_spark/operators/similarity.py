@@ -3076,6 +3076,343 @@ def q_sim_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN index maintenance: the append lane -----------------------------
+# The dedup modalities ingest arrivals into their persisted indexes; the
+# similarity store until now only PROBED arrivals. This is the other
+# half (VERDICT r13 task 6): assign + encode arriving vectors under the
+# store's FROZEN quantizer/codebooks — no retrain, no reshape, the
+# incremental-MV discipline (q_mv_incremental) — so appended rows are
+# byte-identical to what a from-scratch bulk build under the same frozen
+# state produces, and probe-after-append == probe-after-rebuild by
+# construction. One check function serves the batch audit query, the
+# Structured Streaming twin, and artifacts.append_ann_indexes.
+_APPEND_SEED_SALT = "ivfb#"  # frozen-base quantizer seed universe
+_APPEND_HQ_SALT = "pqhqb#"  # frozen-base HQ codebook seed universe
+
+
+def ivfpq_append_check(new_vecs: DataFrame, cq, cbook) -> DataFrame:
+    """Assign + encode arriving vectors (vec_id, embedding) under a
+    FROZEN coarse quantizer ``cq`` (K, d int64) and PQ codebook tensor
+    ``cbook`` (M, K_eff, SUB int64): one Arrow pass per batch — integer
+    probe ranking against the closure-captured centroids (cut to the
+    stored depth min(K, 16), the constant-bytes-per-vector rule) plus
+    the per-subspace nearest-codeword argmin. Emits (vec_id, embedding,
+    cluster, probes, codes) — exactly the stored index row shape, which
+    is the point: the SAME kernel bulk-builds a base index and appends
+    arrivals to it, so the two can never drift (pinned row-identical in
+    tests/test_artifacts.py). Stateless per row => batch + streaming
+    twins share it (streaming/pipelines.py::ivfpq_append_stream).
+
+    Dirty-row contract (the ingest-family convention): NULL / empty /
+    wrong-dimension embeddings drop before the kernel (np.stack would
+    crash on ragged input); zero-norm vectors assign and encode fine
+    (integer dots and distances — no division anywhere)."""
+    import numpy as np
+    import pandas as pd
+
+    if cq is None or cbook is None:
+        return new_vecs.select(
+            "vec_id",
+            "embedding",
+            F.lit(0).cast("int").alias("cluster"),
+            F.array().cast("array<int>").alias("probes"),
+            F.array().cast("array<int>").alias("codes"),
+        ).filter(F.lit(False))
+    d = int(cq.shape[1])
+    M, _k_eff, SUB = cbook.shape
+    depth = min(cq.shape[0], _IVF_SCALED_PROBE_DEPTH)
+    clean = new_vecs.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == d)
+    )
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            iv = np.floor(v * _IVF_SCALE).astype(np.int64)
+            # stable sort on -dots => ties keep ascending centroid index
+            # (the ivf_index / oracle convention)
+            order = np.argsort(-(iv @ cq.T), axis=1, kind="stable")[:, :depth]
+            piv = np.floor(v * _PQ_SCALE).astype(np.int64).reshape(-1, M, SUB)
+            codes = np.empty((len(pdf), M), dtype=np.int32)
+            for m in range(M):
+                x = piv[:, m, :]
+                c = cbook[m]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2 * (x @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)  # first hit = lowest k
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": order[:, 0].astype("int32"),
+                    "probes": list(order.astype("int32")),
+                    "codes": list(codes),
+                }
+            )
+
+    return clean.mapInPandas(
+        assign_encode,
+        schema=(
+            "vec_id long, embedding array<float>, cluster int, "
+            "probes array<int>, codes array<int>"
+        ),
+    )
+
+
+_APPEND_BASE_CACHE: dict[tuple, tuple | None] = {}
+
+
+def ivfpq_frozen_base_index(spark: SparkSession, sf_dir: str):
+    """The append lane's frozen serving state over the 7/8 base split —
+    ``(base_assigned, cq, cbook)`` where ``base_assigned`` is the base
+    corpus's (vec_id, cluster) membership under a quantizer and HQ
+    codebook seeded from the BASE ROWS ONLY (salted 'ivfb#'/'pqhqb#' —
+    arrivals can never influence the frozen state, which is what makes
+    append == rebuild provable). Built once per session (the
+    semdedup_corpus_index recipe: a localCheckpoint standing in for the
+    persisted store); the bulk build itself runs through
+    ivfpq_append_check, so base and appended rows share one kernel."""
+    import numpy as np
+
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    if key in _APPEND_BASE_CACHE:
+        return _APPEND_BASE_CACHE[key]
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(~_hash_split("pqsplit"))
+    )
+
+    def _seed(salt: str, k: int):
+        pdf = (
+            base.withColumn(
+                "h", F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string")))
+            )
+            .orderBy("h", "vec_id")
+            .limit(k)
+            .select("vec_id", "embedding")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        return None if pdf.empty else np.stack(pdf["embedding"].to_numpy()).astype(
+            np.float64
+        )
+
+    s = _seed(_APPEND_SEED_SALT, _IVF_K)
+    if s is None:
+        _APPEND_BASE_CACHE[key] = None
+        return None
+    cq = np.floor(s * _IVF_SCALE).astype(np.int64)
+    hs = _seed(_APPEND_HQ_SALT, _HQ_K)
+    cbook = (
+        np.floor(hs * _PQ_SCALE)
+        .astype(np.int64)
+        .reshape(len(hs), _HQ_M, _HQ_SUB)
+        .transpose(1, 0, 2)
+    )
+    base_assigned = (
+        ivfpq_append_check(parallelized(base), cq, cbook)
+        .select("vec_id", "cluster")
+        .localCheckpoint()
+    )
+    _APPEND_BASE_CACHE[key] = (base_assigned, cq, cbook)
+    return base_assigned, cq, cbook
+
+
+def _append_code_checksum():
+    """Order-sensitive integer checksum of the codes array — sum of
+    (m+1) * code_m, mirrored in the audit oracle as SUM((m+1) * k) —
+    small (< 32*32*256) and exact, so a single flipped codeword in a
+    single appended row moves the audit's differential hash."""
+    return F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(1), F.lit(_HQ_M)),
+            lambda c, i: (c * i).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "q_sim_index_append_audit",
+    group="I",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS q,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv,
+         substr(md5('pqsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM embeddings
+), bseed AS (
+  SELECT vec_id, q FROM iv WHERE NOT is_new
+  ORDER BY md5('{_APPEND_SEED_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_K}
+), cent AS (
+  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c FROM bseed
+), dots AS (
+  SELECT iv.vec_id, cent.c,
+         CAST(list_dot_product(iv.q, cent.cq) AS BIGINT) AS dot
+  FROM iv, cent
+), assigned AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS pr
+    FROM dots
+  ) WHERE pr = 1
+), hqseed AS (
+  SELECT vec_id, piv FROM iv WHERE NOT is_new
+  ORDER BY md5('{_APPEND_HQ_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_HQ_K}
+), hqcb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, piv FROM hqseed
+), ms AS (
+  SELECT unnest(range(0, {_HQ_M})) AS m
+), cbm AS (
+  SELECT k, m, hqcb.piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS c
+  FROM hqcb CROSS JOIN ms
+), xm AS (
+  SELECT vec_id, m, piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS x
+  FROM iv CROSS JOIN ms WHERE is_new
+), dd AS (
+  SELECT x.vec_id, x.m, c.k,
+         list_dot_product(x.x, x.x)
+           - 2 * list_dot_product(x.x, c.c)
+           + list_dot_product(c.c, c.c) AS d2
+  FROM xm x JOIN cbm c ON x.m = c.m
+), code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, k ASC) AS rk
+    FROM dd
+  ) WHERE rk = 1
+), newsum AS (
+  SELECT vec_id, SUM((m + 1) * k) AS csum FROM code GROUP BY vec_id
+)
+SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(SUM(CASE WHEN NOT iv.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN iv.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(COALESCE(SUM(CASE WHEN iv.is_new THEN ns.csum END), 0) AS BIGINT)
+         AS new_code_sum
+FROM assigned a
+JOIN iv ON a.vec_id = iv.vec_id
+LEFT JOIN newsum ns ON a.vec_id = ns.vec_id
+GROUP BY a.cluster
+ORDER BY cluster
+""",
+)
+def q_sim_index_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance audit (VERDICT r13 task 6): the arriving 1/8
+    'pqsplit' slice is assigned + HQ-encoded under the FROZEN base-split
+    quantizer/codebooks (ivfpq_frozen_base_index — arrivals never touch
+    the frozen state) and merged with the base membership; the output is
+    one row per inverted list: (cluster, n_base, n_new, new_code_sum),
+    where new_code_sum is an order-sensitive checksum of the appended
+    PQ codes. FULL differential oracle — DuckDB re-derives the frozen
+    seeds, the assignment of every vector, and the arrivals' codewords,
+    so a drift anywhere in the append path (routing OR encoding) moves
+    the hash. At 100 TB this is the post-append consistency report an
+    index-maintenance job emits: per-list growth plus an encode
+    integrity line, costing one pass over the arrivals and a count over
+    the membership table."""
+    bi = ivfpq_frozen_base_index(spark, sf_dir)
+    if bi is None:
+        return spark.createDataFrame(
+            [], "cluster long, n_base long, n_new long, new_code_sum long"
+        )
+    base_assigned, cq, cbook = bi
+    arrivals = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(_hash_split("pqsplit"))
+    )
+    app = ivfpq_append_check(parallelized(arrivals), cq, cbook)
+    newg = (
+        app.select(
+            F.col("cluster").cast("long").alias("cluster"),
+            _append_code_checksum().alias("csum"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_new"),
+            F.sum("csum").cast("long").alias("new_code_sum"),
+        )
+    )
+    baseg = (
+        base_assigned.select(F.col("cluster").cast("long").alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_base"))
+    )
+    return (
+        baseg.join(newg, "cluster", "full_outer")
+        .select(
+            "cluster",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("new_code_sum", F.lit(0)).cast("long").alias("new_code_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def ann_append_frames(
+    spark: SparkSession, new_vecs: DataFrame, cq, cbook, hq_cbook, geom
+) -> dict[str, DataFrame]:
+    """The six stored-table row frames for a batch of arrivals under a
+    store's FROZEN derived state (quantizer ``cq``, codebooks ``cbook``/
+    ``hq_cbook``, LSH geometry ``geom`` — all from the store manifest,
+    none retrained): what artifacts.append_ann_indexes writes. Norms and
+    MaxSim tokens are pure per-row projections; LSH codes use the stored
+    (g, d) — the geometry is occupancy-targeted to the BUILD-time corpus
+    size, so a production deployment re-bands it on its compaction
+    cadence rather than per append (documented in append_ann_indexes);
+    IVF membership and both code tables come from ivfpq_append_check
+    (one kernel for bulk build and append — no drift by construction).
+    Dirty arrivals (NULL/ragged embeddings) drop in the check; the
+    projection frames apply the same guard so the six tables stay
+    row-consistent."""
+    d = int(cq.shape[1])
+    clean = new_vecs.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == d)
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    frames: dict[str, DataFrame] = {
+        "vec_norms": clean.select(
+            "vec_id", "embedding", F.sqrt(_dot(v, v)).alias("nrm")
+        ),
+        "maxsim_tokens": clean.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _MS_SCALE).cast("long"),
+            ).alias("itok"),
+        ),
+    }
+    if geom is not None:
+        g, gd = geom
+        frames["lsh_codes"] = clean.select("vec_id", v.alias("v")).select(
+            "vec_id",
+            F.posexplode(_lsh_codes_udf(g, gd)("v")).alias("table_id", "code"),
+        )
+    hq = ivfpq_append_check(clean, cq, hq_cbook)
+    frames["ivf_assigned"] = hq.select("vec_id", "embedding", "cluster", "probes")
+    frames["pq_hq_codes"] = hq.select("vec_id", "codes")
+    frames["pq_codes"] = ivfpq_append_check(clean, cq, cbook).select(
+        "vec_id", "codes"
+    )
+    return frames
+
+
 _OUT_SCALE = 1000
 _OUT_TOP_K = 3
 _OUT_DIM = 64

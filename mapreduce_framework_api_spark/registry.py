@@ -107,6 +107,10 @@ _WINDOW: tuple[str, ...] = (
     # instrument vs the filtered exact truth — both full-oracle.
     "q_sim_filtered_topk",
     "q_sim_filtered_recall",
+    # ... and the index-append maintenance audit (arrivals assigned +
+    # encoded under the frozen base quantizer/codebooks; VERDICT r13
+    # task 6) — full-oracle down to a per-row code checksum.
+    "q_sim_index_append_audit",
     # (3) staleness retirement: every remaining r10-era receipt (40)
     "q_dedup_prefix_incremental",
     "q_dedup_repeated_chunks",
@@ -154,7 +158,6 @@ _WINDOW: tuple[str, ...] = (
     "q_agg_distinct",
     "q_agg_grouping_sets",
     "q_agg_mode",
-    "q_agg_pivot",
 )
 
 

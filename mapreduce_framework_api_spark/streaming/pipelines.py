@@ -838,3 +838,35 @@ def ivfpq_probe_stream(
     return ivfpq_probe_check(
         vec_stream.filter(_hash_split("pqsplit")), frame, cq, cbook
     )
+
+
+def ivfpq_append_stream(
+    spark: SparkSession, vec_stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the index-APPEND lane (q_sim_index_append_audit
+    is its batch audit): arriving vectors (the 1/8 'pqsplit' slice)
+    assigned + encoded under the FROZEN base-split quantizer/codebooks
+    through the SAME ivfpq_append_check kernel — emitting exactly the
+    stored index row (vec_id, cluster, probes, codes), i.e. the rows
+    artifacts.append_ann_indexes writes, as they arrive. Stateless per
+    row (one Arrow map against closure-captured matrices — no join, no
+    watermark, no state store), so per-micro-batch cost is arrival rate
+    × (K routing dots + M codeword argmins), corpus-independent."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _hash_split,
+        ivfpq_append_check,
+        ivfpq_frozen_base_index,
+    )
+
+    bi = ivfpq_frozen_base_index(spark, sf_dir)
+    if bi is None:
+        return vec_stream.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cluster"),
+            F.array().cast("array<int>").alias("probes"),
+            F.array().cast("array<int>").alias("codes"),
+        ).filter(F.lit(False))
+    _base, cq, cbook = bi
+    return ivfpq_append_check(
+        vec_stream.filter(_hash_split("pqsplit")), cq, cbook
+    ).select("vec_id", "cluster", "probes", "codes")

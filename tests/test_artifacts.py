@@ -370,3 +370,138 @@ def test_second_concurrent_writer_errors_cleanly(spark, tmp_path):
         assert not os.path.exists(lock)  # released on success
     finally:
         clear_session_caches()
+
+
+def test_ann_store_append_equals_frozen_rebuild(spark, tmp_path):
+    """The index-maintenance contract (VERDICT r13 task 6), in three
+    claims: (1) KERNEL EQUIVALENCE — ivfpq_append_check under the
+    manifest's frozen state reproduces the store's bulk-built rows
+    byte-for-byte (one kernel, two paths, so append == rebuild by
+    construction); (2) APPEND — append_ann_indexes under _writer_guard
+    advances all six tables + the manifest counts and audit log;
+    (3) SERVING LIVENESS — a probe against the re-loaded store collides
+    with an APPENDED row, i.e. arrivals are genuinely served, not just
+    stored."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators import similarity
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        _ANN_MANIFEST,
+        append_ann_indexes,
+        load_ann_indexes,
+        persist_ann_indexes,
+    )
+    from mapreduce_framework_api_spark.sources import table
+
+    # base fixture: the frozen 7/8 split as its own corpus directory
+    base_dir = str(tmp_path / "basefx")
+    full = table(spark, SF_DIR, "embeddings")
+    full.filter(~similarity._hash_split("pqsplit")).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    arrivals = full.filter(similarity._hash_split("pqsplit")).select(
+        "vec_id", "embedding"
+    )
+    n_arr = arrivals.count()
+    assert n_arr > 0
+
+    store = str(tmp_path / "ann_store")
+    clear_session_caches()
+    counts0 = persist_ann_indexes(spark, base_dir, store)
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        manifest = json.load(f)
+    cq = np.array(manifest["ivf_centroids"], dtype=np.int64)
+    cbook = np.array(manifest["pq_codebook"], dtype=np.int64)
+    hq_cbook = np.array(manifest["pq_hq_codebook"], dtype=np.int64)
+
+    # (1) kernel equivalence on every bulk-built row
+    base_rows = table(spark, base_dir, "embeddings").select("vec_id", "embedding")
+    bulk = similarity.ivfpq_append_check(base_rows, cq, hq_cbook)
+    got_ivf = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["probes"])) for r in bulk.collect()
+    )
+    stored_ivf = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["probes"]))
+        for r in spark.read.parquet(os.path.join(store, "ivf_assigned")).collect()
+    )
+    assert got_ivf == stored_ivf
+    got_hq = sorted((r["vec_id"], tuple(r["codes"])) for r in bulk.collect())
+    stored_hq = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(store, "pq_hq_codes")).collect()
+    )
+    assert got_hq == stored_hq
+    got_pq = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in similarity.ivfpq_append_check(base_rows, cq, cbook).collect()
+    )
+    stored_pq = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(store, "pq_codes")).collect()
+    )
+    assert got_pq == stored_pq
+
+    # (2) append arrivals; counts advance exactly; audit log written
+    appended = append_ann_indexes(spark, arrivals, store)
+    assert appended["ivf_assigned"] == n_arr
+    assert appended["pq_codes"] == n_arr
+    assert appended["pq_hq_codes"] == n_arr
+    assert appended["vec_norms"] == n_arr
+    assert appended["maxsim_tokens"] == n_arr
+    assert appended["lsh_codes"] == n_arr * similarity._LSH_TABLES
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m2 = json.load(f)
+    assert m2["appended"] == [appended]
+    for name, n0 in counts0.items():
+        assert m2["rows"][name] == n0 + appended[name], name
+
+    # (3) the appended rows are served: re-load, probe an exact dup of
+    # an ARRIVAL — the collision must name that arrival as corpus
+    clear_session_caches()
+    rows = load_ann_indexes(spark, base_dir, store)
+    assert rows == m2["rows"]
+    probe_target = arrivals.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(990001, probe_target["embedding"])],
+        "vec_id long, embedding array<float>",
+    )
+    pi = similarity.ivfpq_probe_index(spark, base_dir)
+    assert pi is not None
+    frame, pcq, pcb = pi
+    hits = similarity.ivfpq_probe_check(dup, frame, pcq, pcb).collect()
+    assert any(r["corpus_id"] == probe_target["vec_id"] for r in hits), hits
+
+
+def test_ann_store_append_requires_frozen_state(spark, tmp_path):
+    """An append against a store with no frozen quantizer (empty-corpus
+    build) must fail loudly, not write rows encoded against nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        append_ann_indexes,
+        persist_ann_indexes,
+    )
+    from mapreduce_framework_api_spark.session import clear_session_caches
+
+    empty_dir = str(tmp_path / "emptyfx")
+    os.makedirs(empty_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        os.path.join(empty_dir, "embeddings.parquet"),
+    )
+    store = str(tmp_path / "empty_store")
+    clear_session_caches()
+    persist_ann_indexes(spark, empty_dir, store)
+    arrivals = spark.createDataFrame(
+        [(1, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="frozen quantizer"):
+        append_ann_indexes(spark, arrivals, store)
+    clear_session_caches()

@@ -466,6 +466,48 @@ def test_ivfpq_probe_stream_equals_batch_twin(spark):
     assert len(got) > 0
 
 
+def test_ivfpq_append_stream_equals_batch_twin(spark):
+    """Stateless streaming index-APPEND == the batch kernel on drain
+    (the r14 maintenance lane): arriving vectors are assigned + encoded
+    under the frozen base quantizer/codebooks through the shared
+    ivfpq_append_check, emitting exactly the stored index row shape.
+    vec_id is unique per arrival, so raw appended rows compare 1:1."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _hash_split,
+        ivfpq_append_check,
+        ivfpq_frozen_base_index,
+    )
+    from mapreduce_framework_api_spark.sources import table
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        ivfpq_append_stream,
+        read_embeddings_stream,
+    )
+
+    stream = ivfpq_append_stream(
+        spark, read_embeddings_stream(spark, SF_DIR), SF_DIR
+    )
+    run_to_memory(stream, "t_ivfpq_append", output_mode="append")
+    got = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["probes"]), tuple(r["codes"]))
+        for r in spark.table("t_ivfpq_append").collect()
+    )
+    bi = ivfpq_frozen_base_index(spark, SF_DIR)
+    assert bi is not None
+    _base, cq, cbook = bi
+    arrivals = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(_hash_split("pqsplit"))
+    )
+    batch = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["probes"]), tuple(r["codes"]))
+        for r in ivfpq_append_check(arrivals, cq, cbook).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
+    assert len({g[0] for g in got}) == len(got)  # one row per arrival
+
+
 def test_streaming_checkpoint_recovers_state_mid_stream(spark, tmp_path):
     """Crash/restart recovery of the CUSTOM STATE STORE mid-data — the
     durability property the round-10 artifact store covers for static
