@@ -130,6 +130,13 @@ def isolate(names: list[str]) -> None:
         sys.exit(1)
 
 
+# Bench sessions enable the UI status endpoint (default sessions keep it
+# off): the CPU meter reads completed-stage executorCpuTime over the
+# local REST API. Steady-state cost is one idle jetty thread; nothing is
+# served unless the meter asks.
+_UI_CONF = {"spark.ui.enabled": "true"}
+
+
 def _safe_count(fn, *args) -> tuple[int | None, str | None]:
     """Every warm-up and timed run is individually fenced: one broken query
     must cost exactly its own row (recorded as an "err"), never the whole
@@ -196,14 +203,67 @@ def _warmup(spark, registry, sf_dir: str) -> None:
                 print(f"# warmup {wq}: {err}", file=sys.stderr)
 
 
-def _timed_board(spark, registry, sf_dir: str) -> tuple[dict, dict]:
+# Cells whose WALL time is known to be dominated by local-mode
+# Python-worker-pool latency rather than plan cost (BASELINE.md round-13
+# probe forensics: ~1.3 s executor CPU under 2-7 s wall depending on
+# pool history). Their boards additionally record executor CPU time —
+# a second, pool-independent gate in tools/bench_compare.py, so the
+# wall baseline's pool headroom can't hide a genuine plan regression.
+_CPU_METERED = {"q_sim_ivfpq_probe"}
+
+
+def _executor_cpu_since(spark, from_stage: int) -> tuple[float | None, int]:
+    """(total executorCpuTime in seconds of completed stages with
+    stageId >= from_stage, next watermark) via the local UI REST API —
+    the same source the round-13 taskSummary forensics used. The status
+    store updates via an async listener bus, so the read polls briefly
+    until two consecutive totals agree. Returns (None, watermark) if the
+    UI is unreachable (CPU metering is best-effort; wall rows are the
+    primary record)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+
+    def read():
+        data = json.loads(urllib.request.urlopen(url, timeout=10).read())
+        cpu_ns, max_id = 0, from_stage - 1
+        for st in data:
+            if st["stageId"] >= from_stage:
+                cpu_ns += st.get("executorCpuTime", 0)
+                max_id = max(max_id, st["stageId"])
+        return cpu_ns, max_id
+
+    try:
+        prev = read()
+        for _ in range(5):
+            time.sleep(0.15)
+            cur = read()
+            if cur == prev:
+                break
+            prev = cur
+        cpu_ns, max_id = prev
+        return cpu_ns / 1e9, max_id + 1
+    except Exception as exc:
+        print(f"# cpu-meter unavailable: {exc}", file=sys.stderr)
+        return None, from_stage
+
+
+def _timed_board(spark, registry, sf_dir: str) -> tuple[dict, dict, dict]:
     """The timed loop shared by the default board and --from-store: every
-    registered query timed around its action, per-query fenced."""
+    registered query timed around its action, per-query fenced. CPU-
+    metered cells (_CPU_METERED) also record executor CPU seconds."""
     import gc
 
     per_query: dict[str, float] = {}
+    per_cpu: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(registry.items()):
+        metered = name in _CPU_METERED
+        if metered:
+            # watermark = one past the newest completed stage id now
+            _, watermark = _executor_cpu_since(spark, 0)
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)
@@ -214,6 +274,11 @@ def _timed_board(spark, registry, sf_dir: str) -> tuple[dict, dict]:
             gc.collect()
             continue
         per_query[name] = round(time.perf_counter() - t0, 3)
+        if metered:
+            cpu, _ = _executor_cpu_since(spark, watermark)
+            if cpu is not None:
+                per_cpu[name] = round(cpu, 3)
+                print(f"# {name}: cpu {per_cpu[name]:.2f}s", file=sys.stderr)
         print(f"# {name}: {per_query[name]:.2f}s ({n} rows)", file=sys.stderr)
         # Drop the query's DataFrame/RDD references NOW so the JVM
         # ContextCleaner can release localCheckpoint blocks and broadcasts
@@ -223,7 +288,7 @@ def _timed_board(spark, registry, sf_dir: str) -> tuple[dict, dict]:
         # in-bench than in isolation).
         del df
         gc.collect()
-    return per_query, errors
+    return per_query, errors, per_cpu
 
 
 def _emit(summary: dict, out_name: str) -> None:
@@ -244,9 +309,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     registry = load_all_queries()
-    spark = get_spark("bench")
+    spark = get_spark("bench", extra_conf=_UI_CONF)
     _warmup(spark, registry, sf_dir)
-    per_query, errors = _timed_board(spark, registry, sf_dir)
+    per_query, errors, per_cpu = _timed_board(spark, registry, sf_dir)
     total = round(sum(per_query.values()), 3)
     summary = {
         "metric": "total_query_wall_sec",
@@ -255,6 +320,8 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if per_cpu:
+        summary["queries_cpu"] = per_cpu
     if errors:
         summary["errors"] = errors
     _emit(summary, "BENCH_FULL.json")
@@ -288,7 +355,7 @@ def from_store() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     registry = load_all_queries()
-    spark = get_spark("bench-from-store")
+    spark = get_spark("bench-from-store", extra_conf=_UI_CONF)
     _warmup(spark, registry, sf_dir)
 
     store = tempfile.mkdtemp(prefix="spark_graft_store_")
@@ -306,7 +373,7 @@ def from_store() -> None:
         load_ingest_indexes(spark, sf_dir, os.path.join(store, "ingest"))
         load_ann_indexes(spark, sf_dir, os.path.join(store, "ann"))
 
-        per_query, errors = _timed_board(spark, registry, sf_dir)
+        per_query, errors, per_cpu = _timed_board(spark, registry, sf_dir)
     finally:
         shutil.rmtree(store, ignore_errors=True)
     total = round(sum(per_query.values()), 3)
@@ -319,6 +386,8 @@ def from_store() -> None:
         "mode": "from_store",
         "store_build_sec": build_sec,
     }
+    if per_cpu:
+        summary["queries_cpu"] = per_cpu
     if errors:
         summary["errors"] = errors
     _emit(summary, "BENCH_STORE.json")

@@ -83,6 +83,21 @@ def compare(
         for n in common
         if over_gate(n)
     }
+    # Second gated metric for CPU-metered cells (VERDICT r13 task 7):
+    # wall baselines for pool-latency-dominated cells carry documented
+    # headroom (the probe's re-adopted 5.906 s), so a genuine 2x plan
+    # regression could hide under the wall gate. Executor CPU is
+    # pool-independent — gate it separately wherever BOTH boards carry
+    # a cpu row. Missing on either side = not gated (best-effort meter).
+    base_cpu = baseline.get("queries_cpu", {})
+    cur_cpu = current.get("queries_cpu", {})
+    for n in sorted(set(base_cpu) & set(cur_cpu)):
+        if base_cpu[n] > 0 and cur_cpu[n] / base_cpu[n] > GATE:
+            cells_over[f"{n} [cpu]"] = {
+                "baseline": base_cpu[n],
+                "current": cur_cpu[n],
+                "ratio": round(cur_cpu[n] / base_cpu[n], 2),
+            }
     tot_base = sum(base[n] for n in common)
     tot_cur = sum(cur[n] for n in common)
     return {
@@ -90,6 +105,7 @@ def compare(
         "baseline_kind": baseline_kind,
         "gate": GATE,
         "n_common": len(common),
+        "n_cpu_gated": len(set(base_cpu) & set(cur_cpu)),
         "total_baseline_sec": round(tot_base, 3),
         "total_current_sec": round(tot_cur, 3),
         "total_ratio": round(tot_cur / tot_base, 3) if tot_base else None,
