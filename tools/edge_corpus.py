@@ -168,6 +168,15 @@ EMB_QUERIES = [
     # integer-exact assignment boundary.
     "q_dedup_semdedup", "q_dedup_semdedup_recall",
     "q_dedup_semdedup_incremental",
+    # Composed IVF-PQ family (r13-r14): exact-dup ADC ties, extreme-norm
+    # integer headroom, and the scaled/filtered/append variants' derived
+    # knobs (K clamps to 16 on this 67-vector corpus; labels 0..3 make
+    # the (1, 2) filter predicate ~half the corpus; the append audit's
+    # frozen base split is non-degenerate).
+    "q_sim_ivfpq_topk", "q_sim_ivfpq_hq_topk", "q_sim_ivfpq_hq_rerank",
+    "q_sim_ivfpq_probe", "q_sim_ivfpq_scaled_topk",
+    "q_sim_ivfpq_scaled_recall", "q_sim_filtered_topk",
+    "q_sim_filtered_recall", "q_sim_index_append_audit",
 ]
 
 
