@@ -209,7 +209,7 @@ def _warmup(spark, registry, sf_dir: str) -> None:
 # pool history). Their boards additionally record executor CPU time —
 # a second, pool-independent gate in tools/bench_compare.py, so the
 # wall baseline's pool headroom can't hide a genuine plan regression.
-_CPU_METERED = {"q_sim_ivfpq_probe"}
+_CPU_METERED = {"q_sim_ivfpq_probe", "q_sim_maxsim_topk"}
 
 
 def _executor_cpu_since(spark, from_stage: int) -> tuple[float | None, int]:
