@@ -163,3 +163,35 @@ def test_compact_summary_preserves_from_store_provenance():
     # and a default board stays unchanged: no spurious keys
     del s["mode"], s["store_build_sec"]
     assert "mode" not in compact_summary(s)
+
+
+def test_bench_compare_gates_cpu_cells_independently():
+    """The second gated metric (r14): a CPU-metered cell whose wall sits
+    comfortably under its (headroom-carrying) baseline but whose
+    executor CPU regressed past 2x must flag — and a cell missing the
+    cpu row on either side must not be cpu-gated at all (best-effort
+    meter)."""
+    from tools.bench_compare import compare
+
+    baseline = {
+        "queries": {"q_a": 6.0, "q_b": 1.0},
+        "queries_cpu": {"q_a": 1.0},
+    }
+    current = {
+        "queries": {"q_a": 3.0, "q_b": 1.1},  # wall fine everywhere
+        "queries_cpu": {"q_a": 2.5},          # cpu regressed 2.5x
+    }
+    out = compare(current, baseline, {})
+    assert out["n_cpu_gated"] == 1
+    assert "q_a [cpu]" in out["cells_over_gate"]
+    assert out["cells_over_gate"]["q_a [cpu]"]["ratio"] == 2.5
+    assert "q_a" not in out["cells_over_gate"]  # wall itself under gate
+
+    # no cpu row on the current side -> nothing cpu-gated, no crash
+    out2 = compare({"queries": {"q_a": 3.0}}, baseline, {})
+    assert out2["n_cpu_gated"] == 0
+    assert not [k for k in out2["cells_over_gate"] if k.endswith("[cpu]")]
+
+    # baseline_kind threads through (ADVICE r13)
+    out3 = compare(current, baseline, {}, baseline_kind="from_store")
+    assert out3["baseline_kind"] == "from_store"
