@@ -279,11 +279,13 @@ _ANN_MANIFEST = "ann_manifest.json"
 
 
 def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Write SIX serving indexes, off which all EIGHT similarity-tier
-    queries serve (the two composed IVF-PQ operating points store no
-    routing of their own — each consumes the ivf half plus its own code
-    table) — the tables a production vector deployment builds ONCE at
-    ingest and every search session mounts read-only:
+    """Write SEVEN serving indexes, off which the similarity tier
+    queries serve (the composed IVF-PQ operating points store no
+    PQ routing of their own — each consumes an ivf half plus its own
+    code table; the corpus-scaled point gets its own assignment table
+    ``ivf_scaled_assigned`` because its quantizer is a different seed
+    universe) — the tables a production vector deployment builds ONCE
+    at ingest and every search session mounts read-only:
 
     - ``vec_norms``: the brute-force tier's normed-vector table
       (similarity.vec_norm_table — vectors + precomputed norms);
@@ -326,6 +328,10 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         hq_cbook = None
         if pq_hq is not None:
             frames["pq_hq_codes"], hq_cbook = pq_hq
+        ivf_s = similarity.ivf_scaled_index(spark, sf_dir)
+        s_cq = None
+        if ivf_s is not None:
+            frames["ivf_scaled_assigned"], s_cq = ivf_s
         frames["maxsim_tokens"] = similarity.maxsim_token_table(spark, sf_dir)
 
         counts = {}
@@ -339,6 +345,7 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
             "embeddings_fingerprint": fixture_fingerprint(sf_dir, "embeddings"),
             "lsh_geometry": None if geom is None else list(geom),
             "ivf_centroids": None if cq is None else cq.tolist(),
+            "ivf_scaled_centroids": None if s_cq is None else s_cq.tolist(),
             "pq_codebook": None if cbook is None else cbook.tolist(),
             "pq_hq_codebook": None if hq_cbook is None else hq_cbook.tolist(),
             "rows": counts,
@@ -390,6 +397,7 @@ def append_ann_indexes(
                 f"build first; re-run persist_ann_indexes"
             )
         geom = manifest["lsh_geometry"]
+        s_cq = manifest.get("ivf_scaled_centroids")
         frames = similarity.ann_append_frames(
             spark,
             new_vecs,
@@ -397,6 +405,7 @@ def append_ann_indexes(
             np.array(cbook, dtype=np.int64),
             np.array(hq_cbook, dtype=np.int64),
             None if geom is None else tuple(geom),
+            scaled_cq=None if s_cq is None else np.array(s_cq, dtype=np.int64),
         )
         appended = {}
         for name, df in frames.items():
@@ -481,6 +490,15 @@ def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         similarity._PQ_HQ_INDEX_CACHE[key] = (
             rd("pq_hq_codes"),
             np.array(hq_cbook, dtype=np.int64),
+        )
+    # Stores written before the corpus-scaled point (r14) lack this
+    # table; loading one leaves the scaled cache unseeded so the tier
+    # falls back to its build path (the pq_hq precedent).
+    s_cq = manifest.get("ivf_scaled_centroids")
+    if s_cq is not None and "ivf_scaled_assigned" in rows:
+        similarity._IVF_SCALED_INDEX_CACHE[key] = (
+            rd("ivf_scaled_assigned"),
+            np.array(s_cq, dtype=np.int64),
         )
     similarity._MS_TOKENS_CACHE[key] = rd("maxsim_tokens")
     return rows

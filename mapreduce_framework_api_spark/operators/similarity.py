@@ -3366,7 +3366,13 @@ def q_sim_index_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_append_frames(
-    spark: SparkSession, new_vecs: DataFrame, cq, cbook, hq_cbook, geom
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    cq,
+    cbook,
+    hq_cbook,
+    geom,
+    scaled_cq=None,
 ) -> dict[str, DataFrame]:
     """The six stored-table row frames for a batch of arrivals under a
     store's FROZEN derived state (quantizer ``cq``, codebooks ``cbook``/
@@ -3410,6 +3416,13 @@ def ann_append_frames(
     frames["pq_codes"] = ivfpq_append_check(clean, cq, cbook).select(
         "vec_id", "codes"
     )
+    if scaled_cq is not None:
+        # the corpus-scaled router is its own seed universe; arrivals get
+        # a membership row under ITS frozen centroids too (depth-16 probe
+        # ranking, the stored cut)
+        frames["ivf_scaled_assigned"] = ivfpq_append_check(
+            clean, scaled_cq, hq_cbook
+        ).select("vec_id", "embedding", "cluster", "probes")
     return frames
 
 

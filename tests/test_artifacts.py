@@ -223,6 +223,11 @@ _ANN_TIERS = (
     "q_sim_ivfpq_probe",
     # two-stage retrieval rides the HQ shortlist + the raw vector table
     "q_sim_ivfpq_hq_rerank",
+    # r14: the corpus-scaled point rides its own stored assignment table
+    # + the hq code table; filtered search rides the hq tables + a
+    # predicate scan of the fixture
+    "q_sim_ivfpq_scaled_topk",
+    "q_sim_filtered_topk",
 )
 
 
@@ -256,6 +261,7 @@ def test_ann_store_roundtrip_serves_all_tiers(spark, tmp_path):
             "vec_norms",
             "lsh_codes",
             "ivf_assigned",
+            "ivf_scaled_assigned",
             "pq_codes",
             "pq_hq_codes",
             "maxsim_tokens",
@@ -447,6 +453,7 @@ def test_ann_store_append_equals_frozen_rebuild(spark, tmp_path):
     assert appended["pq_codes"] == n_arr
     assert appended["pq_hq_codes"] == n_arr
     assert appended["vec_norms"] == n_arr
+    assert appended["ivf_scaled_assigned"] == n_arr
     assert appended["maxsim_tokens"] == n_arr
     assert appended["lsh_codes"] == n_arr * similarity._LSH_TABLES
     with open(os.path.join(store, _ANN_MANIFEST)) as f:
