@@ -2,9 +2,9 @@
 bench scale through a REAL multi-micro-batch sequence and record the
 state-store trajectory per batch.
 
-Six lanes, three distinct bounded-state contracts (lanes 4-6 repeat
-lane 3's stateless contract for the prefix, SemDeDup and bottom-k
-containment ingest modalities):
+Seven lanes, three distinct bounded-state contracts (lanes 4-7 repeat
+lane 3's stateless contract for the prefix, SemDeDup, bottom-k
+containment, and ANN index-append ingest modalities):
 
 1. ``sessionize_state`` (applyInPandasWithState, O(1)-state-per-user
    sessionizer) over 1M events / 10x the bench timeline with the SAME
@@ -377,6 +377,36 @@ def main() -> None:
         "gate_flat": bool(times) and max(times) <= 2.5 * median,
     }
 
+    # Lane 7: stateless ANN index-APPEND ingest (round 14 — the
+    # maintenance half of the similarity serving store, next to lane 5's
+    # probe-side twin family). Same gates as lanes 3-6: zero state rows,
+    # flat per-batch cost — assignment + encode are one Arrow map per
+    # batch against closure-captured frozen matrices; nothing
+    # accumulates with stream lifetime or ingested volume.
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        ivfpq_append_stream,
+    )
+
+    t0 = time.time()
+    vecs2 = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(VECS_DIR)
+    )
+    q = _drain(ivfpq_append_stream(spark, vecs2, SF1), "ivfappend", "append")
+    rows = _progress_rows(q)
+    times = [r["batch_ms"] for r in rows[1:] if r["batch_ms"]]
+    times_sorted = sorted(times)
+    median = times_sorted[len(times_sorted) // 2] if times_sorted else 0
+    receipt["ivfpq_append"] = {
+        "wall_s": round(time.time() - t0, 1),
+        "batches": rows,
+        "state_rows_any": any(r["state_rows"] for r in rows),
+        "batch_ms_median": median,
+        "batch_ms_max": max(times) if times else 0,
+        "gate_flat": bool(times) and max(times) <= 2.5 * median,
+    }
+
     with open(RECEIPT, "w") as f:
         json.dump(receipt, f, indent=1)
     gates = {
@@ -386,6 +416,7 @@ def main() -> None:
         "prefix_dedup_flat": receipt["prefix_dedup"]["gate_flat"],
         "semdedup_ingest_flat": receipt["semdedup_ingest"]["gate_flat"],
         "bk_containment_flat": receipt["bk_containment"]["gate_flat"],
+        "ivfpq_append_flat": receipt["ivfpq_append"]["gate_flat"],
     }
     print(json.dumps({"receipt": RECEIPT, "gates": gates}))
     spark.stop()
