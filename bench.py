@@ -209,7 +209,17 @@ def _warmup(spark, registry, sf_dir: str) -> None:
 # pool history). Their boards additionally record executor CPU time —
 # a second, pool-independent gate in tools/bench_compare.py, so the
 # wall baseline's pool headroom can't hide a genuine plan regression.
+#
+# The CPU number is the MIN over _CPU_WARM_REPS warm re-executions of
+# the cell AFTER the timed run, not the timed run's own CPU: the first
+# execution of a stage's generated code charges its JIT compilation to
+# executorCpuTime (measured r14: 3.7-11 s first run vs 1.0-1.3 s warm
+# for the probe cell, same plan, same rows), so a single-shot in-board
+# reading is session-history noise. Min-of-warm is the plan's steady
+# kernel cost — exactly what the gate is meant to watch; JIT noise only
+# ever ADDS, so min is the robust statistic.
 _CPU_METERED = {"q_sim_ivfpq_probe", "q_sim_maxsim_topk"}
+_CPU_WARM_REPS = 3
 
 
 def _executor_cpu_since(spark, from_stage: int) -> tuple[float | None, int]:
@@ -261,9 +271,6 @@ def _timed_board(spark, registry, sf_dir: str) -> tuple[dict, dict, dict]:
     errors: dict[str, str] = {}
     for name, q in sorted(registry.items()):
         metered = name in _CPU_METERED
-        if metered:
-            # watermark = one past the newest completed stage id now
-            _, watermark = _executor_cpu_since(spark, 0)
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)
@@ -275,9 +282,18 @@ def _timed_board(spark, registry, sf_dir: str) -> tuple[dict, dict, dict]:
             continue
         per_query[name] = round(time.perf_counter() - t0, 3)
         if metered:
-            cpu, _ = _executor_cpu_since(spark, watermark)
-            if cpu is not None:
-                per_cpu[name] = round(cpu, 3)
+            # min-of-warm-reps AFTER the timed run (see _CPU_METERED):
+            # the timed run already paid the stage-codegen JIT, so these
+            # reps read the steady kernel cost the gate watches
+            reps = []
+            for _ in range(_CPU_WARM_REPS):
+                _, watermark = _executor_cpu_since(spark, 0)
+                q.fn(spark, sf_dir).count()
+                cpu, _ = _executor_cpu_since(spark, watermark)
+                if cpu is not None:
+                    reps.append(cpu)
+            if reps:
+                per_cpu[name] = round(min(reps), 3)
                 print(f"# {name}: cpu {per_cpu[name]:.2f}s", file=sys.stderr)
         print(f"# {name}: {per_query[name]:.2f}s ({n} rows)", file=sys.stderr)
         # Drop the query's DataFrame/RDD references NOW so the JVM

@@ -42,6 +42,7 @@ import json
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_framework_api_spark.sources.readers import (
     fixture_fingerprint,
@@ -419,6 +420,91 @@ def append_ann_indexes(
     return appended
 
 
+_TOMBSTONES = "tombstones"
+
+
+def tombstone_ann_indexes(spark: SparkSession, ids, out_dir: str) -> int:
+    """Mark vectors DELETED in a persisted ANN store without rewriting
+    any serving table — the cheap half of the delete path (cost ∝
+    |ids|, a single thin parquet append). ``ids`` is a DataFrame with a
+    ``vec_id`` column. Every subsequent ``load_ann_indexes`` anti-joins
+    the pending tombstones into all seven serving scans, so tombstoned
+    vectors stop serving IMMEDIATELY; the physical rows linger until
+    ``compact_ann_indexes`` reclaims them (the LSM discipline: deletes
+    are writes, space is reclaimed on the compaction cadence).
+
+    Delete-wins contract: a pending tombstone shadows its vec_id in
+    EVERY table — including rows appended AFTER the tombstone. To
+    re-ingest a previously deleted id, compact first (clearing the
+    tombstone), then append; the shadow behavior is pinned in
+    tests/test_artifacts.py. Runs under _writer_guard like every
+    store write. Returns the number of NEW distinct ids tombstoned."""
+    with _writer_guard(out_dir, _ANN_MANIFEST):
+        with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
+            manifest = json.load(f)
+        path = os.path.join(out_dir, _TOMBSTONES)
+        new = ids.select(F.col("vec_id").cast("long")).distinct()
+        if manifest.get("pending_tombstones", 0) > 0:
+            new = new.join(spark.read.parquet(path), "vec_id", "left_anti")
+        # count BEFORE the append: a lazy count after would re-read the
+        # grown file and double-count the rows just written
+        new = new.localCheckpoint()
+        n = new.count()
+        if n:
+            new.write.mode("append").parquet(path)
+        manifest["pending_tombstones"] = (
+            manifest.get("pending_tombstones", 0) + n
+        )
+        manifest.setdefault("tombstoned", []).append(n)
+        _write_manifest(out_dir, _ANN_MANIFEST, manifest)
+    return n
+
+
+def compact_ann_indexes(spark: SparkSession, out_dir: str) -> dict:
+    """Physically reclaim tombstoned rows from every serving table: for
+    each table, survivors = stored rows anti-joined on the pending
+    tombstone set, rewritten in place (write-to-sibling + directory
+    swap — the stored survivor BYTES are never recomputed, no kernel
+    runs; pinned row-identical in tests/test_artifacts.py). Clears the
+    tombstone set, updates manifest row counts, and logs a
+    ``compacted`` audit entry ({table: rows_removed}). A crash mid-swap
+    leaves the store with no loadable manifest (the _writer_guard
+    contract) — loads fail loudly rather than serving a half-compacted
+    mix. At 100 TB this is the scheduled maintenance job: one
+    anti-join scan per table, shuffle-free on the broadcast tombstone
+    side, run off-peak on the compaction cadence. Returns
+    {table: rows_removed}."""
+    import shutil
+
+    from pyspark.sql.functions import broadcast
+
+    with _writer_guard(out_dir, _ANN_MANIFEST):
+        with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
+            manifest = json.load(f)
+        removed: dict[str, int] = {}
+        pending = manifest.get("pending_tombstones", 0)
+        if pending > 0:
+            tpath = os.path.join(out_dir, _TOMBSTONES)
+            tomb = broadcast(spark.read.parquet(tpath))
+            for name in list(manifest["rows"]):
+                path = os.path.join(out_dir, name)
+                survivors = spark.read.parquet(path).join(
+                    tomb, "vec_id", "left_anti"
+                )
+                tmp = path + ".__compacting"
+                survivors.write.mode("overwrite").parquet(tmp)
+                n_after = spark.read.parquet(tmp).count()
+                removed[name] = manifest["rows"][name] - n_after
+                manifest["rows"][name] = n_after
+                shutil.rmtree(path)
+                os.rename(tmp, path)
+            shutil.rmtree(tpath)
+            manifest["pending_tombstones"] = 0
+            manifest.setdefault("compacted", []).append(removed)
+        _write_manifest(out_dir, _ANN_MANIFEST, manifest)
+    return removed
+
+
 def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Seed the similarity tiers' serving caches from a persisted ANN
     store (fingerprint-validated against ``sf_dir``'s embeddings table
@@ -445,8 +531,22 @@ def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
             f"re-run persist_ann_indexes"
         )
 
+    # Pending tombstones shadow their vec_ids in every serving scan (the
+    # tombstone_ann_indexes contract): the anti-join rides each lazy
+    # read, so between a tombstone and its compaction every tier serves
+    # exactly the survivor set. The tombstone side is broadcast — at any
+    # realistic pending-set size the join adds no shuffle to any plan.
+    tomb = None
+    if manifest.get("pending_tombstones", 0) > 0:
+        from pyspark.sql.functions import broadcast
+
+        tomb = broadcast(
+            spark.read.parquet(os.path.join(out_dir, _TOMBSTONES))
+        )
+
     def rd(name):
-        return spark.read.parquet(os.path.join(out_dir, name))
+        df = spark.read.parquet(os.path.join(out_dir, name))
+        return df if tomb is None else df.join(tomb, "vec_id", "left_anti")
 
     # The stored geometry must match what the serving session would derive
     # for this corpus: the LSH tier recomputes (g, d) from corpus metadata

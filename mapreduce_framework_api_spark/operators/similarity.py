@@ -3167,21 +3167,22 @@ def ivfpq_append_check(new_vecs: DataFrame, cq, cbook) -> DataFrame:
 _APPEND_BASE_CACHE: dict[tuple, tuple | None] = {}
 
 
-def ivfpq_frozen_base_index(spark: SparkSession, sf_dir: str):
-    """The append lane's frozen serving state over the 7/8 base split —
-    ``(base_assigned, cq, cbook)`` where ``base_assigned`` is the base
-    corpus's (vec_id, cluster) membership under a quantizer and HQ
-    codebook seeded from the BASE ROWS ONLY (salted 'ivfb#'/'pqhqb#' —
-    arrivals can never influence the frozen state, which is what makes
-    append == rebuild provable). Built once per session (the
-    semdedup_corpus_index recipe: a localCheckpoint standing in for the
-    persisted store); the bulk build itself runs through
-    ivfpq_append_check, so base and appended rows share one kernel."""
+_APPEND_STATE_CACHE: dict[tuple, tuple | None] = {}
+
+
+def frozen_base_state(spark: SparkSession, sf_dir: str):
+    """Just the frozen DERIVED state of the append lane — ``(cq,
+    cbook)`` seeded from the 7/8 base split (salted 'ivfb#'/'pqhqb#').
+    Split out of ivfpq_frozen_base_index because consumers that only
+    route against the quantizer (the drift monitor) shouldn't pay the
+    base corpus's Arrow encode pass: deriving the seeds is two thin
+    md5-top-K pulls (the ``.limit(K).toPandas()`` seed convention),
+    cost ∝ K, never corpus."""
     import numpy as np
 
     key = session_cache_key(spark, sf_dir, "embeddings")
-    if key in _APPEND_BASE_CACHE:
-        return _APPEND_BASE_CACHE[key]
+    if key in _APPEND_STATE_CACHE:
+        return _APPEND_STATE_CACHE[key]
     base = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
@@ -3205,7 +3206,7 @@ def ivfpq_frozen_base_index(spark: SparkSession, sf_dir: str):
 
     s = _seed(_APPEND_SEED_SALT, _IVF_K)
     if s is None:
-        _APPEND_BASE_CACHE[key] = None
+        _APPEND_STATE_CACHE[key] = None
         return None
     cq = np.floor(s * _IVF_SCALE).astype(np.int64)
     hs = _seed(_APPEND_HQ_SALT, _HQ_K)
@@ -3214,6 +3215,33 @@ def ivfpq_frozen_base_index(spark: SparkSession, sf_dir: str):
         .astype(np.int64)
         .reshape(len(hs), _HQ_M, _HQ_SUB)
         .transpose(1, 0, 2)
+    )
+    _APPEND_STATE_CACHE[key] = (cq, cbook)
+    return cq, cbook
+
+
+def ivfpq_frozen_base_index(spark: SparkSession, sf_dir: str):
+    """The append lane's frozen serving state over the 7/8 base split —
+    ``(base_assigned, cq, cbook)`` where ``base_assigned`` is the base
+    corpus's (vec_id, cluster) membership under a quantizer and HQ
+    codebook seeded from the BASE ROWS ONLY (salted 'ivfb#'/'pqhqb#' —
+    arrivals can never influence the frozen state, which is what makes
+    append == rebuild provable). Built once per session (the
+    semdedup_corpus_index recipe: a localCheckpoint standing in for the
+    persisted store); the bulk build itself runs through
+    ivfpq_append_check, so base and appended rows share one kernel."""
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    if key in _APPEND_BASE_CACHE:
+        return _APPEND_BASE_CACHE[key]
+    state = frozen_base_state(spark, sf_dir)
+    if state is None:
+        _APPEND_BASE_CACHE[key] = None
+        return None
+    cq, cbook = state
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(~_hash_split("pqsplit"))
     )
     base_assigned = (
         ivfpq_append_check(parallelized(base), cq, cbook)
@@ -3424,6 +3452,264 @@ def ann_append_frames(
             clean, scaled_cq, hq_cbook
         ).select("vec_id", "embedding", "cluster", "probes")
     return frames
+
+
+@register(
+    "q_sim_index_delete_audit",
+    group="I",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS q,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv,
+         substr(md5('pqsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_new,
+         substr(md5('delsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_del
+  FROM embeddings
+), bseed AS (
+  SELECT vec_id, q FROM iv WHERE NOT is_new
+  ORDER BY md5('{_APPEND_SEED_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_K}
+), cent AS (
+  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c FROM bseed
+), dots AS (
+  SELECT iv.vec_id, cent.c,
+         CAST(list_dot_product(iv.q, cent.cq) AS BIGINT) AS dot
+  FROM iv, cent
+  WHERE NOT iv.is_new
+), assigned AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS pr
+    FROM dots
+  ) WHERE pr = 1
+), hqseed AS (
+  SELECT vec_id, piv FROM iv WHERE NOT is_new
+  ORDER BY md5('{_APPEND_HQ_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_HQ_K}
+), hqcb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, piv FROM hqseed
+), ms AS (
+  SELECT unnest(range(0, {_HQ_M})) AS m
+), cbm AS (
+  SELECT k, m, hqcb.piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS c
+  FROM hqcb CROSS JOIN ms
+), xm AS (
+  SELECT vec_id, m, piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS x
+  FROM iv CROSS JOIN ms WHERE is_del AND NOT is_new
+), dd AS (
+  SELECT x.vec_id, x.m, c.k,
+         list_dot_product(x.x, x.x)
+           - 2 * list_dot_product(x.x, c.c)
+           + list_dot_product(c.c, c.c) AS d2
+  FROM xm x JOIN cbm c ON x.m = c.m
+), code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, k ASC) AS rk
+    FROM dd
+  ) WHERE rk = 1
+), delsum AS (
+  SELECT vec_id, SUM((m + 1) * k) AS csum FROM code GROUP BY vec_id
+)
+SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN iv.is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN iv.is_del THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+       CAST(COALESCE(SUM(CASE WHEN iv.is_del THEN ds.csum END), 0) AS BIGINT)
+         AS deleted_code_sum
+FROM assigned a
+JOIN iv ON a.vec_id = iv.vec_id
+LEFT JOIN delsum ds ON a.vec_id = ds.vec_id
+GROUP BY a.cluster
+ORDER BY cluster
+""",
+)
+def q_sim_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance audit, the DELETE half (the append audit's
+    twin): a deterministic 1/8 'delsplit' slice of the BASE membership
+    is tombstoned, and the output is the per-inverted-list shrink
+    report a compaction job emits — (cluster, n_before, n_deleted,
+    n_after, deleted_code_sum), where deleted_code_sum is the
+    order-sensitive checksum of the tombstoned rows' HQ codes under
+    the FROZEN base quantizer/codebooks. FULL differential oracle:
+    DuckDB re-derives the frozen seeds, every base vector's routing,
+    and the tombstoned rows' codewords, so a drift anywhere in the
+    delete path — the tombstone predicate, the routing, or which
+    codes leave each list — moves the hash. Compaction itself never
+    re-encodes survivors (artifacts.compact_ann_indexes is a pure
+    anti-join rewrite, pinned byte-identical in
+    tests/test_artifacts.py); this query is the membership diff that
+    certifies WHAT the rewrite will remove. At 100 TB: one encode
+    pass over the 1/8 tombstone slice plus a count over the membership
+    table — cost ∝ |deletes|, never corpus."""
+    bi = ivfpq_frozen_base_index(spark, sf_dir)
+    if bi is None:
+        return spark.createDataFrame(
+            [],
+            "cluster long, n_before long, n_deleted long, n_after long, "
+            "deleted_code_sum long",
+        )
+    base_assigned, cq, cbook = bi
+    deletes = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(~_hash_split("pqsplit") & _hash_split("delsplit"))
+    )
+    dele = ivfpq_append_check(parallelized(deletes), cq, cbook)
+    delg = (
+        dele.select(
+            F.col("cluster").cast("long").alias("cluster"),
+            _append_code_checksum().alias("csum"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_deleted"),
+            F.sum("csum").cast("long").alias("deleted_code_sum"),
+        )
+    )
+    baseg = (
+        base_assigned.select(F.col("cluster").cast("long").alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_before"))
+    )
+    return (
+        baseg.join(delg, "cluster", "left")
+        .select(
+            "cluster",
+            "n_before",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+            (
+                F.col("n_before") - F.coalesce("n_deleted", F.lit(0))
+            ).cast("long").alias("n_after"),
+            F.coalesce("deleted_code_sum", F.lit(0))
+            .cast("long")
+            .alias("deleted_code_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "q_sim_index_drift",
+    group="I",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS q,
+         substr(md5('pqsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM embeddings
+), bseed AS (
+  SELECT vec_id, q FROM iv WHERE NOT is_new
+  ORDER BY md5('{_APPEND_SEED_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_K}
+), cent AS (
+  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c FROM bseed
+), dots AS (
+  SELECT iv.vec_id, cent.c,
+         CAST(list_dot_product(iv.q, cent.cq) AS BIGINT) AS dot
+  FROM iv, cent
+  WHERE iv.is_new
+), ranked AS (
+  SELECT vec_id, c, dot,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, c ASC) AS pr
+  FROM dots
+), top2 AS (
+  SELECT w.vec_id, w.c AS cluster, w.dot - r.dot AS margin
+  FROM ranked w JOIN ranked r
+    ON w.vec_id = r.vec_id AND w.pr = 1 AND r.pr = 2
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(margin) AS BIGINT) AS margin_sum,
+       CAST(MIN(margin) AS BIGINT) AS min_margin
+FROM top2
+GROUP BY cluster
+ORDER BY cluster
+""",
+)
+def q_sim_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing-drift monitor — the retrain signal an index-maintenance
+    job watches: for each arriving vector ('pqsplit' slice), the margin
+    between its best and runner-up coarse-centroid dots under the
+    FROZEN base quantizer, aggregated per winning list as (cluster,
+    n_new, margin_sum, min_margin). Shrinking margins mean arrivals
+    are landing near list boundaries — the distribution has drifted
+    off the frozen centroids and nprobe must rise (or the quantizer
+    retrain) to hold recall. All arithmetic is exact int64 (the
+    floor-quantized dot convention), so the oracle matches to the
+    hash. Unlike the encode audits this is PURE JVM: the K=16
+    centroid rows ride the plan as literal arrays and the top-2 scan
+    is a sort_array over a 16-struct array per row — no Arrow kernel,
+    no shuffle beyond the final 16-group aggregate; at 100 TB the
+    monitor is one codegen'd map pass over the day's arrivals. Routes
+    through frozen_base_state (seeds only, cost ∝ K), NOT the full
+    frozen-base index — the monitor never touches the membership
+    table."""
+    state = frozen_base_state(spark, sf_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "cluster long, n_new long, margin_sum long, min_margin long"
+        )
+    cq, _cbook = state
+    if cq.shape[0] < 2:
+        return spark.createDataFrame(
+            [], "cluster long, n_new long, margin_sum long, min_margin long"
+        )
+    arrivals = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(_hash_split("pqsplit"))
+    )
+    iv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_IVF_SCALE))).cast(
+            "long"
+        ),
+    )
+    def dot_to(row):
+        cent = F.array(*[F.lit(int(v)) for v in row])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), cent, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    # one struct per centroid, sorted ascending on (-dot, c): index 0 is
+    # the winner, index 1 the runner-up — the kernel/oracle tie rule
+    # (dot DESC, c ASC) expressed as a lexicographic struct sort
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-dot_to(row)).alias("nd"),
+                    F.lit(i).cast("int").alias("c"),
+                )
+                for i, row in enumerate(cq)
+            ]
+        )
+    )
+    return (
+        arrivals.select("vec_id", iv.alias("qv"))
+        .select("vec_id", ranked.alias("r"))
+        .select(
+            F.col("r")[0]["c"].cast("long").alias("cluster"),
+            (F.col("r")[1]["nd"] - F.col("r")[0]["nd"])
+            .cast("long")
+            .alias("margin"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_new"),
+            F.sum("margin").cast("long").alias("margin_sum"),
+            F.min("margin").cast("long").alias("min_margin"),
+        )
+        .orderBy("cluster")
+    )
 
 
 _OUT_SCALE = 1000

@@ -153,11 +153,16 @@ _WINDOW: tuple[str, ...] = (
     "q_text_inverted_index",
     "q_text_langid_confusion",
     # fill block: stalest-r11, alphabetical; new r14 queries swap in here
+    # (1) new mid-round, no driver receipt yet: the index-maintenance
+    # DELETE audit (tombstone slice's per-list shrink report under the
+    # frozen base state) and the routing-drift monitor (pure-JVM top-2
+    # margin scan) — both full-oracle; each displaces one r11 fill row
+    # per policy clause (1).
+    "q_sim_index_delete_audit",
+    "q_sim_index_drift",
     "q_agg_basic",
     "q_agg_cube",
     "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_mode",
 )
 
 

@@ -119,6 +119,7 @@ def clear_session_caches() -> None:
         similarity._IVF_INDEX_CACHE,
         similarity._IVF_SCALED_INDEX_CACHE,
         similarity._APPEND_BASE_CACHE,
+        similarity._APPEND_STATE_CACHE,
         similarity._PQ_INDEX_CACHE,
         similarity._PQ_HQ_INDEX_CACHE,
         similarity._MS_TOKENS_CACHE,

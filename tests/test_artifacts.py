@@ -512,3 +512,151 @@ def test_ann_store_append_requires_frozen_state(spark, tmp_path):
     with pytest.raises(ValueError, match="frozen quantizer"):
         append_ann_indexes(spark, arrivals, store)
     clear_session_caches()
+
+
+def _canon_rows(df):
+    def v(x):
+        return tuple(x) if isinstance(x, list) else x
+
+    return sorted(tuple(v(x) for x in r) for r in df.collect())
+
+
+def test_ann_store_tombstone_shadows_then_compact_reclaims(spark, tmp_path):
+    """The DELETE half of index maintenance (the append lane's twin), in
+    four claims: (1) TOMBSTONE SHADOWS — after tombstone_ann_indexes,
+    loads serve exactly the survivor set in every table, and a probe of
+    an exact dup of a DELETED vector no longer collides with it;
+    (2) DELETE-WINS — a row appended for a tombstoned vec_id stays
+    shadowed until compaction; (3) COMPACT PRESERVES — the physical
+    rewrite is a pure anti-join: survivor rows are byte-identical to the
+    pre-compact stored rows, manifest counts updated, pending cleared,
+    audit entry logged; (4) loads pre/post compact are identical, and a
+    re-ingest AFTER compaction serves again."""
+    from mapreduce_framework_api_spark.operators import similarity
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        _ANN_MANIFEST,
+        append_ann_indexes,
+        compact_ann_indexes,
+        load_ann_indexes,
+        persist_ann_indexes,
+        tombstone_ann_indexes,
+    )
+    from mapreduce_framework_api_spark.sources import table
+
+    store = str(tmp_path / "ann_store")
+    clear_session_caches()
+    counts0 = persist_ann_indexes(spark, SF_DIR, store)
+    tables = sorted(counts0)
+
+    orig = {
+        n: _canon_rows(spark.read.parquet(os.path.join(store, n)))
+        for n in tables
+    }
+
+    full = table(spark, SF_DIR, "embeddings")
+    dele = full.filter(similarity._hash_split("delsplit")).select(
+        "vec_id", "embedding"
+    )
+    del_rows = dele.collect()
+    del_ids = {r["vec_id"] for r in del_rows}
+    assert len(del_ids) > 0
+
+    # (1) tombstone; re-tombstoning the same set is a distinct-id no-op
+    n = tombstone_ann_indexes(spark, dele.select("vec_id"), store)
+    assert n == len(del_ids)
+    assert tombstone_ann_indexes(spark, dele.select("vec_id"), store) == 0
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m1 = json.load(f)
+    assert m1["pending_tombstones"] == len(del_ids)
+
+    clear_session_caches()
+    load_ann_indexes(spark, SF_DIR, store)
+    key = similarity.session_cache_key(spark, SF_DIR, "embeddings")
+    served_norm_ids = {
+        r["vec_id"]
+        for r in similarity._VEC_NORMS_CACHE[key].select("vec_id").collect()
+    }
+    orig_ids = {r[0] for r in orig["vec_norms"]}
+    assert served_norm_ids == orig_ids - del_ids
+    # every serving table excludes every tombstoned id
+    pre_compact_served = {}
+    for name in tables:
+        dfl = spark.read.parquet(os.path.join(store, name))
+        import pyspark.sql.functions as SF
+
+        shadowed = dfl.join(
+            spark.createDataFrame(
+                [(i,) for i in sorted(del_ids)], "vec_id long"
+            ),
+            "vec_id",
+            "left_anti",
+        )
+        pre_compact_served[name] = _canon_rows(shadowed)
+    # a probe of an exact dup of a deleted vector must NOT collide with it
+    victim = del_rows[0]
+    dup = spark.createDataFrame(
+        [(990002, victim["embedding"])], "vec_id long, embedding array<float>"
+    )
+    pi = similarity.ivfpq_probe_index(spark, SF_DIR)
+    assert pi is not None
+    frame, pcq, pcb = pi
+    hits = similarity.ivfpq_probe_check(dup, frame, pcq, pcb).collect()
+    assert all(r["corpus_id"] != victim["vec_id"] for r in hits)
+
+    # (2) delete-wins: append the victim back while its tombstone is
+    # pending — it must stay shadowed
+    append_ann_indexes(
+        spark,
+        spark.createDataFrame(
+            [(victim["vec_id"], victim["embedding"])],
+            "vec_id long, embedding array<float>",
+        ),
+        store,
+    )
+    clear_session_caches()
+    load_ann_indexes(spark, SF_DIR, store)
+    still = {
+        r["vec_id"]
+        for r in similarity._VEC_NORMS_CACHE[key].select("vec_id").collect()
+    }
+    assert victim["vec_id"] not in still
+
+    # (3) compact: survivors byte-identical, counts updated, log entry
+    removed = compact_ann_indexes(spark, store)
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m2 = json.load(f)
+    assert m2["pending_tombstones"] == 0
+    assert m2["compacted"] == [removed]
+    assert not os.path.exists(os.path.join(store, "tombstones"))
+    for name in tables:
+        after = _canon_rows(spark.read.parquet(os.path.join(store, name)))
+        assert after == pre_compact_served[name], name
+        assert m2["rows"][name] == len(after), name
+    # compacting with nothing pending is a clean no-op
+    assert compact_ann_indexes(spark, store) == {}
+
+    # (4) loads pre/post compact identical; re-ingest after compaction
+    # serves again (the documented delete-wins recovery path)
+    clear_session_caches()
+    load_ann_indexes(spark, SF_DIR, store)
+    post = {
+        r["vec_id"]
+        for r in similarity._VEC_NORMS_CACHE[key].select("vec_id").collect()
+    }
+    assert post == still
+    append_ann_indexes(
+        spark,
+        spark.createDataFrame(
+            [(victim["vec_id"], victim["embedding"])],
+            "vec_id long, embedding array<float>",
+        ),
+        store,
+    )
+    clear_session_caches()
+    load_ann_indexes(spark, SF_DIR, store)
+    back = {
+        r["vec_id"]
+        for r in similarity._VEC_NORMS_CACHE[key].select("vec_id").collect()
+    }
+    assert victim["vec_id"] in back
+    clear_session_caches()

@@ -2464,3 +2464,72 @@ def test_ivfpq_hq_recall_at_least_matches_ivf_tier(spark):
         .asDict()
     )
     assert hq["recall_x10000"] >= ivf["recall_x10000"], (hq, ivf)
+
+
+def test_index_delete_audit_consistent_with_append_audit(spark):
+    """The delete audit's membership columns must agree with the append
+    audit's view of the SAME frozen base index: per-cluster n_before ==
+    the append audit's n_base (one membership table, two maintenance
+    reports), n_after == n_before - n_deleted row-wise, and the
+    tombstone slice totals match the delsplit predicate exactly."""
+    from mapreduce_framework_api_spark.operators import similarity as s
+    from mapreduce_framework_api_spark.registry import load_all_queries
+    from mapreduce_framework_api_spark.sources import table
+
+    sf = "/root/testdata/sf0.01"
+    qs = load_all_queries()
+    dele = {
+        r["cluster"]: r.asDict()
+        for r in qs["q_sim_index_delete_audit"].fn(spark, sf).collect()
+    }
+    app = {
+        r["cluster"]: r.asDict()
+        for r in qs["q_sim_index_append_audit"].fn(spark, sf).collect()
+    }
+    assert set(dele) <= set(app)
+    for c, row in dele.items():
+        assert row["n_after"] == row["n_before"] - row["n_deleted"], row
+        assert row["n_before"] == app[c]["n_base"], (row, app[c])
+    want_deleted = (
+        table(spark, sf, "embeddings")
+        .filter(~s._hash_split("pqsplit") & s._hash_split("delsplit"))
+        .count()
+    )
+    assert sum(r["n_deleted"] for r in dele.values()) == want_deleted
+    # a deleted row carries a code checksum; an untouched list reads 0
+    assert all(
+        (r["n_deleted"] > 0) or (r["deleted_code_sum"] == 0)
+        for r in dele.values()
+    )
+
+
+def test_index_drift_routes_like_the_append_kernel(spark):
+    """The drift monitor's pure-JVM top-2 scan must route every arrival
+    to the SAME winning list as the Arrow append kernel (one tie rule:
+    dot DESC, centroid ASC) — per-cluster n_new equal across the two
+    reports — and margins are non-negative by construction with the
+    total matching the arrival slice."""
+    from mapreduce_framework_api_spark.operators import similarity as s
+    from mapreduce_framework_api_spark.registry import load_all_queries
+    from mapreduce_framework_api_spark.sources import table
+
+    sf = "/root/testdata/sf0.01"
+    qs = load_all_queries()
+    drift = {
+        r["cluster"]: r.asDict()
+        for r in qs["q_sim_index_drift"].fn(spark, sf).collect()
+    }
+    app = {
+        r["cluster"]: r.asDict()
+        for r in qs["q_sim_index_append_audit"].fn(spark, sf).collect()
+    }
+    assert {c: r["n_new"] for c, r in drift.items()} == {
+        c: r["n_new"] for c, r in app.items() if r["n_new"] > 0
+    }
+    n_arrivals = (
+        table(spark, sf, "embeddings").filter(s._hash_split("pqsplit")).count()
+    )
+    assert sum(r["n_new"] for r in drift.values()) == n_arrivals
+    for r in drift.values():
+        assert r["min_margin"] >= 0, r
+        assert r["margin_sum"] >= r["min_margin"] * r["n_new"] >= 0, r

@@ -177,6 +177,11 @@ EMB_QUERIES = [
     "q_sim_ivfpq_probe", "q_sim_ivfpq_scaled_topk",
     "q_sim_ivfpq_scaled_recall", "q_sim_filtered_topk",
     "q_sim_filtered_recall", "q_sim_index_append_audit",
+    # delete half of index maintenance + the drift monitor: the exact-dup
+    # block lands identical margins (tie-rule stress for the pure-JVM
+    # top-2 scan vs the oracle's ROW_NUMBER) and the delsplit slice on a
+    # 67-vector corpus exercises empty-list (n_deleted=0) rows.
+    "q_sim_index_delete_audit", "q_sim_index_drift",
 ]
 
 
