@@ -3643,21 +3643,14 @@ def q_sim_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the frozen centroids and nprobe must rise (or the quantizer
     retrain) to hold recall. All arithmetic is exact int64 (the
     floor-quantized dot convention), so the oracle matches to the
-    hash. Unlike the encode audits this is PURE JVM: the K=16
-    centroid rows ride the plan as literal arrays and the top-2 scan
-    is a sort_array over a 16-struct array per row — no Arrow kernel,
-    no shuffle beyond the final 16-group aggregate; at 100 TB the
-    monitor is one codegen'd map pass over the day's arrivals. Routes
-    through frozen_base_state (seeds only, cost ∝ K), NOT the full
-    frozen-base index — the monitor never touches the membership
-    table."""
+    hash. Unlike the encode audits this is PURE JVM (see
+    ivfpq_drift_check): no Arrow kernel, no shuffle beyond the final
+    16-group aggregate; at 100 TB the monitor is one codegen'd map
+    pass over the day's arrivals. Routes through frozen_base_state
+    (seeds only, cost ∝ K), NOT the full frozen-base index — the
+    monitor never touches the membership table."""
     state = frozen_base_state(spark, sf_dir)
-    if state is None:
-        return spark.createDataFrame(
-            [], "cluster long, n_new long, margin_sum long, min_margin long"
-        )
-    cq, _cbook = state
-    if cq.shape[0] < 2:
+    if state is None or state[0].shape[0] < 2:
         return spark.createDataFrame(
             [], "cluster long, n_new long, margin_sum long, min_margin long"
         )
@@ -3666,12 +3659,43 @@ def q_sim_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .filter(_hash_split("pqsplit"))
     )
+    return (
+        ivfpq_drift_check(arrivals, state[0])
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_new"),
+            F.sum("margin").cast("long").alias("margin_sum"),
+            F.min("margin").cast("long").alias("min_margin"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def ivfpq_drift_check(new_vecs: DataFrame, cq) -> DataFrame:
+    """Per-row half of the drift monitor, shared by the batch query and
+    the streaming twin (streaming/pipelines.py::ivfpq_drift_stream):
+    (vec_id, cluster, margin) for each arriving vector — winner list
+    and best-vs-runner-up dot margin under the frozen quantizer ``cq``.
+    PURE JVM: the K centroid rows ride the plan as literal arrays, each
+    dot is a zip_with/aggregate fold, and the top-2 scan is one
+    codegen'd sort_array over a K-struct array per row (the kernel/
+    oracle tie rule — dot DESC, centroid ASC — expressed as a
+    lexicographic struct sort on (-dot, c)). Stateless per row, so
+    batch and stream share it unchanged. Dirty-row contract (the
+    ingest-lane convention): NULL / wrong-dimension embeddings drop
+    before scoring; zero-norm vectors score fine (integer dots, no
+    division)."""
+    d = int(cq.shape[1])
+    clean = new_vecs.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == d)
+    )
     iv = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * F.lit(float(_IVF_SCALE))).cast(
             "long"
         ),
     )
+
     def dot_to(row):
         cent = F.array(*[F.lit(int(v)) for v in row])
         return F.aggregate(
@@ -3679,9 +3703,7 @@ def q_sim_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-    # one struct per centroid, sorted ascending on (-dot, c): index 0 is
-    # the winner, index 1 the runner-up — the kernel/oracle tie rule
-    # (dot DESC, c ASC) expressed as a lexicographic struct sort
+
     ranked = F.sort_array(
         F.array(
             *[
@@ -3693,22 +3715,13 @@ def q_sim_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    return (
-        arrivals.select("vec_id", iv.alias("qv"))
-        .select("vec_id", ranked.alias("r"))
-        .select(
-            F.col("r")[0]["c"].cast("long").alias("cluster"),
-            (F.col("r")[1]["nd"] - F.col("r")[0]["nd"])
-            .cast("long")
-            .alias("margin"),
-        )
-        .groupBy("cluster")
-        .agg(
-            F.count("*").cast("long").alias("n_new"),
-            F.sum("margin").cast("long").alias("margin_sum"),
-            F.min("margin").cast("long").alias("min_margin"),
-        )
-        .orderBy("cluster")
+    return clean.select("vec_id", iv.alias("qv")).select(
+        "vec_id",
+        ranked.alias("r"),
+    ).select(
+        "vec_id",
+        F.col("r")[0]["c"].cast("long").alias("cluster"),
+        (F.col("r")[1]["nd"] - F.col("r")[0]["nd"]).cast("long").alias("margin"),
     )
 
 

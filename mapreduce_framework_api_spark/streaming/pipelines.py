@@ -870,3 +870,38 @@ def ivfpq_append_stream(
     return ivfpq_append_check(
         vec_stream.filter(_hash_split("pqsplit")), cq, cbook
     ).select("vec_id", "cluster", "probes", "codes")
+
+
+def ivfpq_drift_stream(
+    spark: SparkSession, vec_stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the routing-drift monitor (q_sim_index_drift is
+    its batch aggregate): arriving vectors (the 1/8 'pqsplit' slice)
+    emit (vec_id, cluster, margin) — winner list + best-vs-runner-up
+    dot margin under the FROZEN base quantizer — through the SAME
+    ivfpq_drift_check transformation the batch query folds. The lane is
+    the live half of the retrain signal: a monitoring sink windows the
+    margins and alarms when they shrink. Stateless AND pure JVM (the
+    only similarity lane with no Arrow stage: centroids are plan
+    literals, the top-2 scan is a codegen'd sort_array per row), so
+    per-micro-batch cost is arrival rate × K dots — corpus-independent,
+    cheaper than the probe lane it watches. Dirty arrivals (NULL /
+    wrong-dim) drop in the shared check; routes through
+    frozen_base_state (seed derivation only), never the membership
+    table."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _hash_split,
+        frozen_base_state,
+        ivfpq_drift_check,
+    )
+
+    state = frozen_base_state(spark, sf_dir)
+    if state is None or state[0].shape[0] < 2:
+        return vec_stream.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("cluster"),
+            F.lit(0).cast("long").alias("margin"),
+        ).filter(F.lit(False))
+    return ivfpq_drift_check(
+        vec_stream.filter(_hash_split("pqsplit")), state[0]
+    )

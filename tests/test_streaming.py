@@ -577,3 +577,58 @@ def test_streaming_checkpoint_recovers_state_mid_stream(spark, tmp_path):
         for r in batch.select("event_id", "user_id", "ts_us", "session_seq").collect()
     )
     assert two_phase == want
+
+
+def test_ivfpq_drift_stream_equals_batch_twin(spark):
+    """Stateless streaming drift monitor == the batch per-row check on
+    drain (the retrain-signal lane): arriving vectors emit (vec_id,
+    cluster, margin) through the shared ivfpq_drift_check — the only
+    similarity lane with no Arrow stage. Aggregating the drained rows
+    must reproduce q_sim_index_drift's per-list report exactly."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _hash_split,
+        frozen_base_state,
+        ivfpq_drift_check,
+    )
+    from mapreduce_framework_api_spark.sources import table
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        ivfpq_drift_stream,
+        read_embeddings_stream,
+    )
+
+    stream = ivfpq_drift_stream(
+        spark, read_embeddings_stream(spark, SF_DIR), SF_DIR
+    )
+    run_to_memory(stream, "t_ivfpq_drift", output_mode="append")
+    got = sorted(
+        (r["vec_id"], r["cluster"], r["margin"])
+        for r in spark.table("t_ivfpq_drift").collect()
+    )
+    state = frozen_base_state(spark, SF_DIR)
+    assert state is not None
+    arrivals = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(_hash_split("pqsplit"))
+    )
+    batch = sorted(
+        (r["vec_id"], r["cluster"], r["margin"])
+        for r in ivfpq_drift_check(arrivals, state[0]).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
+    assert all(m >= 0 for _, _, m in got)
+    # folding the drained rows reproduces the registered batch report
+    import collections
+
+    agg = collections.defaultdict(list)
+    for _vid, c, m in got:
+        agg[c].append(m)
+    want = sorted(
+        (c, len(ms), sum(ms), min(ms)) for c, ms in agg.items()
+    )
+    report = sorted(
+        (r["cluster"], r["n_new"], r["margin_sum"], r["min_margin"])
+        for r in load_all_queries()["q_sim_index_drift"].fn(spark, SF_DIR).collect()
+    )
+    assert want == report

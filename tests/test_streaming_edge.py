@@ -760,3 +760,44 @@ def test_bk_ingest_prefilter_counts_calm_values_only(spark, tmp_path, monkeypatc
     assert r["full"] >= dedup._BK_MIN_SHARED, r  # old prefilter passed
     assert r["calm"] < dedup._BK_MIN_SHARED, r  # calm counting drops it
     assert min(r["new_n"], r["corpus_n"]) > dedup._BK_K, r  # no exemption
+
+
+def test_edge_ivfpq_drift_dirty_arrivals(spark, edge_dir, tmp_path):
+    """ivfpq_drift_check owns the dirty-row contract for the drift
+    monitor: NULL / empty / wrong-dimension arrivals DROP before the
+    pure-JVM top-2 scan; the zero-norm arrival routes fine (every dot
+    is 0 — ties break to centroid 0, margin 0); duplicate ids emit one
+    margin row PER input row (append semantics) — and stream == batch
+    on all of it."""
+    from mapreduce_framework_api_spark.operators.similarity import (
+        frozen_base_state,
+        ivfpq_drift_check,
+    )
+
+    batch_df, schema = _dirty_vec_frame(spark)
+    stage = str(tmp_path / "dirty_drift_vecs")
+    batch_df.write.parquet(stage)
+    state = frozen_base_state(spark, edge_dir)
+    assert state is not None
+    cq = state[0]
+
+    batch = sorted(
+        tuple(r) for r in ivfpq_drift_check(batch_df, cq).collect()
+    )
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    run_to_memory(
+        ivfpq_drift_check(stream_in, cq),
+        "te_drift_dirty",
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in spark.table("te_drift_dirty").collect())
+    assert got == batch
+    # dirty rows dropped; survivors: zero-norm 9003 + the dup pair 9004
+    assert [r[0] for r in got] == [9003, 9004, 9004], got
+    zero = [r for r in got if r[0] == 9003][0]
+    assert zero[1] == 0 and zero[2] == 0, zero  # tie -> lowest centroid, margin 0
+    dup = [r for r in got if r[0] == 9004]
+    assert dup[0] == dup[1], dup  # identical rows emit identically
+    assert all(r[2] >= 0 for r in got)

@@ -2,9 +2,9 @@
 bench scale through a REAL multi-micro-batch sequence and record the
 state-store trajectory per batch.
 
-Seven lanes, three distinct bounded-state contracts (lanes 4-7 repeat
+Eight lanes, three distinct bounded-state contracts (lanes 4-8 repeat
 lane 3's stateless contract for the prefix, SemDeDup, bottom-k
-containment, and ANN index-append ingest modalities):
+containment, ANN index-append, and routing-drift modalities):
 
 1. ``sessionize_state`` (applyInPandasWithState, O(1)-state-per-user
    sessionizer) over 1M events / 10x the bench timeline with the SAME
@@ -407,6 +407,37 @@ def main() -> None:
         "gate_flat": bool(times) and max(times) <= 2.5 * median,
     }
 
+    # Lane 8: stateless routing-DRIFT monitor (round 14 cont. — the
+    # retrain-signal lane watching the quantizer lanes 5 and 7 serve).
+    # Same gates as lanes 3-7: zero state rows, flat per-batch cost.
+    # Distinct contract detail: this is the one similarity lane with NO
+    # Arrow stage — the K centroids are plan literals and the top-2
+    # margin scan is codegen'd JVM per row, so its per-batch floor is
+    # the cheapest of the family.
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        ivfpq_drift_stream,
+    )
+
+    t0 = time.time()
+    vecs3 = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(VECS_DIR)
+    )
+    q = _drain(ivfpq_drift_stream(spark, vecs3, SF1), "ivfdrift", "append")
+    rows = _progress_rows(q)
+    times = [r["batch_ms"] for r in rows[1:] if r["batch_ms"]]
+    times_sorted = sorted(times)
+    median = times_sorted[len(times_sorted) // 2] if times_sorted else 0
+    receipt["ivfpq_drift"] = {
+        "wall_s": round(time.time() - t0, 1),
+        "batches": rows,
+        "state_rows_any": any(r["state_rows"] for r in rows),
+        "batch_ms_median": median,
+        "batch_ms_max": max(times) if times else 0,
+        "gate_flat": bool(times) and max(times) <= 2.5 * median,
+    }
+
     with open(RECEIPT, "w") as f:
         json.dump(receipt, f, indent=1)
     gates = {
@@ -417,6 +448,7 @@ def main() -> None:
         "semdedup_ingest_flat": receipt["semdedup_ingest"]["gate_flat"],
         "bk_containment_flat": receipt["bk_containment"]["gate_flat"],
         "ivfpq_append_flat": receipt["ivfpq_append"]["gate_flat"],
+        "ivfpq_drift_flat": receipt["ivfpq_drift"]["gate_flat"],
     }
     print(json.dumps({"receipt": RECEIPT, "gates": gates}))
     spark.stop()
