@@ -505,6 +505,74 @@ def compact_ann_indexes(spark: SparkSession, out_dir: str) -> dict:
     return removed
 
 
+def reband_ann_lsh(spark: SparkSession, out_dir: str) -> tuple[int, int, int]:
+    """Re-band the store's LSH code table on the compaction cadence —
+    the maintenance op the append path documents: appends write codes
+    under the BUILD-time band width g, so heavy growth degrades bucket
+    occupancy (each bucket holds ~n/2^g vectors; candidate cost per
+    query grows with it). This re-derives g from the STORE's current
+    physical vector count (the same pure-integer clamp the fixture
+    derivation uses — similarity._lsh_g_for), recomputes every code
+    from the stored ``vec_norms`` vectors with the same Arrow kernel
+    the bulk build uses, swaps the table in place, and updates the
+    manifest geometry + a ``rebanded`` audit entry — all under
+    ``_writer_guard``. Orthogonal to deletes: codes rebuild for ALL
+    physical rows; pending tombstones keep shadowing at load until
+    compaction. No-op (manifest timestamped, table untouched) when the
+    grown count still lands on the stored g. At 100 TB this is one
+    kernel pass over the vector table on the maintenance schedule —
+    the alternative (re-deriving geometry silently at query time)
+    would orphan every previously stored code, which is why the
+    serving path treats the manifest as the single source of truth.
+    Returns (g, d, code_rows)."""
+    import shutil
+
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _lsh_codes_udf,
+        _lsh_g_for,
+    )
+
+    with _writer_guard(out_dir, _ANN_MANIFEST):
+        with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
+            manifest = json.load(f)
+        stored = manifest.get("lsh_geometry")
+        if stored is None:
+            raise ValueError(
+                f"ANN store at {out_dir} has no LSH geometry (empty-corpus "
+                f"build) — nothing to re-band; re-run persist_ann_indexes"
+            )
+        _g_old, d = stored
+        n = manifest["rows"]["vec_norms"]
+        g = _lsh_g_for(n)
+        if g == _g_old:
+            manifest.setdefault("rebanded", []).append(
+                {"g": g, "n": n, "noop": True}
+            )
+            _write_manifest(out_dir, _ANN_MANIFEST, manifest)
+            return g, d, manifest["rows"].get("lsh_codes", 0)
+        vecs = spark.read.parquet(os.path.join(out_dir, "vec_norms")).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        codes = vecs.select(
+            "vec_id",
+            F.posexplode(_lsh_codes_udf(g, d)("v")).alias("table_id", "code"),
+        )
+        path = os.path.join(out_dir, "lsh_codes")
+        tmp = path + ".__rebanding"
+        codes.write.mode("overwrite").parquet(tmp)
+        n_codes = spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        manifest["lsh_geometry"] = [g, d]
+        manifest["rows"]["lsh_codes"] = n_codes
+        manifest.setdefault("rebanded", []).append(
+            {"g": g, "n": n, "noop": False}
+        )
+        _write_manifest(out_dir, _ANN_MANIFEST, manifest)
+    return g, d, n_codes
+
+
 def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Seed the similarity tiers' serving caches from a persisted ANN
     store (fingerprint-validated against ``sf_dir``'s embeddings table
@@ -554,15 +622,36 @@ def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     # whose recorded geometry disagrees would be silently mis-probed. The
     # fingerprint check above makes this unreachable today; the assert
     # pins it against any future change to the geometry derivation.
+    # MAINTAINED stores (any append/reband history) legitimately diverge
+    # from the fixture derivation — appends grow the corpus under the
+    # build-time g (the documented occupancy degradation) and
+    # reband_ann_lsh re-derives g from the STORE's own count — so for
+    # those the check relaxes to structural validity (d matches the
+    # fixture, g inside the band-width clamp); the stored codes are
+    # self-consistent with the stored geometry by construction (one
+    # kernel writes both).
     live_geom = similarity._lsh_geometry(spark, sf_dir)
     stored_geom = manifest["lsh_geometry"]
-    if stored_geom is not None and tuple(stored_geom) != live_geom:
+    maintained = bool(manifest.get("appended") or manifest.get("rebanded"))
+    if stored_geom is not None and not maintained and tuple(stored_geom) != live_geom:
         raise ValueError(
             f"ANN store at {out_dir} records lsh_geometry={stored_geom} but "
             f"this session derives {live_geom} for {sf_dir} — the geometry "
             f"derivation changed since the store was built; re-run "
             f"persist_ann_indexes"
         )
+    if stored_geom is not None and maintained:
+        g, d = stored_geom
+        if (live_geom is not None and d != live_geom[1]) or not (
+            similarity._LSH_MIN_BITS <= g <= similarity._LSH_MAX_BITS
+        ):
+            raise ValueError(
+                f"ANN store at {out_dir} records lsh_geometry={stored_geom}, "
+                f"structurally invalid for {sf_dir} (live d="
+                f"{None if live_geom is None else live_geom[1]}, band clamp "
+                f"[{similarity._LSH_MIN_BITS}, {similarity._LSH_MAX_BITS}]); "
+                f"re-run persist_ann_indexes"
+            )
 
     key = session_cache_key(spark, sf_dir, "embeddings")
     similarity._VEC_NORMS_CACHE[key] = rd("vec_norms")

@@ -559,6 +559,21 @@ def _lsh_codes_udf(g: int, d: int):
     return codes
 
 
+def _lsh_g_for(n: int) -> int:
+    """Occupancy-targeted band width for an n-vector corpus. Integer
+    form of clamp(ceil(log2(n / occ)), MIN, MAX): the smallest b with
+    2^b * occ >= n. Pure-integer so the SQL oracle's CASE chain
+    (_LSH_G_CASE) agrees bit-for-bit — ceil(log2(x)) through two
+    different libms can disagree by 1 at exact powers of two. Shared by
+    the fixture derivation (_lsh_geometry) and the store maintenance
+    path (artifacts.reband_ann_lsh re-derives g from the STORE's grown
+    vector count)."""
+    for b in range(_LSH_MIN_BITS, _LSH_MAX_BITS):
+        if (1 << b) * _LSH_TARGET_OCC >= n:
+            return b
+    return _LSH_MAX_BITS
+
+
 def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, int] | None:
     """(g, d) for the corpus: two metadata-cheap driver lookups (row count
     from parquet FOOTERS — no count job — and dimensionality from one row)
@@ -569,17 +584,7 @@ def _lsh_geometry(spark: SparkSession, sf_dir: str) -> tuple[int, int] | None:
     probe = base.select(F.size("embedding").alias("d")).first()
     if probe is None:
         return None
-    d = int(probe["d"])
-    # Integer form of clamp(ceil(log2(n / occ)), MIN, MAX): the smallest b
-    # with 2^b * occ >= n. Pure-integer so the SQL oracle's CASE chain
-    # (_LSH_G_CASE) agrees bit-for-bit — ceil(log2(x)) through two
-    # different libms can disagree by 1 at exact powers of two.
-    g = _LSH_MAX_BITS
-    for b in range(_LSH_MIN_BITS, _LSH_MAX_BITS):
-        if (1 << b) * _LSH_TARGET_OCC >= n:
-            g = b
-            break
-    return g, d
+    return _lsh_g_for(n), int(probe["d"])
 
 
 # Session cache for the LSH serving index: the per-(table, code) hash

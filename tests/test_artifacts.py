@@ -7,6 +7,7 @@ import os
 
 import pytest
 from conftest import SF_DIR
+from pyspark.sql import functions as F
 
 from mapreduce_framework_api_spark.operators.artifacts import (
     load_dedup_artifacts,
@@ -659,4 +660,102 @@ def test_ann_store_tombstone_shadows_then_compact_reclaims(spark, tmp_path):
         for r in similarity._VEC_NORMS_CACHE[key].select("vec_id").collect()
     }
     assert victim["vec_id"] in back
+    clear_session_caches()
+
+
+def test_ann_store_reband_after_growth(spark, tmp_path):
+    """The LSH re-band maintenance op (the append lane's documented
+    occupancy-degradation fix), in five claims: (1) a store built at
+    n=120 records g=4; appends to n=140 leave g=4 (the documented
+    degradation — appends never silently re-derive geometry);
+    (2) reband_ann_lsh re-derives g=5 from the STORE's grown count and
+    the rewritten code table is byte-identical to a fresh kernel pass
+    at g=5 over the same vectors; (3) the manifest geometry, row count,
+    and rebanded audit entry update; (4) a maintained store with
+    geometry diverging from the fixture derivation LOADS (structural
+    validation) and seeds the caches with the rebanded codes;
+    (5) re-running reband with no further growth is a logged no-op."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators import similarity
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        _ANN_MANIFEST,
+        append_ann_indexes,
+        load_ann_indexes,
+        persist_ann_indexes,
+        reband_ann_lsh,
+    )
+
+    rng = np.random.RandomState(14)
+
+    def vec_rows(ids):
+        return [(int(i), [float(x) for x in rng.rand(64) - 0.5]) for i in ids]
+
+    base_dir = str(tmp_path / "growfx")
+    spark.createDataFrame(
+        vec_rows(range(120)), "vec_id long, embedding array<float>"
+    ).withColumn("label", (F.col("vec_id") % 4).cast("int")).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    store = str(tmp_path / "grow_store")
+    clear_session_caches()
+    persist_ann_indexes(spark, base_dir, store)
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m0 = json.load(f)
+    assert m0["lsh_geometry"][0] == 4  # smallest b with 2^b*8 >= 120
+
+    # (1) grow to 140 under the frozen geometry
+    append_ann_indexes(
+        spark,
+        spark.createDataFrame(
+            vec_rows(range(1000, 1020)), "vec_id long, embedding array<float>"
+        ),
+        store,
+    )
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m1 = json.load(f)
+    assert m1["lsh_geometry"][0] == 4
+    assert m1["rows"]["vec_norms"] == 140
+
+    # (2)+(3) reband: g follows the grown count; codes == fresh kernel
+    g, d, n_codes = reband_ann_lsh(spark, store)
+    assert (g, d) == (5, 64)  # 2^4*8=128 < 140 <= 2^5*8
+    assert n_codes == 140 * similarity._LSH_TABLES
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m2 = json.load(f)
+    assert m2["lsh_geometry"] == [5, 64]
+    assert m2["rows"]["lsh_codes"] == n_codes
+    assert m2["rebanded"][-1] == {"g": 5, "n": 140, "noop": False}
+    stored_codes = _canon_rows(
+        spark.read.parquet(os.path.join(store, "lsh_codes"))
+    )
+    fresh = _canon_rows(
+        spark.read.parquet(os.path.join(store, "vec_norms"))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .select(
+            "vec_id",
+            F.posexplode(similarity._lsh_codes_udf(5, 64)("v")).alias(
+                "table_id", "code"
+            ),
+        )
+    )
+    assert stored_codes == fresh
+
+    # (4) the maintained store loads despite fixture-derivation drift
+    # (base fixture still derives g=4) and serves the rebanded codes
+    clear_session_caches()
+    load_ann_indexes(spark, base_dir, store)
+    key = similarity.session_cache_key(spark, base_dir, "embeddings")
+    served = _canon_rows(similarity._LSH_CODES_CACHE[key])
+    assert served == stored_codes
+
+    # (5) a second reband with no growth is a logged no-op
+    g2, _d2, n2 = reband_ann_lsh(spark, store)
+    assert (g2, n2) == (5, n_codes)
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m3 = json.load(f)
+    assert m3["rebanded"][-1]["noop"] is True
     clear_session_caches()
