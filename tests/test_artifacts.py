@@ -759,3 +759,37 @@ def test_ann_store_reband_after_growth(spark, tmp_path):
         m3 = json.load(f)
     assert m3["rebanded"][-1]["noop"] is True
     clear_session_caches()
+
+
+def test_ann_maintenance_cycle_runbook(spark, tmp_path):
+    """The tools/ann_maintenance.py runbook end to end at sf0.001: one
+    cycle of build -> append -> drift report -> tombstone -> compact ->
+    reband -> reload + probe health, asserting every gate the CLI's
+    ``healthy`` verdict folds: arrivals appended to every table, a
+    non-negative drift report covering the full slice, deletes
+    reclaimed by compaction, a positive rebanded code count, and the
+    probe serving exactly the survivor set (appended survivor collides,
+    deleted vector doesn't)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from ann_maintenance import run_cycle
+
+    store = str(tmp_path / "maint_store")
+    r = run_cycle(spark, SF_DIR, store)
+    assert r["healthy"] is True, r
+    assert r["appended"]["vec_norms"] > 0
+    assert r["drift"]["n_arrivals"] == r["appended"]["vec_norms"]
+    assert r["drift"]["min_margin"] >= 0
+    assert r["tombstoned"] > 0
+    assert r["compacted"]["vec_norms"] == r["tombstoned"]
+    assert r["rebanded"]["lsh_codes"] == (
+        r["serving_rows"]["vec_norms"] * 16
+    )
+    assert r["health"] == {
+        "probe_index": True,
+        "appended_served": True,
+        "deleted_not_served": True,
+    }
