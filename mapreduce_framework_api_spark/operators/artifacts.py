@@ -355,6 +355,26 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return counts
 
 
+def _require_live_manifest(out_dir: str, manifest_name: str) -> None:
+    """Maintenance-op precondition: the store must have a LIVE manifest
+    before the writer guard moves it aside. Without this check every
+    maintenance op would fall through to the ``.stale`` file — which on
+    a crash-recovered store (stranded lockfile deleted per the
+    documented recovery, live manifest gone) is the PRE-CRASH manifest
+    describing half-overwritten tables: the op would maintain the
+    corrupted store and land a fresh manifest, silently resurrecting
+    it. A store with no loadable manifest must be re-persisted, not
+    maintained; a store with NO manifest at all gets the same named
+    error instead of a FileNotFoundError on the .stale path."""
+    if not os.path.exists(os.path.join(out_dir, manifest_name)):
+        raise ValueError(
+            f"ANN store at {out_dir} has no loadable manifest (never "
+            f"built, or a crashed persist left it refusing loads) — "
+            f"maintenance ops require a consistent store; re-run "
+            f"persist_ann_indexes"
+        )
+
+
 def append_ann_indexes(
     spark: SparkSession, new_vecs, out_dir: str
 ) -> dict:
@@ -382,6 +402,7 @@ def append_ann_indexes(
 
     from mapreduce_framework_api_spark.operators import similarity
 
+    _require_live_manifest(out_dir, _ANN_MANIFEST)
     with _writer_guard(out_dir, _ANN_MANIFEST):
         # the guard just moved the live manifest aside; read the frozen
         # state from there so two serialized appenders each see the
@@ -411,10 +432,14 @@ def append_ann_indexes(
         appended = {}
         for name, df in frames.items():
             path = os.path.join(out_dir, name)
+            # checkpoint-then-count BEFORE the append: counting the
+            # batch frame (O(batch)) instead of re-scanning the whole
+            # grown table (O(store)) — at production store sizes the
+            # full recount would dominate every small append
+            df = df.localCheckpoint()
+            appended[name] = df.count()
             df.write.mode("append").parquet(path)
-            total = spark.read.parquet(path).count()
-            appended[name] = total - manifest["rows"][name]
-            manifest["rows"][name] = total
+            manifest["rows"][name] += appended[name]
         manifest.setdefault("appended", []).append(appended)
         _write_manifest(out_dir, _ANN_MANIFEST, manifest)
     return appended
@@ -439,6 +464,7 @@ def tombstone_ann_indexes(spark: SparkSession, ids, out_dir: str) -> int:
     tombstone), then append; the shadow behavior is pinned in
     tests/test_artifacts.py. Runs under _writer_guard like every
     store write. Returns the number of NEW distinct ids tombstoned."""
+    _require_live_manifest(out_dir, _ANN_MANIFEST)
     with _writer_guard(out_dir, _ANN_MANIFEST):
         with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
             manifest = json.load(f)
@@ -478,6 +504,7 @@ def compact_ann_indexes(spark: SparkSession, out_dir: str) -> dict:
 
     from pyspark.sql.functions import broadcast
 
+    _require_live_manifest(out_dir, _ANN_MANIFEST)
     with _writer_guard(out_dir, _ANN_MANIFEST):
         with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
             manifest = json.load(f)
@@ -532,6 +559,7 @@ def reband_ann_lsh(spark: SparkSession, out_dir: str) -> tuple[int, int, int]:
         _lsh_g_for,
     )
 
+    _require_live_manifest(out_dir, _ANN_MANIFEST)
     with _writer_guard(out_dir, _ANN_MANIFEST):
         with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
             manifest = json.load(f)

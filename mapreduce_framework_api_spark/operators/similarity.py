@@ -836,6 +836,51 @@ def _ivf_assign_ctes(src: str = "embeddings") -> str:
 _IVF_ASSIGN_CTES = _ivf_assign_ctes()
 
 
+def _md5_topk_seed(df, k: int, salt: str | None = None):
+    """The md5 top-K seed pull shared by EVERY deterministic quantizer /
+    codebook build (fixed-K IVF, PQ codebooks, the corpus-scaled router,
+    both frozen-base maintenance universes, SemDeDup, search-split):
+    ORDER BY md5(salt-prefixed vec_id) THEN vec_id, take K, return the
+    (vec_id, embedding) pandas frame re-sorted by vec_id (possibly
+    empty). ONE definition of the seed tie rule — the r14 self-review's
+    dedup ask: a tie-rule or validation fix lands in every universe at
+    once, and an engine/oracle drift would have to touch this single
+    function to happen."""
+    h = (
+        F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string")))
+        if salt is not None
+        else F.md5(F.col("vec_id").cast("string"))
+    )
+    return (
+        df.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+
+
+def _env_int_knob(name: str, default: int, hi: int) -> int:
+    """Shared parser for the query-time probe-count knobs (one
+    definition — a validation fix lands in every tier at once, the r14
+    self-review's dedup ask): unset -> the shipped default (so the
+    registered oracles, pinned to defaults, always match the driver's
+    unset runs); set -> an integer in [1, hi], validated eagerly
+    because nprobe=0 would silently produce empty probe expansions and
+    a non-integer an opaque plan-build error."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from None
+    if not 1 <= n <= hi:
+        raise ValueError(f"{name} must be in [1, {hi}], got {n}")
+    return n
+
+
 def _ivf_nprobe() -> int:
     """Query-time probe count. Env-tunable (SPARK_GRAFT_IVF_NPROBE) for
     the operating-point sweep — the recall-vs-cost knob a production
@@ -851,20 +896,7 @@ def _ivf_nprobe() -> int:
     produce EMPTY probe lists — zero rows, silently — and a non-integer
     would surface as an opaque plan-build ValueError, so both fail fast
     here with a named error instead."""
-    raw = os.environ.get("SPARK_GRAFT_IVF_NPROBE")
-    if raw is None:
-        return _IVF_NPROBE
-    try:
-        n = int(raw)
-    except ValueError:
-        raise ValueError(
-            f"SPARK_GRAFT_IVF_NPROBE must be an integer, got {raw!r}"
-        ) from None
-    if not 1 <= n <= _IVF_K:
-        raise ValueError(
-            f"SPARK_GRAFT_IVF_NPROBE must be in [1, {_IVF_K}], got {n}"
-        )
-    return n
+    return _env_int_knob("SPARK_GRAFT_IVF_NPROBE", _IVF_NPROBE, _IVF_K)
 
 
 # Session cache for the IVF serving index: (assigned frame, int64
@@ -896,14 +928,7 @@ def ivf_index(spark: SparkSession, sf_dir: str):
         return _IVF_INDEX_CACHE[key]
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = (
-        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(_IVF_K)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    seed = _md5_topk_seed(e, _IVF_K)
     if seed.empty:
         _IVF_INDEX_CACHE[key] = None
         return None
@@ -1229,16 +1254,7 @@ def _pq_index_build(
         return cache[key]
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = (
-        e.withColumn(
-            "h", F.md5(F.concat(F.lit(seed_tag), F.col("vec_id").cast("string")))
-        )
-        .orderBy("h", "vec_id")
-        .limit(K)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    seed = _md5_topk_seed(e, K, seed_tag)
     if seed.empty:
         cache[key] = None
         return None
@@ -2042,20 +2058,7 @@ def _hq_nprobe() -> int:
     (q_sim_ivfpq_probe) deliberately does NOT read this knob — its
     threshold-emit contract and streaming twin are pinned to the
     shipped default."""
-    raw = os.environ.get("SPARK_GRAFT_IVFPQ_HQ_NPROBE")
-    if raw is None:
-        return _HQ_NPROBE
-    try:
-        n = int(raw)
-    except ValueError:
-        raise ValueError(
-            f"SPARK_GRAFT_IVFPQ_HQ_NPROBE must be an integer, got {raw!r}"
-        ) from None
-    if not 1 <= n <= _IVF_K:
-        raise ValueError(
-            f"SPARK_GRAFT_IVFPQ_HQ_NPROBE must be in [1, {_IVF_K}], got {n}"
-        )
-    return n
+    return _env_int_knob("SPARK_GRAFT_IVFPQ_HQ_NPROBE", _HQ_NPROBE, _IVF_K)
 
 # The full HQ CTE chain (assignment → codebook → codes → probes → ADC →
 # ranked), shared verbatim by the tier oracle, its recall oracle, the
@@ -2063,8 +2066,29 @@ def _hq_nprobe() -> int:
 # oracle — one chain, many consumers, zero drift. ``cand_pred`` appends
 # a predicate to the candidate CTE's WHERE — the hybrid-search filter,
 # applied BEFORE ADC scoring exactly where the Spark plan applies it.
-def _ivfpq_hq_chain(cand_pred: str = "") -> str:
-    return f"""{_IVF_ASSIGN_CTES}, pqe AS (
+def _ivfpq_hq_chain(
+    cand_pred: str = "",
+    assign_ctes: str | None = None,
+    probes_body: str | None = None,
+) -> str:
+    """ONE HQ codebook/ADC CTE chain for every composed oracle (the
+    tier, its recall, the exact rerank, the filtered search, AND — via
+    ``assign_ctes``/``probes_body`` — the corpus-scaled router): the
+    r14 self-review found the scaled oracle carrying a verbatim copy of
+    these CTEs, the exact drift channel the 'one chain, many consumers'
+    invariant exists to close. ``assign_ctes`` swaps the router prefix
+    (default: the fixed-K _IVF_ASSIGN_CTES); ``probes_body`` swaps the
+    probe-width predicate (default: the shipped _HQ_NPROBE; the scaled
+    chain reads its derived np from the npp CTE); ``cand_pred`` appends
+    the hybrid-search filter to the candidate CTE's WHERE."""
+    if assign_ctes is None:
+        assign_ctes = _IVF_ASSIGN_CTES
+    if probes_body is None:
+        probes_body = (
+            f"SELECT vec_id AS q_id, c AS cluster FROM probe_rank "
+            f"WHERE pr <= {_HQ_NPROBE}"
+        )
+    return f"""{assign_ctes}, pqe AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
@@ -2096,7 +2120,7 @@ def _ivfpq_hq_chain(cand_pred: str = "") -> str:
     FROM d
   ) WHERE rk = 1
 ), probes AS (
-  SELECT vec_id AS q_id, c AS cluster FROM probe_rank WHERE pr <= {_HQ_NPROBE}
+  {probes_body}
 ), cand AS (
   SELECT DISTINCT p.q_id, a.vec_id AS n_id
   FROM probes p JOIN assigned a USING (cluster)
@@ -2391,24 +2415,12 @@ def _ivf_scaled_nprobe(k: int) -> int:
     (SPARK_GRAFT_IVF_SCALED_NPROBE) for the operating-curve sweep, the
     _ivf_nprobe recipe — the registered oracle is pinned to the derived
     default, so the driver's differential check always runs unset."""
-    raw = os.environ.get("SPARK_GRAFT_IVF_SCALED_NPROBE")
-    if raw is None:
-        return min(
-            _IVF_SCALED_PROBE_DEPTH,
-            max(_IVF_SCALED_NPROBE_MIN, math.ceil(math.sqrt(k))),
-        )
-    try:
-        n = int(raw)
-    except ValueError:
-        raise ValueError(
-            f"SPARK_GRAFT_IVF_SCALED_NPROBE must be an integer, got {raw!r}"
-        ) from None
-    if not 1 <= n <= _IVF_SCALED_PROBE_DEPTH:
-        raise ValueError(
-            f"SPARK_GRAFT_IVF_SCALED_NPROBE must be in "
-            f"[1, {_IVF_SCALED_PROBE_DEPTH}], got {n}"
-        )
-    return n
+    return _env_int_knob(
+        "SPARK_GRAFT_IVF_SCALED_NPROBE",
+        min(_IVF_SCALED_PROBE_DEPTH,
+            max(_IVF_SCALED_NPROBE_MIN, math.ceil(math.sqrt(k)))),
+        _IVF_SCALED_PROBE_DEPTH,
+    )
 
 
 _IVF_SCALED_INDEX_CACHE: dict[tuple, tuple | None] = {}
@@ -2433,17 +2445,7 @@ def ivf_scaled_index(spark: SparkSession, sf_dir: str):
 
     k = _ivf_scaled_k(_parquet_row_count(sf_dir, "embeddings"))
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = (
-        e.withColumn(
-            "h",
-            F.md5(F.concat(F.lit(_IVF_SCALED_SALT), F.col("vec_id").cast("string"))),
-        )
-        .orderBy("h", "vec_id")
-        .limit(k)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    seed = _md5_topk_seed(e, k, _IVF_SCALED_SALT)
     if seed.empty:
         _IVF_SCALED_INDEX_CACHE[key] = None
         return None
@@ -2522,62 +2524,11 @@ _IVF_SCALED_ASSIGN_CTES = f"""iv AS (
 
 # Scaled chain composed with the SAME HQ codebook CTEs as _IVFPQ_HQ_CHAIN
 # (pqe/hqseed/.../code verbatim — one codebook definition, two routers).
-_IVFPQ_SCALED_CHAIN = f"""{_IVF_SCALED_ASSIGN_CTES}, pqe AS (
-  SELECT vec_id,
-         list_transform(embedding,
-             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
-  FROM embeddings
-), hqseed AS (
-  SELECT vec_id, piv FROM pqe
-  ORDER BY md5('pqhq#' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {_HQ_K}
-), hqcb AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, piv FROM hqseed
-), ms AS (
-  SELECT unnest(range(0, {_HQ_M})) AS m
-), cbm AS (
-  SELECT k, m, hqcb.piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS c
-  FROM hqcb CROSS JOIN ms
-), xm AS (
-  SELECT vec_id, m, piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS x
-  FROM pqe CROSS JOIN ms
-), d AS (
-  SELECT x.vec_id, x.m, c.k,
-         list_dot_product(x.x, x.x)
-           - 2 * list_dot_product(x.x, c.c)
-           + list_dot_product(c.c, c.c) AS d2
-  FROM xm x JOIN cbm c ON x.m = c.m
-), code AS (
-  SELECT vec_id, m, k FROM (
-    SELECT vec_id, m, k,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                              ORDER BY d2 ASC, k ASC) AS rk
-    FROM d
-  ) WHERE rk = 1
-), probes AS (
-  SELECT vec_id AS q_id, c AS cluster
-  FROM probe_rank, npp WHERE pr <= npp.np
-), cand AS (
-  SELECT DISTINCT p.q_id, a.vec_id AS n_id
-  FROM probes p JOIN assigned a USING (cluster)
-  WHERE p.q_id <> a.vec_id
-), qm AS (
-  SELECT vec_id AS q_id, m,
-         piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS q
-  FROM pqe CROSS JOIN ms
-), adc AS (
-  SELECT c.q_id, c.n_id,
-         CAST(SUM(list_dot_product(qm.q, cbm.c)) AS BIGINT) AS adc_score
-  FROM cand c
-  JOIN qm ON qm.q_id = c.q_id
-  JOIN code co ON co.vec_id = c.n_id AND co.m = qm.m
-  JOIN cbm ON cbm.m = co.m AND cbm.k = co.k
-  GROUP BY c.q_id, c.n_id
-), ranked AS (
-  SELECT q_id AS vec_id, n_id AS neighbor_id, adc_score,
-         ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY adc_score DESC, n_id ASC) AS rk
-  FROM adc
-)"""
+_IVFPQ_SCALED_CHAIN = _ivfpq_hq_chain(
+    assign_ctes=_IVF_SCALED_ASSIGN_CTES,
+    probes_body="""SELECT vec_id AS q_id, c AS cluster
+  FROM probe_rank, npp WHERE pr <= npp.np""",
+)
 
 _IVFPQ_SCALED_ORACLE = f"""
 WITH {_IVFPQ_SCALED_CHAIN}
@@ -2923,16 +2874,32 @@ def ivfpq_probe_check(
             v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             iv = np.floor(v * _IVF_SCALE).astype(np.int64)
             order = np.argsort(-(iv @ cq.T), axis=1, kind="stable")[:, :nprobe]
+            # qkey: a 16-byte md5 of the embedding's float64 bytes,
+            # computed ONCE per arrival here (nprobe copies) and carried
+            # through the join — the ADC stage groups on it, so the
+            # per-candidate-row keying cost (O(|join| x d) interpreted
+            # Python, flagged by the r14 self-review in this CPU-gated
+            # cell) never happens, and the 16 B digest (not the 512 B
+            # raw vector) keeps the joined rows' Arrow payload flat.
+            # md5 distinctness is the same exactness class as every
+            # md5-derived split/seed in this engine.
+            import hashlib
+
+            qkey = np.array(
+                [hashlib.md5(v[i].tobytes()).digest() for i in range(len(pdf))],
+                dtype=object,
+            )
             yield pd.DataFrame(
                 {
                     "new_id": pdf["vec_id"].to_numpy().repeat(nprobe),
                     "q_emb": pdf["embedding"].to_numpy().repeat(nprobe),
+                    "qkey": qkey.repeat(nprobe),
                     "cluster": order.reshape(-1).astype("int64"),
                 }
             )
 
     probed = clean.mapInPandas(
-        probe, schema="new_id long, q_emb array<float>, cluster long"
+        probe, schema="new_id long, q_emb array<float>, qkey binary, cluster long"
     )
     j = probed.join(probe_index, "cluster")
 
@@ -2947,11 +2914,9 @@ def ivfpq_probe_check(
             # keying on new_id silently scored the whole group with the
             # first row's vector, and pandas/micro-batch order decided
             # which — ADVICE r13). Byte-keying keeps the
-            # one-LUT-per-distinct-query amortization.
-            key = pdf["q_emb"].map(
-                lambda a: np.asarray(a, dtype=np.float64).tobytes()
-            )
-            for _, grp in pdf.groupby(key, sort=False):
+            # one-LUT-per-distinct-query amortization; the key arrives
+            # precomputed from the probe stage.
+            for _, grp in pdf.groupby("qkey", sort=False):
                 q = np.asarray(grp["q_emb"].iloc[0], dtype=np.float64)
                 qi = np.floor(q * _PQ_SCALE).astype(np.int64).reshape(_HQ_M, _HQ_SUB)
                 codes = np.stack(grp["codes"].to_numpy()).astype(np.int64)
@@ -3209,16 +3174,7 @@ def frozen_base_state(spark: SparkSession, sf_dir: str):
     )
 
     def _seed(salt: str, k: int):
-        pdf = (
-            base.withColumn(
-                "h", F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string")))
-            )
-            .orderBy("h", "vec_id")
-            .limit(k)
-            .select("vec_id", "embedding")
-            .toPandas()
-            .sort_values("vec_id")
-        )
+        pdf = _md5_topk_seed(base, k, salt)
         return None if pdf.empty else np.stack(pdf["embedding"].to_numpy()).astype(
             np.float64
         )
@@ -3457,7 +3413,13 @@ def ann_append_frames(
             "vec_id",
             F.posexplode(_lsh_codes_udf(g, gd)("v")).alias("table_id", "code"),
         )
-    hq = ivfpq_append_check(clean, cq, hq_cbook)
+    # localCheckpoint: the hq frame feeds TWO stored tables (membership
+    # and codes); without it each table's write re-runs the full Arrow
+    # assign+encode pass — doubling exactly the cost the lane's "one
+    # kernel pass per arrival" contract promises to pay once. (The pq
+    # and scaled frames below are genuinely different computations —
+    # different codebook / quantizer — not duplicates.)
+    hq = ivfpq_append_check(clean, cq, hq_cbook).localCheckpoint()
     frames["ivf_assigned"] = hq.select("vec_id", "embedding", "cluster", "probes")
     frames["pq_hq_codes"] = hq.select("vec_id", "codes")
     frames["pq_codes"] = ivfpq_append_check(clean, cq, cbook).select(
@@ -3768,19 +3730,7 @@ def scaled_frozen_base_state(spark: SparkSession, sf_dir: str):
         .filter(~_hash_split("pqsplit"))
     )
     k = _ivf_scaled_k(base.count())
-    pdf = (
-        base.withColumn(
-            "h",
-            F.md5(
-                F.concat(F.lit(_SCALED_BASE_SALT), F.col("vec_id").cast("string"))
-            ),
-        )
-        .orderBy("h", "vec_id")
-        .limit(k)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    pdf = _md5_topk_seed(base, k, _SCALED_BASE_SALT)
     if pdf.empty:
         _SCALED_STATE_CACHE[key] = None
         return None
@@ -3855,7 +3805,11 @@ def q_sim_index_drift_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest). Cost at 100 TB: the monitor rides the append pass the
     arrivals already pay — the signal is free."""
     cq = scaled_frozen_base_state(spark, sf_dir)
-    if cq is None:
+    if cq is None or cq.shape[0] < 2:
+        # the <2-centroid guard the fixed-K twin carries: with one list
+        # there is no runner-up — the kernel degenerates to margin 0
+        # while the oracle's pr=2 join returns zero rows; empty is the
+        # consistent answer on both sides
         return spark.createDataFrame(
             [], "cluster long, n_new long, margin_sum long, min_margin long"
         )
@@ -4429,14 +4383,7 @@ def _semdedup_pairs_build(spark: SparkSession, emb_factory, n_rows: int) -> Data
         e = emb_factory()
         # Same bounded driver-side quantizer build as q_sim_ivf_topk: the
         # _IVF_K seed rows with the smallest md5(vec_id).
-        seed = (
-            e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-            .orderBy("h", "vec_id")
-            .limit(_IVF_K)
-            .select("vec_id", "embedding")
-            .toPandas()
-            .sort_values("vec_id")
-        )
+        seed = _md5_topk_seed(e, _IVF_K)
         if seed.empty:
             return spark.createDataFrame(
                 [], "vec_a long, vec_b long, cluster long, cos double"
@@ -4857,16 +4804,11 @@ def _corpus_seed_centroids(spark: SparkSession, sf_dir: str):
     models the one-shot batch dedup of a complete corpus)."""
     import numpy as np
 
-    seed = (
+    seed = _md5_topk_seed(
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .filter(~sem_is_new())
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(_IVF_K)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
+        .filter(~sem_is_new()),
+        _IVF_K,
     )
     if seed.empty:
         return None

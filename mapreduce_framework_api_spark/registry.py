@@ -161,8 +161,13 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_index_delete_audit",
     "q_sim_index_drift",
     "q_sim_index_drift_scaled",
-    "q_agg_basic",
-    "q_agg_cube",
+    # (2) code materially changed this round: ivfpq_probe_check's
+    # dup-id scoring was rekeyed per embedding value (ADVICE r13) and
+    # the HQ tier rewired through the parameterized search/chain
+    # helpers — the standing policy re-verifies changed paths under the
+    # driver, displacing the last two r11 fill rows.
+    "q_sim_ivfpq_probe",
+    "q_sim_ivfpq_hq_topk",
 )
 
 

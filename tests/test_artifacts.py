@@ -793,3 +793,47 @@ def test_ann_maintenance_cycle_runbook(spark, tmp_path):
         "appended_served": True,
         "deleted_not_served": True,
     }
+
+
+def test_maintenance_ops_refuse_crash_recovered_store(spark, tmp_path):
+    """A crash-recovered store (live manifest gone, forensic .stale
+    left behind — the _writer_guard crash state after the documented
+    lockfile cleanup) must REFUSE every maintenance op with the named
+    error, not fall through to the pre-crash .stale manifest and
+    silently resurrect half-written tables (r14 self-review finding).
+    A store with no manifest at all gets the same named error instead
+    of a FileNotFoundError."""
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        _ANN_MANIFEST,
+        append_ann_indexes,
+        compact_ann_indexes,
+        persist_ann_indexes,
+        reband_ann_lsh,
+        tombstone_ann_indexes,
+    )
+
+    store = str(tmp_path / "crashed_store")
+    clear_session_caches()
+    persist_ann_indexes(spark, SF_DIR, store)
+    # simulate the crash state: live manifest moved aside, never restored
+    live = os.path.join(store, _ANN_MANIFEST)
+    os.replace(live, live + ".stale")
+
+    arrivals = spark.createDataFrame(
+        [(990100, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    ids = spark.createDataFrame([(1,)], "vec_id long")
+    for op in (
+        lambda: append_ann_indexes(spark, arrivals, store),
+        lambda: tombstone_ann_indexes(spark, ids, store),
+        lambda: compact_ann_indexes(spark, store),
+        lambda: reband_ann_lsh(spark, store),
+    ):
+        with pytest.raises(ValueError, match="no loadable manifest"):
+            op()
+    # never-built store: same named error, no FileNotFoundError
+    empty = str(tmp_path / "never_built")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no loadable manifest"):
+        compact_ann_indexes(spark, empty)
+    clear_session_caches()
