@@ -80,94 +80,71 @@ _LOADED = False
 # the suite is green at the round boundary too — the structural
 # cross-boundary red of rounds 7-8 is gone by construction.
 #
-# Round-14 window, by the standing policy (rotate-first commit):
-# (3) staleness retirement — ALL 40 remaining r10-era receipts (the exact
-# list the r01..r13 receipt union yields at the round-13 boundary,
-# recomputed from CORRECTNESS_r*.json this round; after this round no
-# receipt older than r11 remains — the VERDICT r13 task-3 "done"
-# condition). This is the mandatory block the round-13 comment promised.
-# Remaining free slots (10) start as the stalest r11 receipts in
-# deterministic (alphabetical) order; as round-14 feature work lands
-# (the corpus-scaled IVF operating point, filtered ANN, the index
-# append lane — VERDICT r13 tasks 1/5/6), each NEW query swaps into a
-# fill slot per policy clause (1), displacing the r11 row back out —
-# displaced rows keep their r11 receipt, inside the horizon-r11 bound
-# at the r14 boundary, and rotate in round 15.
-#
+# Round-15 window, by the standing policy (rotate-first commit):
+# (3) staleness retirement — ALL 50 remaining r11-era receipts (the exact
+# list the r01..r14 receipt union yields at the round-14 boundary,
+# recomputed from CORRECTNESS_r*.json this round; the VERDICT r14 task-5
+# block). This round the geometry is SATURATED: the stale block is exactly
+# window-sized, so per standing policy clause (1) each NEW round-15 query
+# swaps into a slot as it lands, displacing the alphabetically-LAST
+# remaining r11 row back out. Displaced rows keep their r11 receipt — the
+# maximum staleness this produces (re-verified r16, 5 rounds old) is
+# exactly the ceil(N/50)-round steady-state bound for a registry that has
+# outgrown 200 queries, which test_window_policy now derives from the
+# registry size instead of hard-coding 3 rounds (see its docstring for
+# the derivation). Displacement order is deterministic: reverse-
+# alphabetical from the end of the retirement block below.
 _WINDOW: tuple[str, ...] = (
-    # (1) new this round, no driver receipt yet: the corpus-scaled
-    # coarse-quantizer operating point (K ~ sqrt(N) md5 seeds, nprobe ~
-    # N^(1/4); VERDICT r13 task 1) + its recall instrument — both
-    # full-oracle (the scaled CTE chain derives K and nprobe from
-    # COUNT(*), so the oracle self-scales with the corpus).
-    "q_sim_ivfpq_scaled_topk",
-    "q_sim_ivfpq_scaled_recall",
-    # ... the filtered (hybrid) ANN point (predicate pushed into the HQ
-    # tier before ADC scoring; VERDICT r13 task 5) + its recall
-    # instrument vs the filtered exact truth — both full-oracle.
-    "q_sim_filtered_topk",
-    "q_sim_filtered_recall",
-    # ... and the index-append maintenance audit (arrivals assigned +
-    # encoded under the frozen base quantizer/codebooks; VERDICT r13
-    # task 6) — full-oracle down to a per-row code checksum.
-    "q_sim_index_append_audit",
-    # (3) staleness retirement: every remaining r10-era receipt (40)
-    "q_dedup_prefix_incremental",
-    "q_dedup_repeated_chunks",
-    "q_dedup_report",
-    "q_dedup_semdedup_incremental",
-    "q_dim_scd2",
-    "q_events_gapfill",
-    "q_events_heatmap",
-    "q_events_interpolate",
-    "q_filter_pred",
-    "q_fn_array",
-    "q_fn_conditional",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_string",
-    "q_graph_bfs",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_multimodal_audio_stats",
-    "q_multimodal_video_frames",
-    "q_mv_incremental",
-    "q_pipe_end_to_end",
-    "q_pipe_interleave",
-    "q_pipe_quantile_norm",
-    "q_pipe_snapshot_diff",
-    "q_pipe_split_leakage",
-    "q_pipe_token_budget",
-    "q_privacy_kanonymity",
-    "q_sim_ann_lsh",
-    "q_sim_cosine_topk",
-    "q_sim_ivf_topk",
-    "q_sim_knn_classify",
-    "q_sim_outliers",
-    "q_sim_search_split",
-    "q_stream_topk_windowed",
-    "q_text_bpe_encode",
-    "q_text_bpe_merges",
-    "q_text_inverted_index",
-    "q_text_langid_confusion",
-    # fill block: stalest-r11, alphabetical; new r14 queries swap in here
-    # (1) new mid-round, no driver receipt yet: the index-maintenance
-    # DELETE audit (tombstone slice's per-list shrink report under the
-    # frozen base state) and the routing-drift monitor (pure-JVM top-2
-    # margin scan) — both full-oracle; each displaces one r11 fill row
-    # per policy clause (1).
-    "q_sim_index_delete_audit",
-    "q_sim_index_drift",
-    "q_sim_index_drift_scaled",
-    # (2) code materially changed this round: ivfpq_probe_check's
-    # dup-id scoring was rekeyed per embedding value (ADVICE r13) and
-    # the HQ tier rewired through the parameterized search/chain
-    # helpers — the standing policy re-verifies changed paths under the
-    # driver, displacing the last two r11 fill rows.
-    "q_sim_ivfpq_probe",
-    "q_sim_ivfpq_hq_topk",
+    "q_agg_basic",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_mode",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_skew_salted",
+    "q_dedup_containment",
+    "q_dedup_containment_est",
+    "q_dedup_containment_est_recall",
+    "q_dedup_exact",
+    "q_dedup_latest",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_prefix",
+    "q_dedup_semdedup",
+    "q_dedup_semdedup_recall_planted",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_fn_json",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_interval_overlap",
+    "q_join_left",
+    "q_join_multi",
+    "q_join_range_binned",
+    "q_join_semi",
+    "q_join_skew_salted",
+    "q_join_star",
+    "q_join_temporal",
+    "q_join_theta_range",
+    "q_multimodal_audio_real",
+    "q_multimodal_image_real",
+    "q_multimodal_meta",
+    "q_multimodal_stats",
+    "q_multimodal_video_real",
+    "q_pipe_keep_first",
+    "q_pipe_length_hist",
+    "q_pipe_pii_scrub",
+    "q_pipe_quota_cap",
+    "q_pipe_sample_hash",
+    "q_pipe_split_assign",
+    "q_pipe_split_by_cluster",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_text_surprisal",
+    "q_text_tokens",
+    "q_text_zipf",
+    "q_win_range_frame",
+    "q_win_topk_group",
 )
 
 
