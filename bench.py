@@ -288,13 +288,15 @@ def _timed_board(spark, registry, sf_dir: str) -> tuple[dict, dict, dict]:
             reps = []
             for _ in range(_CPU_WARM_REPS):
                 pre, watermark = _executor_cpu_since(spark, 0)
-                q.fn(spark, sf_dir).count()
                 if pre is None:
                     # the watermark read failed (REST timeout / listener
                     # lag): from_stage degraded to 0, so the post-read
                     # would attribute the WHOLE SESSION's executor CPU
-                    # to this rep — invalidate the rep instead
+                    # to this rep — skip BEFORE paying the rep's full
+                    # execution (these are the two most expensive
+                    # metered queries; ADVICE r14), not after
                     continue
+                q.fn(spark, sf_dir).count()
                 cpu, _ = _executor_cpu_since(spark, watermark)
                 if cpu is not None:
                     reps.append(cpu)

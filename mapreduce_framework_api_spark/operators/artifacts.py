@@ -313,6 +313,23 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
     os.makedirs(out_dir, exist_ok=True)
     with _writer_guard(out_dir, _ANN_MANIFEST):
+        # A rebuild RESETS the store: clear maintenance residue from any
+        # prior life first (ADVICE r14). A crash-recovered re-persist
+        # (stranded lockfile deleted, manifest gone) would otherwise
+        # leave the old tombstone file on disk while the fresh manifest
+        # says pending_tombstones=0 — a later tombstone_ann_indexes call
+        # skips its dedup anti-join on the manifest counter and APPENDS
+        # to the stale file, and the next load/compact then anti-joins
+        # ids never tombstoned in the rebuilt store, silently dropping
+        # live vectors. Same for orphaned mid-op temp directories.
+        import shutil
+
+        stale_tomb = os.path.join(out_dir, _TOMBSTONES)
+        if os.path.isdir(stale_tomb):
+            shutil.rmtree(stale_tomb)
+        for entry in os.listdir(out_dir):
+            if entry.endswith((".__compacting", ".__rebanding", ".__retraining")):
+                shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
         frames = {"vec_norms": similarity.vec_norm_table(spark, sf_dir)}
         lsh = similarity.lsh_code_table(spark, sf_dir)
         if lsh is not None:
@@ -365,7 +382,24 @@ def _require_live_manifest(out_dir: str, manifest_name: str) -> None:
     corrupted store and land a fresh manifest, silently resurrecting
     it. A store with no loadable manifest must be re-persisted, not
     maintained; a store with NO manifest at all gets the same named
-    error instead of a FileNotFoundError on the .stale path."""
+    error instead of a FileNotFoundError on the .stale path.
+
+    Ordering vs the lock (ADVICE r14): this precondition runs BEFORE the
+    caller acquires _writer_guard, and a maintenance op racing one that
+    already holds the guard sees the live manifest moved to ``.stale`` —
+    without the lockfile probe below it would raise the "re-run
+    persist_ann_indexes" error, and an operator following that message
+    would needlessly rebuild a HEALTHY store, losing all appended/
+    tombstoned state. So concurrency is surfaced first as the retryable
+    lock error; the probe is advisory (the authoritative race arbiter
+    remains the O_CREAT|O_EXCL open inside _writer_guard)."""
+    lock = os.path.join(out_dir, manifest_name + ".lock")
+    if os.path.exists(lock):
+        raise RuntimeError(
+            f"another persist is already writing {out_dir} (lockfile "
+            f"{lock} exists); wait for it, or delete the lockfile if it "
+            f"was stranded by a crash"
+        )
     if not os.path.exists(os.path.join(out_dir, manifest_name)):
         raise ValueError(
             f"ANN store at {out_dir} has no loadable manifest (never "
@@ -469,7 +503,15 @@ def tombstone_ann_indexes(spark: SparkSession, ids, out_dir: str) -> int:
         with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
             manifest = json.load(f)
         path = os.path.join(out_dir, _TOMBSTONES)
-        new = ids.select(F.col("vec_id").cast("long")).distinct()
+        # null ids can never match a stored row: unfiltered they would
+        # survive distinct(), inflate pending_tombstones permanently
+        # (the anti-join dedup can't retire them), and force the
+        # compaction machinery for a no-op tombstone (ADVICE r14)
+        new = (
+            ids.select(F.col("vec_id").cast("long"))
+            .filter(F.col("vec_id").isNotNull())
+            .distinct()
+        )
         if manifest.get("pending_tombstones", 0) > 0:
             new = new.join(spark.read.parquet(path), "vec_id", "left_anti")
         # count BEFORE the append: a lazy count after would re-read the

@@ -837,3 +837,120 @@ def test_maintenance_ops_refuse_crash_recovered_store(spark, tmp_path):
     with pytest.raises(ValueError, match="no loadable manifest"):
         compact_ann_indexes(spark, empty)
     clear_session_caches()
+
+
+def test_rebuild_clears_prior_life_maintenance_residue(spark, tmp_path):
+    """ADVICE r15 (medium): persist over a directory that carries
+    residue from a previous store life — a pending-tombstone file and
+    orphaned mid-op temp dirs (the crash-recovery replay: stranded
+    lockfile deleted, persist re-run) — must RESET that state. Without
+    the reset the fresh manifest says pending_tombstones=0 while the
+    stale tombstone file survives on disk; the next tombstone call
+    (gating its dedup anti-join on the manifest counter) appends to the
+    stale file, and load/compact then anti-join ids never tombstoned in
+    the rebuilt store — silently dropping live vectors."""
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        _ANN_MANIFEST,
+        _TOMBSTONES,
+        compact_ann_indexes,
+        persist_ann_indexes,
+        tombstone_ann_indexes,
+    )
+
+    store = str(tmp_path / "residue_store")
+    clear_session_caches()
+    counts = persist_ann_indexes(spark, SF_DIR, store)
+    victim_id = (
+        spark.read.parquet(os.path.join(store, "vec_norms"))
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0][0]
+    )
+    victim = spark.createDataFrame([(victim_id,)], "vec_id long")
+    assert tombstone_ann_indexes(spark, victim, store) == 1
+    # orphaned mid-op temp dir from a crashed compact of the prior life
+    os.makedirs(os.path.join(store, "pq_codes.__compacting"))
+
+    # the rebuild (same corpus — the crash-recovery replay)
+    rebuilt = persist_ann_indexes(spark, SF_DIR, store)
+    assert rebuilt == counts
+    assert not os.path.exists(os.path.join(store, _TOMBSTONES))
+    assert not os.path.exists(os.path.join(store, "pq_codes.__compacting"))
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        manifest = json.load(f)
+    assert manifest.get("pending_tombstones", 0) == 0
+
+    # the fresh life starts clean: one new tombstone pends exactly one
+    # id, and compaction removes rows for THAT id only (the stale file
+    # would have made it remove the prior life's victim too)
+    other_id = (
+        spark.read.parquet(os.path.join(store, "vec_norms"))
+        .select("vec_id")
+        .filter(F.col("vec_id") != victim_id)
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0][0]
+    )
+    other = spark.createDataFrame([(other_id,)], "vec_id long")
+    assert tombstone_ann_indexes(spark, other, store) == 1
+    removed = compact_ann_indexes(spark, store)
+    assert removed["vec_norms"] == 1
+    clear_session_caches()
+
+
+def test_maintenance_race_surfaces_the_retryable_lock_error(spark, tmp_path):
+    """ADVICE r15 (low): a maintenance op racing a writer that already
+    holds _writer_guard (lockfile present, live manifest moved to
+    .stale) must fail with the RETRYABLE lock error, not the 'no
+    loadable manifest … re-run persist_ann_indexes' error — an operator
+    following the latter message would rebuild a healthy store, losing
+    all appended/tombstoned state."""
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        _ANN_MANIFEST,
+        compact_ann_indexes,
+        persist_ann_indexes,
+        tombstone_ann_indexes,
+    )
+
+    store = str(tmp_path / "raced_store")
+    clear_session_caches()
+    persist_ann_indexes(spark, SF_DIR, store)
+    # simulate the in-flight writer: guard entry state
+    live = os.path.join(store, _ANN_MANIFEST)
+    os.replace(live, live + ".stale")
+    open(os.path.join(store, _ANN_MANIFEST + ".lock"), "w").close()
+
+    ids = spark.createDataFrame([(1,)], "vec_id long")
+    for op in (
+        lambda: tombstone_ann_indexes(spark, ids, store),
+        lambda: compact_ann_indexes(spark, store),
+    ):
+        with pytest.raises(RuntimeError, match="already writing"):
+            op()
+    clear_session_caches()
+
+
+def test_tombstone_filters_null_ids(spark, tmp_path):
+    """ADVICE r15 (low): a null vec_id can never match a stored row —
+    unfiltered it would survive distinct(), permanently inflate
+    pending_tombstones (the dedup anti-join cannot retire a null key),
+    and force compaction machinery for a no-op. Null ids must be
+    dropped before counting."""
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        _ANN_MANIFEST,
+        persist_ann_indexes,
+        tombstone_ann_indexes,
+    )
+
+    store = str(tmp_path / "null_ids_store")
+    clear_session_caches()
+    persist_ann_indexes(spark, SF_DIR, store)
+    ids = spark.createDataFrame(
+        [(None,), (990001,), (None,)], "vec_id long"
+    )
+    assert tombstone_ann_indexes(spark, ids, store) == 1
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        manifest = json.load(f)
+    assert manifest["pending_tombstones"] == 1
+    clear_session_caches()
