@@ -2254,8 +2254,16 @@ def q_sim_ivfpq_hq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shortlist only has to CONTAIN the true neighbors, not rank them.
 _HQ_RERANK_R = 16  # ADC shortlist width refined by exact integer dots
 
-_IVFPQ_HQ_RERANK_ORACLE = f"""
-WITH {_IVFPQ_HQ_CHAIN}, short AS (
+
+def _rerank_oracle(chain: str) -> str:
+    """The exact-refine oracle EPILOGUE over any composed ADC chain
+    (``ranked`` + ``pqe`` CTEs in scope): ADC top-R shortlist → exact
+    integer-dot re-rank → final top-k. One epilogue, every router — the
+    fixed-K HQ rerank and the corpus-scaled rerank (VERDICT r14 task 2)
+    compose it with their own chains, so the refine semantics can never
+    drift between operating points."""
+    return f"""
+WITH {chain}, short AS (
   SELECT vec_id, neighbor_id FROM ranked WHERE rk <= {_HQ_RERANK_R}
 ), ex AS (
   SELECT s.vec_id, s.neighbor_id,
@@ -2272,7 +2280,11 @@ WITH {_IVFPQ_HQ_CHAIN}, short AS (
 SELECT vec_id, neighbor_id, dot, rk
 FROM reranked WHERE rk <= {_IVFPQ_TOP_K}
 ORDER BY vec_id, rk
-"""  # shared with q_sim_ivfpq_hq_rerank_recall's composed oracle
+"""
+
+
+_IVFPQ_HQ_RERANK_ORACLE = _rerank_oracle(_IVFPQ_HQ_CHAIN)
+# shared with q_sim_ivfpq_hq_rerank_recall's composed oracle
 
 
 def _int_vec(col: str):
@@ -2281,6 +2293,31 @@ def _int_vec(col: str):
     return F.transform(
         col, lambda x: F.floor(x.cast("double") * F.lit(_PQ_SCALE)).cast("long")
     )
+
+
+def _exact_refine(spark: SparkSession, sf_dir: str, short: DataFrame) -> DataFrame:
+    """The exact-refine stage shared by every two-stage retrieval point
+    (the Spark twin of _rerank_oracle's epilogue): re-rank an ADC
+    shortlist by exact integer dots fetched from the vector table — two
+    thin equi-joins + a JVM fold dot (zip_with × aggregate, no Python),
+    R rows per query regardless of corpus size. At 100 TB this is the
+    random-read refine against the stored vector table."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", _int_vec("embedding").alias("qiv"))
+    x = e.select(
+        F.col("vec_id").alias("neighbor_id"), _int_vec("embedding").alias("xiv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qiv", "xiv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    ex = (
+        short.join(q, "vec_id")
+        .join(x, "neighbor_id")
+        .select("vec_id", "neighbor_id", dot.alias("dot"))
+    )
+    return _topk_rerank(ex, "vec_id", "dot", _IVFPQ_TOP_K)
 
 
 @register(
@@ -2312,22 +2349,7 @@ def q_sim_ivfpq_hq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HQ_RERANK_R,
         f"ivfpq_hq_short@p{_hq_nprobe()}",
     ).select("vec_id", "neighbor_id")
-    e = table(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", _int_vec("embedding").alias("qiv"))
-    x = e.select(
-        F.col("vec_id").alias("neighbor_id"), _int_vec("embedding").alias("xiv")
-    )
-    dot = F.aggregate(
-        F.zip_with("qiv", "xiv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    ex = (
-        short.join(q, "vec_id")
-        .join(x, "neighbor_id")
-        .select("vec_id", "neighbor_id", dot.alias("dot"))
-    )
-    return _topk_rerank(ex, "vec_id", "dot", _IVFPQ_TOP_K)
+    return _exact_refine(spark, sf_dir, short)
 
 
 @register(
@@ -2616,6 +2638,104 @@ def q_sim_ivfpq_scaled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = q_sim_ivfpq_scaled_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     exact = _ivfpq_exact_truth(spark, sf_dir)
     return _ann_recall_frame(sc, exact)
+
+
+def _composed_recall_oracle(tier_sql: str) -> str:
+    """The composed-recall oracle template every ANN instrument shares:
+    ``tier_sql``'s (vec_id, neighbor_id) rows graded against the exact
+    integer-dot top-k truth on the md5-sampled query subset — one
+    summary row (n_queries, n_truth, n_hits, recall_x10000), matching
+    _ann_recall_frame's Spark epilogue column-for-column."""
+    return f"""
+WITH tier_q AS (
+  {tier_sql}
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.piv, x.piv) DESC, x.vec_id ASC) AS rk
+    FROM base q JOIN base x ON q.vec_id <> x.vec_id
+  ) WHERE rk <= {_IVFPQ_TOP_K} AND {_recall_sample_sql("query_id")}
+), hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM tier_q JOIN exact
+    ON tier_q.vec_id = exact.query_id
+   AND tier_q.neighbor_id = exact.neighbor_id
+), tot AS (
+  SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM exact
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_x10000
+FROM hits, tot
+"""
+
+
+_IVFPQ_SCALED_RERANK_ORACLE = _rerank_oracle(_IVFPQ_SCALED_CHAIN)
+
+
+@register(
+    "q_sim_ivfpq_scaled_rerank",
+    group="I",
+    oracle=_IVFPQ_SCALED_RERANK_ORACLE,
+)
+def q_sim_ivfpq_scaled_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval AT THE CORPUS-SCALED OPERATING POINT (VERDICT
+    r14 task 2) — the actual 100 TB production shape: K ~ sqrt(N)
+    routing bounds candidate work sublinearly (N^(3/4) per query), the
+    HQ ADC proposes a top-{_HQ_RERANK_R} shortlist in the compressed
+    domain, and an exact integer-dot refine over only those rows
+    re-ranks to the final top-{_IVFPQ_TOP_K}. The rerank previously
+    existed only on the fixed-K router (q_sim_ivfpq_hq_rerank), whose
+    linear probe work is exactly what the scaled router exists to
+    remove — this point composes the two fixes. Same parameterized
+    search (_ivfpq_search + ivf_scaled_index) and the same shared
+    refine stage (_exact_refine) as every other two-stage point; the
+    oracle composes the scaled CTE chain with the shared rerank
+    epilogue (_rerank_oracle) — one chain + one epilogue, zero drift.
+    Recall reads ≈ the scaled routing ceiling: the shortlist only has
+    to CONTAIN the true neighbors for the refine to surface them."""
+    k = _ivf_scaled_k(_parquet_row_count(sf_dir, "embeddings"))
+    nprobe = _ivf_scaled_nprobe(k)
+    short = _ivfpq_search(
+        spark,
+        sf_dir,
+        pq_hq_index,
+        nprobe,
+        _HQ_M,
+        _HQ_SUB,
+        _HQ_RERANK_R,
+        f"ivfpq_scaled_short@k{k}p{nprobe}",
+        ivf_fn=ivf_scaled_index,
+    ).select("vec_id", "neighbor_id")
+    return _exact_refine(spark, sf_dir, short)
+
+
+@register(
+    "q_sim_ivfpq_scaled_rerank_recall",
+    group="I",
+    oracle=_composed_recall_oracle(_IVFPQ_SCALED_RERANK_ORACLE),
+)
+def q_sim_ivfpq_scaled_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_IVFPQ_TOP_K} of the scaled-routing + exact-refine point
+    against the SAME shared exact truth as every composed instrument —
+    the production point on the operating curve. What this number reads
+    is the scaled ROUTING ceiling alone (quantization loss is bought
+    back by the refine, exactly as the fixed-K rerank instrument reads
+    the nprobe-4 ceiling): the delta vs q_sim_ivfpq_hq_rerank_recall is
+    the recall price of sublinear candidate work, and the delta vs
+    q_sim_ivfpq_scaled_recall is the refine's buy-back at this routing.
+    Floor-pinned in tests/test_operators_unit.py."""
+    rr = q_sim_ivfpq_scaled_rerank(spark, sf_dir).select("vec_id", "neighbor_id")
+    exact = _ivfpq_exact_truth(spark, sf_dir)
+    return _ann_recall_frame(rr, exact)
 
 
 # --- Filtered (hybrid) ANN search ---------------------------------------

@@ -143,8 +143,12 @@ _WINDOW: tuple[str, ...] = (
     "q_text_surprisal",
     "q_text_tokens",
     "q_text_zipf",
-    "q_win_range_frame",
-    "q_win_topk_group",
+    # (1) new round-15 queries, no driver receipt yet — each displaced
+    # one reverse-alphabetical r11 row (q_win_topk_group,
+    # q_win_range_frame) per the saturation note above: the scaled
+    # router composed with exact rerank (VERDICT r14 task 2).
+    "q_sim_ivfpq_scaled_rerank",
+    "q_sim_ivfpq_scaled_rerank_recall",
 )
 
 

@@ -2393,6 +2393,11 @@ _RECALL_FLOORS = [
     # hybrid (pre-filtered) search vs the FILTERED exact truth (r14):
     # observed 4347 at sf0.01 (4479 sf0.001, 4355 sf0.1)
     ("q_sim_filtered_recall", "recall_x10000", 3000),
+    # two-stage retrieval at the CORPUS-SCALED routing point (r15, the
+    # 100 TB production shape): observed 4980 at sf0.01 (4914 sf0.001,
+    # 4556 sf0.1 — the scaled routing ceiling, quantization loss fully
+    # bought back by the exact refine)
+    ("q_sim_ivfpq_scaled_rerank_recall", "recall_x10000", 3200),
 ]
 
 
@@ -2464,6 +2469,33 @@ def test_ivfpq_hq_recall_at_least_matches_ivf_tier(spark):
         .asDict()
     )
     assert hq["recall_x10000"] >= ivf["recall_x10000"], (hq, ivf)
+
+
+def test_scaled_rerank_buys_back_quantization_loss(spark):
+    """The refine stage's contract at the scaled operating point (r15):
+    recall of routing+ADC+exact-refine must be >= recall of routing+ADC
+    alone on the same corpus — the shortlist only has to CONTAIN the
+    true neighbors for the refine to surface them, so adding the refine
+    can only recover rank inversions, never introduce them (with equal
+    shortlist membership; R=16 > k=3 strictly widens it). A relative
+    claim, so it compares the two live numbers (the floor pins alone
+    cannot express it)."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    queries = load_all_queries()
+    rr = (
+        queries["q_sim_ivfpq_scaled_rerank_recall"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    adc = (
+        queries["q_sim_ivfpq_scaled_recall"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    assert rr["recall_x10000"] >= adc["recall_x10000"], (rr, adc)
 
 
 def test_index_delete_audit_consistent_with_append_audit(spark):
