@@ -139,16 +139,19 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_split_assign",
     "q_pipe_split_by_cluster",
     "q_text_fingerprint",
-    "q_text_repetition",
-    "q_text_surprisal",
-    "q_text_tokens",
-    "q_text_zipf",
     # (1) new round-15 queries, no driver receipt yet — each displaced
     # one reverse-alphabetical r11 row (q_win_topk_group,
-    # q_win_range_frame) per the saturation note above: the scaled
-    # router composed with exact rerank (VERDICT r14 task 2).
+    # q_win_range_frame, q_text_zipf, q_text_tokens, q_text_surprisal,
+    # q_text_repetition) per the saturation note above: the scaled
+    # router composed with exact rerank (VERDICT r14 task 2) and the
+    # TRAINED quantizer family (task 1 — integer Lloyd refinement)
+    # with its own rerank composition.
     "q_sim_ivfpq_scaled_rerank",
     "q_sim_ivfpq_scaled_rerank_recall",
+    "q_sim_ivfpq_trained_topk",
+    "q_sim_ivfpq_trained_recall",
+    "q_sim_ivfpq_trained_rerank",
+    "q_sim_ivfpq_trained_rerank_recall",
 )
 
 

@@ -118,6 +118,7 @@ def clear_session_caches() -> None:
         similarity._LSH_CODES_CACHE,
         similarity._IVF_INDEX_CACHE,
         similarity._IVF_SCALED_INDEX_CACHE,
+        similarity._IVF_TRAINED_INDEX_CACHE,
         similarity._APPEND_BASE_CACHE,
         similarity._APPEND_STATE_CACHE,
         similarity._SCALED_STATE_CACHE,
