@@ -1793,7 +1793,16 @@ def _ivfpq_search(
             [], "vec_id long, neighbor_id long, adc_score long, rk int"
         )
     assigned, _cq = idx
-    codes_tbl, cbook = pq
+    if len(pq) == 3:
+        # residual index (pq_res_index): codes quantize (piv − coarse
+        # centroid); scoring reconstructs the exact q·centroid cluster
+        # term per cogroup block (the cluster is the cogroup key, so
+        # the term is ONE integer matvec per query batch — not per
+        # candidate)
+        codes_tbl, cbook, res_cpq = pq
+    else:
+        codes_tbl, cbook = pq
+        res_cpq = None
     # Index side: cluster membership + codes only — the embeddings column
     # is pruned away (M bytes/vector through the shuffle, not 256).
     index_side = assigned.select("vec_id", "cluster").join(codes_tbl, "vec_id")
@@ -1826,6 +1835,12 @@ def _ivfpq_search(
         for m in range(M):
             lut = qi[:, m, :] @ cbook[m].T  # (nq, K)
             score += lut[:, codes[:, m]]
+        if res_cpq is not None:
+            # exact cluster term q·c_pq: constant across the block's
+            # candidates (they share the probed list = the cogroup key)
+            c = int(idx_pdf["cluster"].iloc[0])
+            qflat = np.floor(q * _PQ_SCALE).astype(np.int64)
+            score += (qflat @ res_cpq[c])[:, None]
         # per-list top-k inside the kernel (a neighbor lives in exactly
         # one list — same containment argument as q_sim_ivf_topk), with
         # self-exclusion since the query set is the corpus itself.
@@ -2027,6 +2042,44 @@ def _ann_recall_frame(tier: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
+def _composed_recall_oracle(tier_sql: str) -> str:
+    """The composed-recall oracle template every ANN instrument shares:
+    ``tier_sql``'s (vec_id, neighbor_id) rows graded against the exact
+    integer-dot top-k truth on the md5-sampled query subset — one
+    summary row (n_queries, n_truth, n_hits, recall_x10000), matching
+    _ann_recall_frame's Spark epilogue column-for-column."""
+    return f"""
+WITH tier_q AS (
+  {tier_sql}
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.piv, x.piv) DESC, x.vec_id ASC) AS rk
+    FROM base q JOIN base x ON q.vec_id <> x.vec_id
+  ) WHERE rk <= {_IVFPQ_TOP_K} AND {_recall_sample_sql("query_id")}
+), hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM tier_q JOIN exact
+    ON tier_q.vec_id = exact.query_id
+   AND tier_q.neighbor_id = exact.neighbor_id
+), tot AS (
+  SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM exact
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_x10000
+FROM hits, tot
+"""
+
+
 # --- IVF-PQ high-quality operating point -------------------------------
 # The default composed tier (above) sits at the extreme-compression end
 # of the curve: M=4 one-byte codes (64× smaller than the raw vectors),
@@ -2045,6 +2098,7 @@ _HQ_M = 32  # subspaces (2 dims each — the scalar-pair end of the curve)
 _HQ_SUB = 2
 _HQ_K = 256  # codebook entries per subspace (one byte per code)
 _HQ_NPROBE = 4  # shipped default; the registered oracle composes with it
+_RES_CB_ITERS = 2  # residual-codebook Lloyd passes (fixed unroll, oracle-replayed)
 
 
 def _hq_nprobe() -> int:
@@ -2070,6 +2124,7 @@ def _ivfpq_hq_chain(
     cand_pred: str = "",
     assign_ctes: str | None = None,
     probes_body: str | None = None,
+    residual: bool = False,
 ) -> str:
     """ONE HQ codebook/ADC CTE chain for every composed oracle (the
     tier, its recall, the exact rerank, the filtered search, AND — via
@@ -2080,7 +2135,20 @@ def _ivfpq_hq_chain(
     (default: the fixed-K _IVF_ASSIGN_CTES); ``probes_body`` swaps the
     probe-width predicate (default: the shipped _HQ_NPROBE; the scaled
     chain reads its derived np from the npp CTE); ``cand_pred`` appends
-    the hybrid-search filter to the candidate CTE's WHERE."""
+    the hybrid-search filter to the candidate CTE's WHERE.
+
+    ``residual=True`` (VERDICT r14 task 3 — the standard IVFADC
+    accuracy lever) switches the ENCODED quantity from the raw piv
+    vector to the residual (piv − assigned coarse centroid at
+    _PQ_SCALE): codebook seeds become the SAME md5 sample's residuals,
+    codes argmin over residual distances, and the ADC score
+    reconstructs q·x̂ = q·c_pq(cluster_x) + q·decode(codes) — the
+    cluster term is exact (one integer dot per (query, probed list))
+    and only the residual is quantized, which is the whole point:
+    residuals are small, so the same 256-entry codebook covers them
+    with far less error. Requires the default fixed-K ``assign_ctes``
+    (the ``seed`` CTE supplies centroid ids + vectors); all integers,
+    so the oracle stays FULL."""
     if assign_ctes is None:
         assign_ctes = _IVF_ASSIGN_CTES
     if probes_body is None:
@@ -2088,25 +2156,120 @@ def _ivfpq_hq_chain(
             f"SELECT vec_id AS q_id, c AS cluster FROM probe_rank "
             f"WHERE pr <= {_HQ_NPROBE}"
         )
+    # residual mode: centroids at _PQ_SCALE (seedc), per-vector residuals
+    # (rv, aliased piv so the codebook/encode CTEs read either source
+    # unchanged); the encoded source swaps from pqe to rv, queries stay
+    # raw (asymmetric distance).
+    res_ctes = f""", seedc AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY s.vec_id) - 1 AS c, p.piv
+  FROM seed s JOIN pqe p USING (vec_id)
+), rv AS (
+  SELECT p.vec_id,
+         list_transform(range(1, len(p.piv) + 1),
+                        i -> p.piv[i] - sc.piv[i]) AS piv
+  FROM pqe p JOIN assigned a USING (vec_id)
+  JOIN seedc sc ON sc.c = a.cluster
+)""" if residual else ""
+    enc_src = "rv" if residual else "pqe"
+    # residual mode additionally TRAINS the codebook: _RES_CB_ITERS
+    # per-subspace integer Lloyd passes over the corpus residuals,
+    # starting from the sampled-residual seeds (cbm0 = the hqcb
+    # subspace split) — same fixed-unroll exact-integer discipline as
+    # the coarse trainer (_lloyd_cte_chain): argmin-d2 assignment with
+    # (d2 ASC, k ASC) ties, per-(m, k) elementwise floor-division
+    # means over the SUB=2 components, empty codewords keep their
+    # entry. The plain chain's cbm is the seed split directly.
+    def fd(s, n):
+        return (
+            f"CASE WHEN {s} >= 0 THEN {s} // {n} "
+            f"ELSE -((-({s}) + {n} - 1) // {n}) END"
+        )
+
+    if residual:
+        assert _HQ_SUB == 2, "residual codebook trainer is specialized to SUB=2"
+        cb_ctes = [
+            f"""cbm0 AS (
+  SELECT k, m, hqcb.piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS c
+  FROM hqcb CROSS JOIN ms
+)"""
+        ]
+        for t in range(_RES_CB_ITERS):
+            cb_ctes.append(f"""rd{t} AS (
+  SELECT vec_id, m, k FROM (
+    SELECT x.vec_id, x.m, c.k,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY list_dot_product(x.x, x.x)
+                                - 2 * list_dot_product(x.x, c.c)
+                                + list_dot_product(c.c, c.c) ASC,
+                              c.k ASC) AS rk
+    FROM xm x JOIN cbm{t} c ON x.m = c.m
+  ) WHERE rk = 1
+), rn{t} AS (
+  SELECT r.m, r.k, COUNT(*) AS n,
+         SUM(x.x[1]) AS s1, SUM(x.x[2]) AS s2
+  FROM rd{t} r JOIN xm x ON x.vec_id = r.vec_id AND x.m = r.m
+  GROUP BY r.m, r.k
+), cbm{t + 1} AS (
+  SELECT c0.m, c0.k,
+         CASE WHEN rn.n IS NULL THEN c0.c
+              ELSE [{fd('rn.s1', 'rn.n')}, {fd('rn.s2', 'rn.n')}]
+         END AS c
+  FROM cbm{t} c0 LEFT JOIN rn{t} rn ON rn.m = c0.m AND rn.k = c0.k
+)""")
+        cb_ctes.append(
+            f"cbm AS (\n  SELECT m, k, c FROM cbm{_RES_CB_ITERS}\n)"
+        )
+        cbm_ctes = ", ".join(cb_ctes)
+    else:
+        cbm_ctes = f"""cbm AS (
+  SELECT k, m, hqcb.piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS c
+  FROM hqcb CROSS JOIN ms
+)"""
+    if residual:
+        adc_ctes = f"""cterm AS (
+  SELECT q.vec_id AS q_id, sc.c,
+         CAST(list_dot_product(q.piv, sc.piv) AS BIGINT) AS dc
+  FROM pqe q, seedc sc
+), adcsum AS (
+  SELECT c.q_id, c.n_id,
+         CAST(SUM(list_dot_product(qm.q, cbm.c)) AS BIGINT) AS s
+  FROM cand c
+  JOIN qm ON qm.q_id = c.q_id
+  JOIN code co ON co.vec_id = c.n_id AND co.m = qm.m
+  JOIN cbm ON cbm.m = co.m AND cbm.k = co.k
+  GROUP BY c.q_id, c.n_id
+), adc AS (
+  SELECT a.q_id, a.n_id, a.s + ct.dc AS adc_score
+  FROM adcsum a
+  JOIN assigned ax ON ax.vec_id = a.n_id
+  JOIN cterm ct ON ct.q_id = a.q_id AND ct.c = ax.cluster
+)"""
+    else:
+        adc_ctes = """adc AS (
+  SELECT c.q_id, c.n_id,
+         CAST(SUM(list_dot_product(qm.q, cbm.c)) AS BIGINT) AS adc_score
+  FROM cand c
+  JOIN qm ON qm.q_id = c.q_id
+  JOIN code co ON co.vec_id = c.n_id AND co.m = qm.m
+  JOIN cbm ON cbm.m = co.m AND cbm.k = co.k
+  GROUP BY c.q_id, c.n_id
+)"""
     return f"""{assign_ctes}, pqe AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
   FROM embeddings
-), hqseed AS (
-  SELECT vec_id, piv FROM pqe
+){res_ctes}, hqseed AS (
+  SELECT vec_id, piv FROM {enc_src}
   ORDER BY md5('pqhq#' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {_HQ_K}
 ), hqcb AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, piv FROM hqseed
 ), ms AS (
   SELECT unnest(range(0, {_HQ_M})) AS m
-), cbm AS (
-  SELECT k, m, hqcb.piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS c
-  FROM hqcb CROSS JOIN ms
 ), xm AS (
   SELECT vec_id, m, piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS x
-  FROM pqe CROSS JOIN ms
-), d AS (
+  FROM {enc_src} CROSS JOIN ms
+), {cbm_ctes}, d AS (
   SELECT x.vec_id, x.m, c.k,
          list_dot_product(x.x, x.x)
            - 2 * list_dot_product(x.x, c.c)
@@ -2129,15 +2292,7 @@ def _ivfpq_hq_chain(
   SELECT vec_id AS q_id, m,
          piv[m * {_HQ_SUB} + 1 : m * {_HQ_SUB} + {_HQ_SUB}] AS q
   FROM pqe CROSS JOIN ms
-), adc AS (
-  SELECT c.q_id, c.n_id,
-         CAST(SUM(list_dot_product(qm.q, cbm.c)) AS BIGINT) AS adc_score
-  FROM cand c
-  JOIN qm ON qm.q_id = c.q_id
-  JOIN code co ON co.vec_id = c.n_id AND co.m = qm.m
-  JOIN cbm ON cbm.m = co.m AND cbm.k = co.k
-  GROUP BY c.q_id, c.n_id
-), ranked AS (
+), {adc_ctes}, ranked AS (
   SELECT q_id AS vec_id, n_id AS neighbor_id, adc_score,
          ROW_NUMBER() OVER (PARTITION BY q_id
                             ORDER BY adc_score DESC, n_id ASC) AS rk
@@ -2399,6 +2554,207 @@ def q_sim_ivfpq_hq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_frame(rr, exact)
 
 
+# --- Residual PQ encoding (IVFADC proper) ------------------------------
+# The HQ tier quantizes RAW vectors; standard IVF-PQ (Jégou et al.'s
+# IVFADC) quantizes the residual (vector − assigned coarse centroid):
+# residuals concentrate near zero, so the same 256-entry codebook covers
+# them with far less error, and the coarse centroid's contribution to
+# the score is reconstructed EXACTLY (one integer dot per query ×
+# probed list — constant work, since candidates in a cogroup block share
+# their list). Same router, nprobe, codebook budget, and bytes/vector as
+# the HQ point — the recall delta is purely what residual encoding buys.
+_PQ_RES_INDEX_CACHE: dict[tuple, tuple | None] = {}
+
+
+def pq_res_index(spark: SparkSession, sf_dir: str):
+    """The residual-PQ serving index: ``(codes, cbook, cpq)`` where
+    ``codes`` is the full-corpus residual code table (vec_id, codes
+    array<int> — _HQ_M one-byte codes), ``cbook`` the (M, K_eff, SUB)
+    int64 RESIDUAL codebook (the same 'pqhq#' md5 seed sample, encoded
+    as residuals from their own assigned centroids), and ``cpq`` the
+    (K, d) int64 coarse-centroid matrix at _PQ_SCALE (the exact
+    reconstruction term; kilobytes, travels with the manifest). The
+    3-tuple shape is how _ivfpq_search detects residual scoring."""
+    import numpy as np
+    import pandas as pd
+
+    key = session_cache_key(spark, sf_dir, "embeddings")
+    if key in _PQ_RES_INDEX_CACHE:
+        return _PQ_RES_INDEX_CACHE[key]
+
+    idx = ivf_index(spark, sf_dir)
+    if idx is None:
+        _PQ_RES_INDEX_CACHE[key] = None
+        return None
+    assigned, cq_ivf = idx
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # coarse centroids at _PQ_SCALE: the SAME unsalted md5 seed universe
+    # ivf_index quantizes at _IVF_SCALE — one seed set, two grids
+    seed = _md5_topk_seed(e, _IVF_K)
+    cpq = np.floor(
+        np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE
+    ).astype(np.int64)
+    hseed = _md5_topk_seed(e, _HQ_K, "pqhq#")
+    hv = np.stack(hseed["embedding"].to_numpy()).astype(np.float64)
+    hq_piv = np.floor(hv * _PQ_SCALE).astype(np.int64)
+    # seed vectors' own coarse assignment (argmax int dot — first hit =
+    # lowest c, the shared tie rule), then their residuals ARE the
+    # codebook entries
+    hc = np.argmax(np.floor(hv * _IVF_SCALE).astype(np.int64) @ cq_ivf.T, axis=1)
+    cbook = (
+        (hq_piv - cpq[hc])
+        .reshape(len(hseed), _HQ_M, _HQ_SUB)
+        .transpose(1, 0, 2)  # (M, K_eff, SUB)
+    )
+
+    # TRAIN the residual codebook: _RES_CB_ITERS per-subspace integer
+    # Lloyd passes (the coarse trainer's discipline at the codeword
+    # level) — one distributed partials pass per iteration, an (m, k)
+    # hash aggregate, an M x K_eff x SUB driver pull, floor-division
+    # update, empty codewords keep their entry. Sampled residuals alone
+    # barely beat raw sampling on this corpus (isotropic unit vectors);
+    # training the codewords on the ACTUAL residual distribution is
+    # what makes the residual lever pay.
+    src = assigned.select("vec_id", "embedding", "cluster")
+    for _ in range(_RES_CB_ITERS):
+
+        def cb_partials(batches, cb=cbook):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                piv = np.floor(v * _PQ_SCALE).astype(np.int64)
+                r = (piv - cpq[pdf["cluster"].to_numpy()]).reshape(
+                    -1, _HQ_M, _HQ_SUB
+                )
+                ms, ks, s1, s2, ns = [], [], [], [], []
+                for m in range(_HQ_M):
+                    x = r[:, m, :]
+                    c = cb[m]
+                    d2 = (
+                        (x * x).sum(axis=1)[:, None]
+                        - 2 * (x @ c.T)
+                        + (c * c).sum(axis=1)[None, :]
+                    )
+                    a = np.argmin(d2, axis=1)  # first hit = lowest k
+                    uniq = np.unique(a)
+                    sums = np.zeros((len(uniq), _HQ_SUB), dtype=np.int64)
+                    for j, kk in enumerate(uniq):
+                        sums[j] = x[a == kk].sum(axis=0)
+                    ms.append(np.full(len(uniq), m, dtype=np.int32))
+                    ks.append(uniq.astype(np.int32))
+                    s1.append(sums[:, 0])
+                    s2.append(sums[:, 1])
+                    ns.append(np.bincount(a)[uniq].astype(np.int64))
+                yield pd.DataFrame(
+                    {
+                        "m": np.concatenate(ms),
+                        "k": np.concatenate(ks),
+                        "s1": np.concatenate(s1),
+                        "s2": np.concatenate(s2),
+                        "n": np.concatenate(ns),
+                    }
+                )
+
+        rows = (
+            src.mapInPandas(
+                cb_partials, schema="m int, k int, s1 long, s2 long, n long"
+            )
+            .groupBy("m", "k")
+            .agg(
+                F.sum("s1").alias("s1"),
+                F.sum("s2").alias("s2"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new = cbook.copy()
+        for row in rows:
+            # Python int // floors (negative-safe) — same semantics as
+            # the oracle's CASE floordiv and the coarse trainer's
+            # np.floor_divide
+            new[row["m"], row["k"], 0] = row["s1"] // row["n"]
+            new[row["m"], row["k"], 1] = row["s2"] // row["n"]
+        cbook = new
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            piv = np.floor(v * _PQ_SCALE).astype(np.int64)
+            r = (piv - cpq[pdf["cluster"].to_numpy()]).reshape(
+                -1, _HQ_M, _HQ_SUB
+            )
+            codes = np.empty((len(pdf), _HQ_M), dtype=np.int32)
+            for m in range(_HQ_M):
+                x = r[:, m, :]
+                c = cbook[m]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2 * (x @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)  # first hit = lowest k
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    codes = src.mapInPandas(encode, schema="vec_id long, codes array<int>")
+    _PQ_RES_INDEX_CACHE[key] = (codes, cbook, cpq)
+    return codes, cbook, cpq
+
+
+_IVFPQ_RES_ORACLE = f"""
+WITH {_ivfpq_hq_chain(residual=True)}
+SELECT vec_id, neighbor_id, adc_score, rk
+FROM ranked WHERE rk <= {_IVFPQ_TOP_K}
+ORDER BY vec_id, rk
+"""
+
+
+@register(
+    "q_sim_ivfpq_residual_topk",
+    group="I",
+    oracle=_IVFPQ_RES_ORACLE,
+)
+def q_sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (VERDICT r14 task 3) at the HQ
+    cost envelope — same fixed-K router, same nprobe, same 32×256×2
+    codebook budget, same 32 B/vector — but codes quantize
+    (piv − coarse centroid) and the ADC score adds the exact integer
+    q·centroid term per probed list. The recall delta vs
+    q_sim_ivfpq_hq_recall isolates residual encoding's value (the
+    standard IVFADC accuracy lever), pinned >= in pytest. Integer end
+    to end; FULL oracle via the shared chain's residual mode."""
+    return _ivfpq_search(
+        spark,
+        sf_dir,
+        pq_res_index,
+        _hq_nprobe(),
+        _HQ_M,
+        _HQ_SUB,
+        _IVFPQ_TOP_K,
+        f"ivfpq_res_topk@p{_hq_nprobe()}",
+    )
+
+
+@register(
+    "q_sim_ivfpq_residual_recall",
+    group="I",
+    oracle=_composed_recall_oracle(_IVFPQ_RES_ORACLE),
+)
+def q_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_IVFPQ_TOP_K} of the residual-encoded point against the
+    shared exact truth — read next to q_sim_ivfpq_hq_recall (raw
+    encoding, identical everything else) this is the residual lever's
+    lift, and next to q_sim_ivfpq_hq_rerank_recall (the nprobe-4
+    routing ceiling) it reads how much of the quantization gap residual
+    coding closes WITHOUT the refine stage's random reads.
+    Floor-pinned."""
+    rr = q_sim_ivfpq_residual_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    exact = _ivfpq_exact_truth(spark, sf_dir)
+    return _ann_recall_frame(rr, exact)
+
+
 # --- Corpus-scaled coarse quantizer (the K ~ sqrt(N) operating point) --
 # Every tier above routes through the FIXED _IVF_K = 16 coarse quantizer,
 # so probed-candidate work per query is nprobe * N/16 — linear in corpus
@@ -2638,44 +2994,6 @@ def q_sim_ivfpq_scaled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = q_sim_ivfpq_scaled_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     exact = _ivfpq_exact_truth(spark, sf_dir)
     return _ann_recall_frame(sc, exact)
-
-
-def _composed_recall_oracle(tier_sql: str) -> str:
-    """The composed-recall oracle template every ANN instrument shares:
-    ``tier_sql``'s (vec_id, neighbor_id) rows graded against the exact
-    integer-dot top-k truth on the md5-sampled query subset — one
-    summary row (n_queries, n_truth, n_hits, recall_x10000), matching
-    _ann_recall_frame's Spark epilogue column-for-column."""
-    return f"""
-WITH tier_q AS (
-  {tier_sql}
-), base AS (
-  SELECT vec_id,
-         list_transform(embedding,
-             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS piv
-  FROM embeddings
-), exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY list_dot_product(q.piv, x.piv) DESC, x.vec_id ASC) AS rk
-    FROM base q JOIN base x ON q.vec_id <> x.vec_id
-  ) WHERE rk <= {_IVFPQ_TOP_K} AND {_recall_sample_sql("query_id")}
-), hits AS (
-  SELECT COUNT(*) AS n_hits
-  FROM tier_q JOIN exact
-    ON tier_q.vec_id = exact.query_id
-   AND tier_q.neighbor_id = exact.neighbor_id
-), tot AS (
-  SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM exact
-)
-SELECT CAST(n_queries AS BIGINT) AS n_queries,
-       CAST(n_truth AS BIGINT) AS n_truth,
-       CAST(n_hits AS BIGINT) AS n_hits,
-       CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_x10000
-FROM hits, tot
-"""
 
 
 _IVFPQ_SCALED_RERANK_ORACLE = _rerank_oracle(_IVFPQ_SCALED_CHAIN)

@@ -137,8 +137,6 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_quota_cap",
     "q_pipe_sample_hash",
     "q_pipe_split_assign",
-    "q_pipe_split_by_cluster",
-    "q_text_fingerprint",
     # (1) new round-15 queries, no driver receipt yet — each displaced
     # one reverse-alphabetical r11 row (q_win_topk_group,
     # q_win_range_frame, q_text_zipf, q_text_tokens, q_text_surprisal,
@@ -152,6 +150,10 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_ivfpq_trained_recall",
     "q_sim_ivfpq_trained_rerank",
     "q_sim_ivfpq_trained_rerank_recall",
+    # ... and residual PQ encoding with a Lloyd-trained codebook (task
+    # 3), displacing q_text_fingerprint and q_pipe_split_by_cluster.
+    "q_sim_ivfpq_residual_topk",
+    "q_sim_ivfpq_residual_recall",
 )
 
 

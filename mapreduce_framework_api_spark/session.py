@@ -124,6 +124,7 @@ def clear_session_caches() -> None:
         similarity._SCALED_STATE_CACHE,
         similarity._PQ_INDEX_CACHE,
         similarity._PQ_HQ_INDEX_CACHE,
+        similarity._PQ_RES_INDEX_CACHE,
         similarity._MS_TOKENS_CACHE,
     ):
         d.clear()

@@ -2409,6 +2409,11 @@ _RECALL_FLOORS = [
     # (the TRAINED routing ceiling): observed 5968 at sf0.01 (6271
     # sf0.001, 5433 sf0.1 — ABOVE the fixed-K nprobe-4 ceiling 5160)
     ("q_sim_ivfpq_trained_rerank_recall", "recall_x10000", 4200),
+    # residual encoding + Lloyd-trained codebook at the HQ cost
+    # envelope (r15): observed 4584 at sf0.01 (4795 sf0.001, 4803
+    # sf0.1 — above the raw HQ point's 4693, the r14 bar); the
+    # relative >= pin below guards the lever's claim
+    ("q_sim_ivfpq_residual_recall", "recall_x10000", 3200),
 ]
 
 
@@ -2533,6 +2538,32 @@ def test_trained_quantizer_beats_random_seeds_at_equal_knobs(spark):
         .asDict()
     )
     assert tr["recall_x10000"] >= sc["recall_x10000"], (tr, sc)
+
+
+def test_residual_encoding_beats_raw_at_equal_envelope(spark):
+    """The r14 verdict's bar for residual PQ, verbatim: the residual
+    operating point's recall must be >= the raw HQ point's at the SAME
+    cost envelope — same router, same nprobe, same 32x256x2 codebook
+    budget, same 32 B/vector; the only deltas are residual encoding
+    plus the _RES_CB_ITERS codebook-Lloyd passes (observed: 4584 vs
+    4479 at sf0.01, 4803 vs 4693 at sf0.1). Live relative
+    comparison."""
+    from mapreduce_framework_api_spark.registry import load_all_queries
+
+    queries = load_all_queries()
+    res = (
+        queries["q_sim_ivfpq_residual_recall"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    raw = (
+        queries["q_sim_ivfpq_hq_recall"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    assert res["recall_x10000"] >= raw["recall_x10000"], (res, raw)
 
 
 def test_lloyd_refinement_is_partitioning_invariant(spark):
