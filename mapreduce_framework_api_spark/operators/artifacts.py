@@ -280,7 +280,7 @@ _ANN_MANIFEST = "ann_manifest.json"
 
 
 def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Write SEVEN serving indexes, off which the similarity tier
+    """Write NINE serving indexes, off which the similarity tier
     queries serve (the composed IVF-PQ operating points store no
     PQ routing of their own — each consumes an ivf half plus its own
     code table; the corpus-scaled point gets its own assignment table
@@ -303,7 +303,14 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
       (32 one-byte codes/vector, 8× compression); its (32, 256, 2)
       codebook tensor travels in the manifest;
     - ``maxsim_tokens``: the MaxSim integer-quantized token table
-      (vec_id, itok[64]).
+      (vec_id, itok[64]);
+    - ``ivf_trained_assigned`` (r15): the Lloyd-TRAINED corpus-scaled
+      router's membership/probe table (L2 probe ranking); its refined
+      (K, d) centroid matrix travels in the manifest — the table
+      retrain_ann_indexes rewrites when the drift monitor fires;
+    - ``pq_res_codes`` (r15): the residual-PQ code table; its trained
+      residual codebook AND the coarse-centroid matrix at PQ scale
+      (the exact reconstruction term) travel in the manifest.
 
     All six are split/nprobe-agnostic: query-time knobs (hash splits,
     probe counts) slice the stored tables, never re-shape them. An empty
@@ -350,6 +357,14 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         s_cq = None
         if ivf_s is not None:
             frames["ivf_scaled_assigned"], s_cq = ivf_s
+        ivf_t = similarity.ivf_trained_index(spark, sf_dir)
+        t_cq = None
+        if ivf_t is not None:
+            frames["ivf_trained_assigned"], t_cq = ivf_t
+        pq_r = similarity.pq_res_index(spark, sf_dir)
+        r_cbook = r_cpq = None
+        if pq_r is not None:
+            frames["pq_res_codes"], r_cbook, r_cpq = pq_r
         frames["maxsim_tokens"] = similarity.maxsim_token_table(spark, sf_dir)
 
         counts = {}
@@ -364,8 +379,11 @@ def persist_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
             "lsh_geometry": None if geom is None else list(geom),
             "ivf_centroids": None if cq is None else cq.tolist(),
             "ivf_scaled_centroids": None if s_cq is None else s_cq.tolist(),
+            "ivf_trained_centroids": None if t_cq is None else t_cq.tolist(),
             "pq_codebook": None if cbook is None else cbook.tolist(),
             "pq_hq_codebook": None if hq_cbook is None else hq_cbook.tolist(),
+            "pq_res_codebook": None if r_cbook is None else r_cbook.tolist(),
+            "pq_res_cpq": None if r_cpq is None else r_cpq.tolist(),
             "rows": counts,
         }
         _write_manifest(out_dir, _ANN_MANIFEST, manifest)
@@ -454,6 +472,9 @@ def append_ann_indexes(
             )
         geom = manifest["lsh_geometry"]
         s_cq = manifest.get("ivf_scaled_centroids")
+        t_cq = manifest.get("ivf_trained_centroids")
+        r_cbook = manifest.get("pq_res_codebook")
+        r_cpq = manifest.get("pq_res_cpq")
         frames = similarity.ann_append_frames(
             spark,
             new_vecs,
@@ -462,6 +483,9 @@ def append_ann_indexes(
             np.array(hq_cbook, dtype=np.int64),
             None if geom is None else tuple(geom),
             scaled_cq=None if s_cq is None else np.array(s_cq, dtype=np.int64),
+            trained_cq=None if t_cq is None else np.array(t_cq, dtype=np.int64),
+            res_cbook=None if r_cbook is None else np.array(r_cbook, dtype=np.int64),
+            res_cpq=None if r_cpq is None else np.array(r_cpq, dtype=np.int64),
         )
         appended = {}
         for name, df in frames.items():
@@ -643,6 +667,89 @@ def reband_ann_lsh(spark: SparkSession, out_dir: str) -> tuple[int, int, int]:
     return g, d, n_codes
 
 
+def retrain_ann_indexes(spark: SparkSession, out_dir: str) -> dict:
+    """Retrain the store's GROWN-N coarse quantizers — the executable
+    op the routing-drift monitors point at (VERDICT r14 task 4): the
+    drift queries emit the signal, reband_ann_lsh answers it for LSH,
+    and this answers it for IVF. From the store's CURRENT physical
+    vector count n it re-derives K = _ivf_scaled_k(n), re-seeds the
+    scaled router (salted md5 top-K over the STORED vectors — the
+    identical derivation a fresh build runs, which is what makes
+    retrain == rebuild provable), re-runs the integer Lloyd refinement
+    for the trained router, re-assigns every stored vector through the
+    ONE shared kernel (ivfpq_append_check; dot mode for scaled, L2
+    mode for trained), swaps both membership tables in place
+    (write-to-sibling ``.__retraining`` + directory swap, the
+    compact/reband discipline), and lands the updated manifest —
+    refreshed centroid matrices, row counts, and a ``retrained`` audit
+    entry — under ``_writer_guard``.
+
+    Contract (pinned in tests/test_artifacts.py): after retrain, the
+    two router tables and both centroid matrices are ROW-IDENTICAL to
+    a from-scratch persist_ann_indexes over the same grown corpus.
+    Orthogonal to deletes (the reband rule): all PHYSICAL rows
+    re-assign; pending tombstones keep shadowing at load until
+    compaction. The frozen-base PQ/HQ/residual code tables are
+    untouched — codes are router-independent; re-coding is the
+    compaction-cadence job only a codebook change would force. At
+    100 TB this is K·n assignment dots + the Lloyd passes — the same
+    cost as the original index build, run off-peak when the drift
+    report crosses its threshold. Returns {"k", "n", "rows": {table:
+    row_count}}."""
+    import shutil
+
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators import similarity
+
+    _require_live_manifest(out_dir, _ANN_MANIFEST)
+    with _writer_guard(out_dir, _ANN_MANIFEST):
+        with open(os.path.join(out_dir, _ANN_MANIFEST + ".stale")) as f:
+            manifest = json.load(f)
+        if manifest.get("ivf_scaled_centroids") is None:
+            raise ValueError(
+                f"ANN store at {out_dir} has no scaled quantizer "
+                f"(empty-corpus or pre-r14 build) — nothing to retrain; "
+                f"re-run persist_ann_indexes"
+            )
+        vec = spark.read.parquet(os.path.join(out_dir, "vec_norms")).select(
+            "vec_id", "embedding"
+        )
+        n = manifest["rows"]["vec_norms"]
+        k = similarity._ivf_scaled_k(n)
+        seed = similarity._md5_topk_seed(vec, k, similarity._IVF_SCALED_SALT)
+        cq_s = np.floor(
+            np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+            * similarity._IVF_SCALE
+        ).astype(np.int64)
+        cq_t = similarity._lloyd_refine(
+            spark, vec, cq_s.copy(), similarity._IVF_TRAINED_ITERS
+        )
+        rows: dict[str, int] = {}
+        retrained = [("ivf_scaled_assigned", cq_s, False)]
+        if manifest.get("ivf_trained_centroids") is not None:
+            retrained.append(("ivf_trained_assigned", cq_t, True))
+        for name, cq, l2 in retrained:
+            assigned = similarity.ivfpq_append_check(
+                vec, cq, None, with_codes=False, l2_routing=l2
+            ).select("vec_id", "embedding", "cluster", "probes")
+            path = os.path.join(out_dir, name)
+            tmp = path + ".__retraining"
+            assigned.write.mode("overwrite").parquet(tmp)
+            rows[name] = spark.read.parquet(tmp).count()
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            manifest["rows"][name] = rows[name]
+        manifest["ivf_scaled_centroids"] = cq_s.tolist()
+        if manifest.get("ivf_trained_centroids") is not None:
+            manifest["ivf_trained_centroids"] = cq_t.tolist()
+        manifest.setdefault("retrained", []).append(
+            {"k": int(k), "n": int(n), "tables": sorted(rows)}
+        )
+        _write_manifest(out_dir, _ANN_MANIFEST, manifest)
+    return {"k": int(k), "n": int(n), "rows": rows}
+
+
 def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Seed the similarity tiers' serving caches from a persisted ANN
     store (fingerprint-validated against ``sf_dir``'s embeddings table
@@ -758,6 +865,23 @@ def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         similarity._IVF_SCALED_INDEX_CACHE[key] = (
             rd("ivf_scaled_assigned"),
             np.array(s_cq, dtype=np.int64),
+        )
+    # Stores written before round 15 lack the trained-router and
+    # residual tables; loading one leaves those caches unseeded so the
+    # tiers fall back to their build paths (the pq_hq precedent).
+    t_cq = manifest.get("ivf_trained_centroids")
+    if t_cq is not None and "ivf_trained_assigned" in rows:
+        similarity._IVF_TRAINED_INDEX_CACHE[key] = (
+            rd("ivf_trained_assigned"),
+            np.array(t_cq, dtype=np.int64),
+        )
+    r_cbook = manifest.get("pq_res_codebook")
+    r_cpq = manifest.get("pq_res_cpq")
+    if r_cbook is not None and r_cpq is not None and "pq_res_codes" in rows:
+        similarity._PQ_RES_INDEX_CACHE[key] = (
+            rd("pq_res_codes"),
+            np.array(r_cbook, dtype=np.int64),
+            np.array(r_cpq, dtype=np.int64),
         )
     similarity._MS_TOKENS_CACHE[key] = rd("maxsim_tokens")
     return rows

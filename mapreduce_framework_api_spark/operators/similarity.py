@@ -2830,31 +2830,15 @@ def ivf_scaled_index(spark: SparkSession, sf_dir: str):
     cq = np.floor(
         np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _IVF_SCALE
     ).astype(np.int64)
-    cent = spark.sparkContext.broadcast(cq)
-    depth = min(len(seed), _IVF_SCALED_PROBE_DEPTH)
-
-    def assign(batches):
-        for pdf in batches:
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            iv = np.floor(v * _IVF_SCALE).astype(np.int64)
-            dots = iv @ cent.value.T  # int64: exact, engine-portable
-            # stable sort on -dots => ties keep ascending centroid index
-            # (the oracle's dot DESC, c ASC row_number order); cut to the
-            # stored probe depth — top-16 of K, not all K
-            order = np.argsort(-dots, axis=1, kind="stable")[:, :depth]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cluster": order[:, 0].astype("int32"),
-                    "probes": list(order.astype("int32")),
-                }
-            )
-
-    assigned = e.mapInPandas(
-        assign,
-        schema="vec_id long, embedding array<float>, cluster int, probes array<int>",
-    ).localCheckpoint()
+    # ONE assignment kernel for bulk build, append, and retrain
+    # (ivfpq_append_check, codes-off): dot routing, stable ties, probe
+    # ranking cut at the stored depth — build/append/retrain can never
+    # drift because they are literally the same code path (r15).
+    assigned = (
+        ivfpq_append_check(e, cq, None, with_codes=False)
+        .select("vec_id", "embedding", "cluster", "probes")
+        .localCheckpoint()
+    )
     _IVF_SCALED_INDEX_CACHE[key] = (assigned, cq)
     return assigned, cq
 
@@ -3265,35 +3249,15 @@ def ivf_trained_index(spark: SparkSession, sf_dir: str):
         np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _IVF_SCALE
     ).astype(np.int64)
     cq = _lloyd_refine(spark, e, cq0, _IVF_TRAINED_ITERS)
-    cent = spark.sparkContext.broadcast(cq)
-    depth = min(len(seed), _IVF_SCALED_PROBE_DEPTH)
-
-    def assign(batches):
-        for pdf in batches:
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            iv = np.floor(v * _IVF_SCALE).astype(np.int64)
-            C = cent.value
-            d2 = (
-                (iv * iv).sum(axis=1)[:, None]
-                - 2 * (iv @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
-            # stable sort on d2 => ties keep ascending centroid index
-            # (the oracle's d2 ASC, c ASC row_number order)
-            order = np.argsort(d2, axis=1, kind="stable")[:, :depth]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cluster": order[:, 0].astype("int32"),
-                    "probes": list(order.astype("int32")),
-                }
-            )
-
-    assigned = e.mapInPandas(
-        assign,
-        schema="vec_id long, embedding array<float>, cluster int, probes array<int>",
-    ).localCheckpoint()
+    # the ONE assignment kernel (ivfpq_append_check) in L2 mode: stable
+    # ascending-d2 ties (the oracle's d2 ASC, c ASC order), probe depth
+    # cut at the stored constant — shared verbatim with the append and
+    # retrain lanes, so build/append/retrain can never drift (r15).
+    assigned = (
+        ivfpq_append_check(e, cq, None, with_codes=False, l2_routing=True)
+        .select("vec_id", "embedding", "cluster", "probes")
+        .localCheckpoint()
+    )
     _IVF_TRAINED_INDEX_CACHE[key] = (assigned, cq)
     return assigned, cq
 
@@ -3864,7 +3828,12 @@ _APPEND_HQ_SALT = "pqhqb#"  # frozen-base HQ codebook seed universe
 
 
 def ivfpq_append_check(
-    new_vecs: DataFrame, cq, cbook, with_codes: bool = True
+    new_vecs: DataFrame,
+    cq,
+    cbook,
+    with_codes: bool = True,
+    l2_routing: bool = False,
+    res_cpq=None,
 ) -> DataFrame:
     """Assign + encode arriving vectors (vec_id, embedding) under a
     FROZEN coarse quantizer ``cq`` (K, d int64) and PQ codebook tensor
@@ -3892,7 +3861,17 @@ def ivfpq_append_check(
     and therefore every downstream select — is unchanged. When the
     monitor rides a real append pass the codes ARE consumed and the
     default mode's 'the signal is free' framing applies; standalone,
-    this mode makes the claim honest."""
+    this mode makes the claim honest.
+
+    ``l2_routing=True`` (r15) ranks probes by ASCENDING integer L2
+    distance instead of descending dot — the TRAINED quantizer's
+    metric (ivf_trained_index routes this way because L2 is what its
+    Lloyd update minimizes); margin becomes runner-up d2 − best d2
+    (still ≥ 0, still the drift signal). ``res_cpq`` (K, d int64 at
+    _PQ_SCALE) switches the encode to RESIDUAL codes: piv −
+    res_cpq[cluster] feeds the codeword argmin (pq_res_index's rule) —
+    so this one kernel also bulk-builds/appends/streams the residual
+    table without a second code path."""
     import numpy as np
     import pandas as pd
 
@@ -3919,23 +3898,42 @@ def ivfpq_append_check(
                 continue
             v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             iv = np.floor(v * _IVF_SCALE).astype(np.int64)
-            dots = iv @ cq.T
-            # stable sort on -dots => ties keep ascending centroid index
-            # (the ivf_index / oracle convention)
-            order = np.argsort(-dots, axis=1, kind="stable")[:, :depth]
-            # routing margin (best dot - runner-up dot): the drift
-            # monitor's signal, a free byproduct of the dot matrix —
-            # one kernel pass per arrival emits membership, codes, AND
-            # the retrain signal (q_sim_index_drift_scaled aggregates
-            # it; K == 1 degenerates to margin 0)
             rows = np.arange(len(pdf))
-            margin = (
-                dots[rows, order[:, 0]] - dots[rows, order[:, 1]]
-                if order.shape[1] > 1
-                else np.zeros(len(pdf), dtype=np.int64)
-            )
+            if l2_routing:
+                # the trained quantizer's metric: ascending exact d2,
+                # ties keep ascending centroid index (stable sort =
+                # the oracle's d2 ASC, c ASC row_number order)
+                d2r = (
+                    (iv * iv).sum(axis=1)[:, None]
+                    - 2 * (iv @ cq.T)
+                    + (cq * cq).sum(axis=1)[None, :]
+                )
+                order = np.argsort(d2r, axis=1, kind="stable")[:, :depth]
+                margin = (
+                    d2r[rows, order[:, 1]] - d2r[rows, order[:, 0]]
+                    if order.shape[1] > 1
+                    else np.zeros(len(pdf), dtype=np.int64)
+                )
+            else:
+                dots = iv @ cq.T
+                # stable sort on -dots => ties keep ascending centroid
+                # index (the ivf_index / oracle convention)
+                order = np.argsort(-dots, axis=1, kind="stable")[:, :depth]
+                # routing margin (best dot - runner-up dot): the drift
+                # monitor's signal, a free byproduct of the dot matrix —
+                # one kernel pass per arrival emits membership, codes,
+                # AND the retrain signal (q_sim_index_drift_scaled
+                # aggregates it; K == 1 degenerates to margin 0)
+                margin = (
+                    dots[rows, order[:, 0]] - dots[rows, order[:, 1]]
+                    if order.shape[1] > 1
+                    else np.zeros(len(pdf), dtype=np.int64)
+                )
             if with_codes:
-                piv = np.floor(v * _PQ_SCALE).astype(np.int64).reshape(-1, M, SUB)
+                piv = np.floor(v * _PQ_SCALE).astype(np.int64)
+                if res_cpq is not None:
+                    piv = piv - res_cpq[order[:, 0]]
+                piv = piv.reshape(-1, M, SUB)
                 codes = np.empty((len(pdf), M), dtype=np.int32)
                 for m in range(M):
                     x = piv[:, m, :]
@@ -4196,6 +4194,9 @@ def ann_append_frames(
     hq_cbook,
     geom,
     scaled_cq=None,
+    trained_cq=None,
+    res_cbook=None,
+    res_cpq=None,
 ) -> dict[str, DataFrame]:
     """The six stored-table row frames for a batch of arrivals under a
     store's FROZEN derived state (quantizer ``cq``, codebooks ``cbook``/
@@ -4252,6 +4253,22 @@ def ann_append_frames(
         frames["ivf_scaled_assigned"] = ivfpq_append_check(
             clean, scaled_cq, hq_cbook
         ).select("vec_id", "embedding", "cluster", "probes")
+    if trained_cq is not None:
+        # the TRAINED router (r15): arrivals route under the frozen
+        # Lloyd-refined centroids with its L2 metric — same kernel,
+        # l2 mode; retraining is retrain_ann_indexes' job, never the
+        # append path's (the reband/no-silent-rederive discipline)
+        frames["ivf_trained_assigned"] = ivfpq_append_check(
+            clean, trained_cq, None, with_codes=False, l2_routing=True
+        ).select("vec_id", "embedding", "cluster", "probes")
+    if res_cbook is not None and res_cpq is not None:
+        # residual codes (r15): cluster under the frozen fixed-K
+        # quantizer, codes over (piv − centroid_pq) vs the frozen
+        # residual codebook — the same rule pq_res_index bulk-builds
+        # with, via the same kernel's res mode
+        frames["pq_res_codes"] = ivfpq_append_check(
+            clean, cq, res_cbook, res_cpq=res_cpq
+        ).select("vec_id", "codes")
     return frames
 
 

@@ -229,6 +229,14 @@ _ANN_TIERS = (
     # predicate scan of the fixture
     "q_sim_ivfpq_scaled_topk",
     "q_sim_filtered_topk",
+    # r15: the trained router rides its own stored assignment table +
+    # manifest centroids; residual rides its stored code table +
+    # manifest (codebook, cpq) 3-tuple; the rerank points ride their
+    # router's stored shortlist halves + the raw vector table
+    "q_sim_ivfpq_trained_topk",
+    "q_sim_ivfpq_residual_topk",
+    "q_sim_ivfpq_scaled_rerank",
+    "q_sim_ivfpq_trained_rerank",
 )
 
 
@@ -263,8 +271,10 @@ def test_ann_store_roundtrip_serves_all_tiers(spark, tmp_path):
             "lsh_codes",
             "ivf_assigned",
             "ivf_scaled_assigned",
+            "ivf_trained_assigned",
             "pq_codes",
             "pq_hq_codes",
+            "pq_res_codes",
             "maxsim_tokens",
         }
         assert all(n > 0 for n in counts.values()), counts
@@ -455,6 +465,8 @@ def test_ann_store_append_equals_frozen_rebuild(spark, tmp_path):
     assert appended["pq_hq_codes"] == n_arr
     assert appended["vec_norms"] == n_arr
     assert appended["ivf_scaled_assigned"] == n_arr
+    assert appended["ivf_trained_assigned"] == n_arr
+    assert appended["pq_res_codes"] == n_arr
     assert appended["maxsim_tokens"] == n_arr
     assert appended["lsh_codes"] == n_arr * similarity._LSH_TABLES
     with open(os.path.join(store, _ANN_MANIFEST)) as f:
@@ -788,6 +800,10 @@ def test_ann_maintenance_cycle_runbook(spark, tmp_path):
     assert r["rebanded"]["lsh_codes"] == (
         r["serving_rows"]["vec_norms"] * 16
     )
+    assert r["retrained"]["n"] == r["serving_rows"]["vec_norms"]
+    assert (
+        r["retrained"]["rows"]["ivf_trained_assigned"] == r["retrained"]["n"]
+    )
     assert r["health"] == {
         "probe_index": True,
         "appended_served": True,
@@ -953,4 +969,98 @@ def test_tombstone_filters_null_ids(spark, tmp_path):
     with open(os.path.join(store, _ANN_MANIFEST)) as f:
         manifest = json.load(f)
     assert manifest["pending_tombstones"] == 1
+    clear_session_caches()
+
+
+def test_ann_store_retrain_matches_fresh_build(spark, tmp_path):
+    """The retrain/migration op the drift monitor points at (VERDICT
+    r14 task 4), in four claims: (1) after growth, retrain_ann_indexes
+    re-derives K from the STORE's grown count and rewrites both router
+    tables; (2) the rewritten tables AND both manifest centroid
+    matrices are ROW-IDENTICAL to a from-scratch persist over the same
+    grown corpus (seeds re-derive from the same md5 universe, the
+    Lloyd trainer is bit-deterministic, and assignment runs through
+    the one shared kernel — so retrain == rebuild by construction);
+    (3) the manifest logs a ``retrained`` audit entry with the new K;
+    (4) the retrained store loads and serves the rewritten table. The
+    frozen-base code tables are untouched (codes are
+    router-independent)."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators import similarity
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        _ANN_MANIFEST,
+        append_ann_indexes,
+        load_ann_indexes,
+        persist_ann_indexes,
+        retrain_ann_indexes,
+    )
+
+    rng = np.random.RandomState(15)
+
+    def vec_rows(ids):
+        return [(int(i), [float(x) for x in rng.rand(64) - 0.5]) for i in ids]
+
+    rows_base = vec_rows(range(120))
+    rows_new = vec_rows(range(1000, 1020))
+    base_dir = str(tmp_path / "rt_basefx")
+    grown_dir = str(tmp_path / "rt_grownfx")
+    for d, rows in ((base_dir, rows_base), (grown_dir, rows_base + rows_new)):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).withColumn("label", (F.col("vec_id") % 4).cast("int")).write.parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+
+    store = str(tmp_path / "rt_store")
+    clear_session_caches()
+    persist_ann_indexes(spark, base_dir, store)
+    append_ann_indexes(
+        spark,
+        spark.createDataFrame(rows_new, "vec_id long, embedding array<float>"),
+        store,
+    )
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m_pre = json.load(f)
+
+    # (1) + (3)
+    r = retrain_ann_indexes(spark, store)
+    assert r["n"] == 140
+    assert r["k"] == similarity._ivf_scaled_k(140)
+    assert r["rows"] == {
+        "ivf_scaled_assigned": 140,
+        "ivf_trained_assigned": 140,
+    }
+    with open(os.path.join(store, _ANN_MANIFEST)) as f:
+        m_post = json.load(f)
+    assert m_post["retrained"][-1] == {
+        "k": r["k"],
+        "n": 140,
+        "tables": ["ivf_scaled_assigned", "ivf_trained_assigned"],
+    }
+
+    # (2) row-identity with a fresh build over the grown corpus
+    clear_session_caches()
+    fresh_store = str(tmp_path / "rt_fresh")
+    persist_ann_indexes(spark, grown_dir, fresh_store)
+    with open(os.path.join(fresh_store, _ANN_MANIFEST)) as f:
+        m_fresh = json.load(f)
+    for name in ("ivf_scaled_assigned", "ivf_trained_assigned"):
+        assert _canon_rows(
+            spark.read.parquet(os.path.join(store, name))
+        ) == _canon_rows(spark.read.parquet(os.path.join(fresh_store, name))), name
+    assert m_post["ivf_scaled_centroids"] == m_fresh["ivf_scaled_centroids"]
+    assert m_post["ivf_trained_centroids"] == m_fresh["ivf_trained_centroids"]
+    # untouched frozen-state tables kept their pre-retrain contents
+    assert m_post["rows"]["pq_hq_codes"] == m_pre["rows"]["pq_hq_codes"]
+    assert m_post["pq_hq_codebook"] == m_pre["pq_hq_codebook"]
+
+    # (4) the retrained store loads; the scaled cache serves the
+    # rewritten table + refreshed centroids
+    clear_session_caches()
+    load_ann_indexes(spark, base_dir, store)
+    key = similarity.session_cache_key(spark, base_dir, "embeddings")
+    served, cq_served = similarity._IVF_SCALED_INDEX_CACHE[key]
+    assert served.count() == 140
+    assert cq_served.tolist() == m_fresh["ivf_scaled_centroids"]
     clear_session_caches()

@@ -15,7 +15,10 @@ scheduler would, against real parquet state:
   4. DELETE   tombstone the 'delsplit' slice (serves-immediately shadow)
   5. COMPACT  physical anti-join rewrite, tombstones cleared
   6. REBAND   LSH band width re-derived from the grown corpus
-  7. HEALTH   re-load, per-table counts, and a probe smoke query (an
+  7. RETRAIN  consume the drift signal (r15): scaled K re-derived at
+              the grown corpus, Lloyd refinement re-run, both router
+              tables rewritten (retrain == fresh rebuild, pinned)
+  8. HEALTH   re-load, per-table counts, and a probe smoke query (an
               exact dup of a surviving appended vector MUST collide; a
               dup of a deleted vector MUST NOT)
 
@@ -47,6 +50,7 @@ def run_cycle(spark, sf_dir: str, store: str) -> dict:
         load_ann_indexes,
         persist_ann_indexes,
         reband_ann_lsh,
+        retrain_ann_indexes,
         tombstone_ann_indexes,
     )
     from mapreduce_framework_api_spark.session import clear_session_caches
@@ -107,7 +111,13 @@ def run_cycle(spark, sf_dir: str, store: str) -> dict:
     g, d, n_codes = reband_ann_lsh(spark, store)
     receipt["rebanded"] = {"g": g, "d": d, "lsh_codes": n_codes}
 
-    # 7. HEALTH: reload and probe — one surviving appended vector must
+    # 7. RETRAIN: consume the drift signal — scaled K re-derived from
+    # the post-compact physical count, the Lloyd refinement re-run over
+    # the stored vectors, both router tables rewritten in place
+    # (row-identical to a fresh rebuild; tests/test_artifacts.py)
+    receipt["retrained"] = retrain_ann_indexes(spark, store)
+
+    # 8. HEALTH: reload and probe — one surviving appended vector must
     # collide with its exact dup; one deleted vector must not
     clear_session_caches()
     receipt["serving_rows"] = load_ann_indexes(spark, base_dir, store)
@@ -146,6 +156,9 @@ def run_cycle(spark, sf_dir: str, store: str) -> dict:
         and health.get("deleted_not_served")
         and receipt["drift"]["min_margin"] >= 0
         and receipt["rebanded"]["lsh_codes"] > 0
+        and receipt["retrained"]["rows"]["ivf_scaled_assigned"]
+        == receipt["retrained"]["n"]
+        and receipt["retrained"]["n"] == receipt["serving_rows"]["vec_norms"]
     )
     clear_session_caches()
     return receipt
