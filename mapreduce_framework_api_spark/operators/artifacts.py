@@ -499,6 +499,11 @@ def append_ann_indexes(
             df.write.mode("append").parquet(path)
             manifest["rows"][name] += appended[name]
         manifest.setdefault("appended", []).append(appended)
+        # the health report's "appended since last compact" debt counter
+        # (vector rows, the store's growth unit); compact resets it
+        manifest["appended_since_compact"] = manifest.get(
+            "appended_since_compact", 0
+        ) + appended.get("vec_norms", 0)
         _write_manifest(out_dir, _ANN_MANIFEST, manifest)
     return appended
 
@@ -593,6 +598,7 @@ def compact_ann_indexes(spark: SparkSession, out_dir: str) -> dict:
                 os.rename(tmp, path)
             shutil.rmtree(tpath)
             manifest["pending_tombstones"] = 0
+            manifest["appended_since_compact"] = 0
             manifest.setdefault("compacted", []).append(removed)
         _write_manifest(out_dir, _ANN_MANIFEST, manifest)
     return removed
@@ -748,6 +754,65 @@ def retrain_ann_indexes(spark: SparkSession, out_dir: str) -> dict:
         )
         _write_manifest(out_dir, _ANN_MANIFEST, manifest)
     return {"k": int(k), "n": int(n), "rows": rows}
+
+
+def ann_store_health(spark: SparkSession, out_dir: str) -> list[dict]:
+    """The STORE-side health report — q_sim_index_health's twin over a
+    real persisted store: one dict per stored router table composing
+    the manifest's debt counters with a live occupancy scan. Per row:
+    list count, physical rows, occupancy max / exact lower median /
+    skew ratio (the re-salt alarm), pending tombstone debt, vector
+    rows appended since the last compaction (the compaction-cadence
+    trigger), and how many retrains the store has absorbed. Read-only:
+    opens the LIVE manifest (a store mid-write or crash-recovered has
+    none and fails with the named error) and runs one K-row aggregate
+    per router — never a corpus-sized pull. tools/ann_maintenance.py
+    prints it as the cycle's final dashboard."""
+    mpath = os.path.join(out_dir, _ANN_MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"ANN store at {out_dir} has no loadable manifest (never "
+            f"built, mid-write, or crash-recovered) — health reads need "
+            f"a consistent store"
+        )
+    with open(mpath) as f:
+        manifest = json.load(f)
+    rows = manifest["rows"]
+    report: list[dict] = []
+    routers = (
+        ("ivf_fixed", "ivf_assigned", "ivf_centroids"),
+        ("ivf_scaled", "ivf_scaled_assigned", "ivf_scaled_centroids"),
+        ("ivf_trained", "ivf_trained_assigned", "ivf_trained_centroids"),
+    )
+    for name, tbl, cent_key in routers:
+        cent = manifest.get(cent_key)
+        if cent is None or tbl not in rows:
+            continue  # pre-r14/r15 store: that router was never built
+        occ = sorted(
+            (r["sz"], r["cluster"])
+            for r in spark.read.parquet(os.path.join(out_dir, tbl))
+            .groupBy("cluster")
+            .agg(F.count("*").alias("sz"))
+            .collect()
+        )
+        occ_max = max(s for s, _ in occ)
+        occ_med = occ[(len(occ) + 1) // 2 - 1][0]
+        report.append(
+            {
+                "index_name": name,
+                "n_lists": len(cent),
+                "n_rows": rows[tbl],
+                "occ_max": occ_max,
+                "occ_med": occ_med,
+                "occ_skew_x100": occ_max * 100 // occ_med,
+                "pending_tombstones": manifest.get("pending_tombstones", 0),
+                "appended_since_compact": manifest.get(
+                    "appended_since_compact", 0
+                ),
+                "retrains": len(manifest.get("retrained", [])),
+            }
+        )
+    return report
 
 
 def load_ann_indexes(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:

@@ -4671,6 +4671,189 @@ def q_sim_index_drift_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sim_index_health",
+    group="I",
+    oracle=f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS q,
+         substr(md5('pqsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_new,
+         substr(md5('delsplit#' || CAST(vec_id AS VARCHAR)), 1, 1) < '2' AS is_del
+  FROM embeddings
+), cnts AS (
+  SELECT CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_arrivals,
+         CAST(SUM(CASE WHEN NOT is_new AND is_del THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tombstoned
+  FROM iv
+), kb AS (
+  SELECT GREATEST({_IVF_SCALED_MIN_K},
+                  CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM iv WHERE NOT is_new
+), fseed AS (
+  SELECT vec_id, q FROM iv WHERE NOT is_new
+  ORDER BY md5('{_APPEND_SEED_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_K}
+), fcent AS (
+  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c FROM fseed
+), srank AS (
+  SELECT vec_id, q,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('{_SCALED_BASE_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS sr
+  FROM iv WHERE NOT is_new
+), scent AS (
+  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+  FROM srank, kb WHERE sr <= kb.k
+), cents AS (
+  SELECT 'ivf_fixed' AS index_name, cq, c FROM fcent
+  UNION ALL
+  SELECT 'ivf_scaled' AS index_name, cq, c FROM scent
+), dots AS (
+  SELECT cents.index_name, iv.vec_id, iv.is_new, cents.c,
+         CAST(list_dot_product(iv.q, cents.cq) AS BIGINT) AS dot
+  FROM iv, cents
+), rankd AS (
+  SELECT index_name, vec_id, is_new, c, dot,
+         ROW_NUMBER() OVER (PARTITION BY index_name, vec_id
+                            ORDER BY dot DESC, c ASC) AS pr
+  FROM dots
+), occ AS (
+  SELECT index_name, c, COUNT(*) AS sz
+  FROM rankd WHERE pr = 1 AND NOT is_new GROUP BY index_name, c
+), occstat AS (
+  SELECT index_name, MAX(sz) AS occ_max FROM occ GROUP BY index_name
+), occmed AS (
+  SELECT index_name, sz AS occ_med FROM (
+    SELECT index_name, sz,
+           ROW_NUMBER() OVER (PARTITION BY index_name ORDER BY sz, c) AS rn,
+           COUNT(*) OVER (PARTITION BY index_name) AS cnt
+    FROM occ
+  ) WHERE rn = (cnt + 1) // 2
+), nl AS (
+  SELECT index_name, COUNT(*) AS n_lists FROM cents GROUP BY index_name
+), marg AS (
+  SELECT w.index_name, w.vec_id, w.dot - r.dot AS margin
+  FROM rankd w JOIN rankd r
+    ON w.index_name = r.index_name AND w.vec_id = r.vec_id
+   AND w.pr = 1 AND r.pr = 2
+  WHERE w.is_new
+), margstat AS (
+  SELECT index_name,
+         CAST(MIN(margin) AS BIGINT) AS margin_min,
+         CAST(SUM(margin) AS BIGINT) AS margin_sum
+  FROM marg GROUP BY index_name
+)
+SELECT nl.index_name,
+       CAST(nl.n_lists AS BIGINT) AS n_lists,
+       cnts.n_base,
+       cnts.n_arrivals,
+       cnts.n_tombstoned,
+       CAST(occstat.occ_max AS BIGINT) AS occ_max,
+       CAST(occmed.occ_med AS BIGINT) AS occ_med,
+       CAST(occstat.occ_max * 100 // occmed.occ_med AS BIGINT) AS occ_skew_x100,
+       COALESCE(margstat.margin_min, 0) AS margin_min,
+       COALESCE(margstat.margin_sum, 0) AS margin_sum
+FROM nl
+JOIN occstat USING (index_name)
+JOIN occmed USING (index_name)
+LEFT JOIN margstat USING (index_name)
+CROSS JOIN cnts
+ORDER BY nl.index_name
+""",
+)
+def q_sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store-health DASHBOARD row (VERDICT r14 task 7) — one row
+    per frozen-base router composing every maintenance signal the
+    lanes already emit, exactly: list count and occupancy shape
+    (occ_max, exact lower-median occ_med over occupied lists, and
+    their ratio occ_skew_x100 — the salting/skew alarm), arrival
+    volume (the appended-since-compact analog on the deterministic
+    1/8 split), tombstone debt (the delsplit∩base slice the delete
+    audit tombstones), and the routing-drift margins (min + sum over
+    arrivals — the retrain trigger). This is the row an operator pages
+    on: occ_skew says re-salt, margin_min near zero says retrain,
+    n_tombstoned/n_base says compact. FULL oracle — every input is
+    already exact-integer (assignment dots, counts, margins), so the
+    whole dashboard is differential-checked like any relational query.
+    The STORE-side twin (artifacts.ann_store_health) reads the same
+    shape off a real store's manifest + tables; the runbook prints
+    both."""
+    from pyspark.sql import Window
+
+    state = frozen_base_state(spark, sf_dir)
+    s_cq = scaled_frozen_base_state(spark, sf_dir)
+    schema = (
+        "index_name string, n_lists long, n_base long, n_arrivals long, "
+        "n_tombstoned long, occ_max long, occ_med long, occ_skew_x100 long, "
+        "margin_min long, margin_sum long"
+    )
+    if state is None or s_cq is None:
+        return spark.createDataFrame([], schema)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(~_hash_split("pqsplit"))
+    arr = e.filter(_hash_split("pqsplit"))
+    counts = (
+        base.agg(F.count("*").cast("long").alias("n_base"))
+        .crossJoin(arr.agg(F.count("*").cast("long").alias("n_arrivals")))
+        .crossJoin(
+            base.filter(_hash_split("delsplit")).agg(
+                F.count("*").cast("long").alias("n_tombstoned")
+            )
+        )
+    )
+
+    def router_row(name: str, cq) -> DataFrame:
+        asg = ivfpq_append_check(
+            parallelized(base), cq, None, with_codes=False
+        ).select("cluster")
+        occ = asg.groupBy("cluster").agg(F.count("*").alias("sz"))
+        # exact lower median over the occupied lists: K rows, one thin
+        # single-partition window — never corpus-sized
+        occ2 = occ.select(
+            "sz",
+            F.row_number().over(Window.orderBy("sz", "cluster")).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("cnt"),
+        )
+        med = occ2.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+            F.col("sz").alias("occ_med")
+        )
+        mx = occ.agg(F.max("sz").alias("occ_max"))
+        mar = ivfpq_append_check(
+            parallelized(arr), cq, None, with_codes=False
+        ).agg(
+            F.coalesce(F.min("margin"), F.lit(0)).cast("long").alias("margin_min"),
+            F.coalesce(F.sum("margin"), F.lit(0)).cast("long").alias("margin_sum"),
+        )
+        return (
+            mx.crossJoin(med)
+            .crossJoin(mar)
+            .crossJoin(counts)
+            .select(
+                F.lit(name).alias("index_name"),
+                F.lit(int(cq.shape[0])).cast("long").alias("n_lists"),
+                "n_base",
+                "n_arrivals",
+                "n_tombstoned",
+                F.col("occ_max").cast("long").alias("occ_max"),
+                F.col("occ_med").cast("long").alias("occ_med"),
+                F.expr("occ_max * 100 div occ_med")
+                .cast("long")
+                .alias("occ_skew_x100"),
+                "margin_min",
+                "margin_sum",
+            )
+        )
+
+    return (
+        router_row("ivf_fixed", state[0])
+        .unionByName(router_row("ivf_scaled", s_cq))
+        .orderBy("index_name")
+    )
+
+
 _OUT_SCALE = 1000
 _OUT_TOP_K = 3
 _OUT_DIM = 64

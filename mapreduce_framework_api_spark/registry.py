@@ -136,7 +136,6 @@ _WINDOW: tuple[str, ...] = (
     "q_pipe_pii_scrub",
     "q_pipe_quota_cap",
     "q_pipe_sample_hash",
-    "q_pipe_split_assign",
     # (1) new round-15 queries, no driver receipt yet — each displaced
     # one reverse-alphabetical r11 row (q_win_topk_group,
     # q_win_range_frame, q_text_zipf, q_text_tokens, q_text_surprisal,
@@ -154,6 +153,9 @@ _WINDOW: tuple[str, ...] = (
     # 3), displacing q_text_fingerprint and q_pipe_split_by_cluster.
     "q_sim_ivfpq_residual_topk",
     "q_sim_ivfpq_residual_recall",
+    # ... and the store-health dashboard row (task 7), displacing
+    # q_pipe_split_assign.
+    "q_sim_index_health",
 )
 
 

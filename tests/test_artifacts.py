@@ -804,6 +804,15 @@ def test_ann_maintenance_cycle_runbook(spark, tmp_path):
     assert (
         r["retrained"]["rows"]["ivf_trained_assigned"] == r["retrained"]["n"]
     )
+    assert [h["index_name"] for h in r["store_health"]] == [
+        "ivf_fixed",
+        "ivf_scaled",
+        "ivf_trained",
+    ]
+    assert all(
+        h["retrains"] == 1 and h["occ_max"] >= h["occ_med"] >= 1
+        for h in r["store_health"]
+    )
     assert r["health"] == {
         "probe_index": True,
         "appended_served": True,

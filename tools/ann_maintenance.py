@@ -18,9 +18,11 @@ scheduler would, against real parquet state:
   7. RETRAIN  consume the drift signal (r15): scaled K re-derived at
               the grown corpus, Lloyd refinement re-run, both router
               tables rewritten (retrain == fresh rebuild, pinned)
-  8. HEALTH   re-load, per-table counts, and a probe smoke query (an
+  8. HEALTH   re-load, per-table counts, a probe smoke query (an
               exact dup of a surviving appended vector MUST collide; a
-              dup of a deleted vector MUST NOT)
+              dup of a deleted vector MUST NOT), and the per-router
+              store-health dashboard rows (ann_store_health — the
+              q_sim_index_health twin: occupancy shape + debt counters)
 
 Prints ONE JSON line with each step's receipt and a ``healthy`` verdict.
 The pytest integration test (tests/test_artifacts.py) runs this cycle
@@ -48,6 +50,7 @@ def run_cycle(spark, sf_dir: str, store: str) -> dict:
         append_ann_indexes,
         compact_ann_indexes,
         load_ann_indexes,
+        ann_store_health,
         persist_ann_indexes,
         reband_ann_lsh,
         retrain_ann_indexes,
@@ -150,6 +153,9 @@ def run_cycle(spark, sf_dir: str, store: str) -> dict:
             r["corpus_id"] != deleted[0]["vec_id"] for r in hits
         )
     receipt["health"] = health
+    # the dashboard rows (q_sim_index_health's store-side twin): one per
+    # stored router — occupancy shape + debt counters post-cycle
+    receipt["store_health"] = ann_store_health(spark, store)
     receipt["healthy"] = bool(
         health.get("probe_index")
         and health.get("appended_served")
@@ -159,6 +165,14 @@ def run_cycle(spark, sf_dir: str, store: str) -> dict:
         and receipt["retrained"]["rows"]["ivf_scaled_assigned"]
         == receipt["retrained"]["n"]
         and receipt["retrained"]["n"] == receipt["serving_rows"]["vec_norms"]
+        and len(receipt["store_health"]) == 3
+        and all(
+            h["occ_med"] >= 1
+            and h["pending_tombstones"] == 0
+            and h["appended_since_compact"] == 0
+            and h["n_rows"] == receipt["retrained"]["n"]
+            for h in receipt["store_health"]
+        )
     )
     clear_session_caches()
     return receipt
