@@ -122,7 +122,21 @@ def main() -> None:
         # "parsed" (and is the COMPACT form — slowest cells only; pass
         # BENCH_FULL.json for full-board cells).
         current = current["parsed"]
-    if current.get("mode") == "from_store":
+    if current.get("mode") != "from_store" and current.get("sf") == 1:
+        # sf1 full-board mode (VERDICT r14 task 6): gated against the
+        # adopted sf1 baseline board — the 2x gate now runs at BOTH
+        # scales, so a regression that only bites at 10x data (a skewed
+        # shuffle, a probe-width blowup) is caught mechanically too.
+        sf1_base = os.path.join(REPO, "BENCH_SF1_BASELINE.json")
+        if not os.path.exists(sf1_base):
+            raise SystemExit(
+                "sf1 board but no BENCH_SF1_BASELINE.json — adopt the "
+                "first calm sf1 board as the baseline first"
+            )
+        baseline = json.load(open(sf1_base))
+        corrections = {}  # corrections are sf0.1 cold-path methodology rows
+        kind = "sf1"
+    elif current.get("mode") == "from_store":
         store_base = os.path.join(REPO, "BENCH_STORE_BASELINE.json")
         if not os.path.exists(store_base):
             raise SystemExit(
