@@ -632,3 +632,82 @@ def test_ivfpq_drift_stream_equals_batch_twin(spark):
         for r in load_all_queries()["q_sim_index_drift"].fn(spark, SF_DIR).collect()
     )
     assert want == report
+
+
+def test_append_kernel_new_modes_stream_equals_batch(spark):
+    """The r15 kernel modes (L2 routing for the trained router,
+    residual encode for the residual code table) are stateless per row
+    like the base mode, so they must hold the same stream == batch
+    contract: the SAME ivfpq_append_check call over a rate-limited
+    stream and over the batch arrivals frame yields identical rows.
+    This is what keeps the maintenance lanes append==rebuild when a
+    store carries the trained/residual tables — the streaming ingest
+    path encodes arrivals through the identical code path the bulk
+    build and retrain use."""
+    import numpy as np
+
+    from mapreduce_framework_api_spark.operators.similarity import (
+        _hash_split,
+        _md5_topk_seed,
+        _IVF_SCALE,
+        _PQ_SCALE,
+        frozen_base_state,
+        ivfpq_append_check,
+    )
+    from mapreduce_framework_api_spark.sources import table
+    from mapreduce_framework_api_spark.streaming.pipelines import (
+        read_embeddings_stream,
+    )
+
+    state = frozen_base_state(spark, SF_DIR)
+    assert state is not None
+    cq, cbook = state
+    # a PQ-scale centroid matrix for the residual mode: the base seeds
+    # at _PQ_SCALE (any frozen matrix works — the pin is path equality)
+    base = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(~_hash_split("pqsplit"))
+    )
+    seed = _md5_topk_seed(base, cq.shape[0], "ivfb#")
+    cpq = np.floor(
+        np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE
+    ).astype(np.int64)
+
+    arrivals = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(_hash_split("pqsplit"))
+    )
+    stream_src = read_embeddings_stream(spark, SF_DIR).filter(
+        _hash_split("pqsplit")
+    )
+
+    def canon(df, with_codes=True):
+        return sorted(
+            (
+                r["vec_id"],
+                r["cluster"],
+                tuple(r["probes"]),
+                tuple(r["codes"]) if with_codes else None,
+                r["margin"],
+            )
+            for r in df.collect()
+        )
+
+    # L2 (trained-router) routing, codes off
+    l2_stream = ivfpq_append_check(
+        stream_src, cq, None, with_codes=False, l2_routing=True
+    )
+    run_to_memory(l2_stream, "t_l2_append", output_mode="append")
+    assert canon(spark.table("t_l2_append"), with_codes=False) == canon(
+        ivfpq_append_check(arrivals, cq, None, with_codes=False, l2_routing=True),
+        with_codes=False,
+    )
+    # residual encode
+    res_stream = ivfpq_append_check(stream_src, cq, cbook, res_cpq=cpq)
+    run_to_memory(res_stream, "t_res_append", output_mode="append")
+    got = canon(spark.table("t_res_append"))
+    want = canon(ivfpq_append_check(arrivals, cq, cbook, res_cpq=cpq))
+    assert got == want
+    assert len(got) > 0
