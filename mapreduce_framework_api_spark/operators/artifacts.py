@@ -402,15 +402,22 @@ def _require_live_manifest(out_dir: str, manifest_name: str) -> None:
     maintained; a store with NO manifest at all gets the same named
     error instead of a FileNotFoundError on the .stale path.
 
-    Ordering vs the lock (ADVICE r14): this precondition runs BEFORE the
-    caller acquires _writer_guard, and a maintenance op racing one that
-    already holds the guard sees the live manifest moved to ``.stale`` —
-    without the lockfile probe below it would raise the "re-run
+    Ordering vs the lock (ADVICE r14, race closed in the r15
+    self-review): a maintenance op racing one that already holds
+    _writer_guard sees the live manifest moved to ``.stale`` — without
+    distinguishing that state it would raise the "re-run
     persist_ann_indexes" error, and an operator following that message
-    would needlessly rebuild a HEALTHY store, losing all appended/
-    tombstoned state. So concurrency is surfaced first as the retryable
-    lock error; the probe is advisory (the authoritative race arbiter
-    remains the O_CREAT|O_EXCL open inside _writer_guard)."""
+    would needlessly rebuild a HEALTHY store. The guard creates its
+    lockfile BEFORE moving the manifest aside, so the states are
+    disjoint by construction: manifest present → healthy (a racing
+    writer will still be caught by the caller's own O_EXCL lock
+    attempt); manifest absent + lockfile present → in-flight writer
+    (retryable lock error); manifest absent + no lockfile → genuine
+    crash state (rebuild). Checking the manifest FIRST and the
+    lockfile only on the missing path closes the probe-then-check
+    TOCTOU window the first version of this fix left open."""
+    if os.path.exists(os.path.join(out_dir, manifest_name)):
+        return
     lock = os.path.join(out_dir, manifest_name + ".lock")
     if os.path.exists(lock):
         raise RuntimeError(
@@ -418,13 +425,12 @@ def _require_live_manifest(out_dir: str, manifest_name: str) -> None:
             f"{lock} exists); wait for it, or delete the lockfile if it "
             f"was stranded by a crash"
         )
-    if not os.path.exists(os.path.join(out_dir, manifest_name)):
-        raise ValueError(
-            f"ANN store at {out_dir} has no loadable manifest (never "
-            f"built, or a crashed persist left it refusing loads) — "
-            f"maintenance ops require a consistent store; re-run "
-            f"persist_ann_indexes"
-        )
+    raise ValueError(
+        f"ANN store at {out_dir} has no loadable manifest (never "
+        f"built, or a crashed persist left it refusing loads) — "
+        f"maintenance ops require a consistent store; re-run "
+        f"persist_ann_indexes"
+    )
 
 
 def append_ann_indexes(
@@ -728,12 +734,17 @@ def retrain_ann_indexes(spark: SparkSession, out_dir: str) -> dict:
             np.stack(seed["embedding"].to_numpy()).astype(np.float64)
             * similarity._IVF_SCALE
         ).astype(np.int64)
-        cq_t = similarity._lloyd_refine(
-            spark, vec, cq_s.copy(), similarity._IVF_TRAINED_ITERS
-        )
         rows: dict[str, int] = {}
         retrained = [("ivf_scaled_assigned", cq_s, False)]
+        cq_t = None
         if manifest.get("ivf_trained_centroids") is not None:
+            # Lloyd passes only when the store HAS a trained router to
+            # apply them to — a pre-r15 store would otherwise pay two
+            # full corpus passes computing a matrix that is discarded
+            # (r15 self-review)
+            cq_t = similarity._lloyd_refine(
+                spark, vec, cq_s.copy(), similarity._IVF_TRAINED_ITERS
+            )
             retrained.append(("ivf_trained_assigned", cq_t, True))
         for name, cq, l2 in retrained:
             assigned = similarity.ivfpq_append_check(
@@ -795,8 +806,15 @@ def ann_store_health(spark: SparkSession, out_dir: str) -> list[dict]:
             .agg(F.count("*").alias("sz"))
             .collect()
         )
-        occ_max = max(s for s, _ in occ)
-        occ_med = occ[(len(occ) + 1) // 2 - 1][0]
+        if occ:
+            occ_max = max(s for s, _ in occ)
+            occ_med = occ[(len(occ) + 1) // 2 - 1][0]
+            occ_skew = occ_max * 100 // occ_med
+        else:
+            # a fully-tombstoned-and-compacted store has zero physical
+            # rows: the health probe must report the degenerate shape,
+            # not die on max()-of-empty (r15 self-review)
+            occ_max = occ_med = occ_skew = 0
         report.append(
             {
                 "index_name": name,
@@ -804,7 +822,7 @@ def ann_store_health(spark: SparkSession, out_dir: str) -> list[dict]:
                 "n_rows": rows[tbl],
                 "occ_max": occ_max,
                 "occ_med": occ_med,
-                "occ_skew_x100": occ_max * 100 // occ_med,
+                "occ_skew_x100": occ_skew,
                 "pending_tombstones": manifest.get("pending_tombstones", 0),
                 "appended_since_compact": manifest.get(
                     "appended_since_compact", 0

@@ -1837,10 +1837,11 @@ def _ivfpq_search(
             score += lut[:, codes[:, m]]
         if res_cpq is not None:
             # exact cluster term q·c_pq: constant across the block's
-            # candidates (they share the probed list = the cogroup key)
+            # candidates (they share the probed list = the cogroup key);
+            # qi already holds the floored query ints — reshape is a
+            # free view, no per-block re-floor (r15 self-review)
             c = int(idx_pdf["cluster"].iloc[0])
-            qflat = np.floor(q * _PQ_SCALE).astype(np.int64)
-            score += (qflat @ res_cpq[c])[:, None]
+            score += (qi.reshape(len(q_ids), -1) @ res_cpq[c])[:, None]
         # per-list top-k inside the kernel (a neighbor lives in exactly
         # one list — same containment argument as q_sim_ivf_topk), with
         # self-exclusion since the query set is the corpus itself.
@@ -2677,28 +2678,14 @@ def pq_res_index(spark: SparkSession, sf_dir: str):
             new[row["m"], row["k"], 1] = row["s2"] // row["n"]
         cbook = new
 
-    def encode(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            piv = np.floor(v * _PQ_SCALE).astype(np.int64)
-            r = (piv - cpq[pdf["cluster"].to_numpy()]).reshape(
-                -1, _HQ_M, _HQ_SUB
-            )
-            codes = np.empty((len(pdf), _HQ_M), dtype=np.int32)
-            for m in range(_HQ_M):
-                x = r[:, m, :]
-                c = cbook[m]
-                d2 = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2 * (x @ c.T)
-                    + (c * c).sum(axis=1)[None, :]
-                )
-                codes[:, m] = np.argmin(d2, axis=1)  # first hit = lowest k
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
-
-    codes = src.mapInPandas(encode, schema="vec_id long, codes array<int>")
+    # the final code table builds through the ONE kernel's residual mode
+    # (ivfpq_append_check res_cpq) — the same code path the append,
+    # stream, and store lanes run, so bulk build and maintenance cannot
+    # drift (r15 self-review; the per-iteration trainer partials above
+    # are a different computation — codebook sums, not codes)
+    codes = ivfpq_append_check(e, cq_ivf, cbook, res_cpq=cpq).select(
+        "vec_id", "codes"
+    )
     _PQ_RES_INDEX_CACHE[key] = (codes, cbook, cpq)
     return codes, cbook, cpq
 

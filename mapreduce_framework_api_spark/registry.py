@@ -158,6 +158,18 @@ _WINDOW: tuple[str, ...] = (
     "q_sim_index_health",
 )
 
+# Policy clause (2) declarations: window slots occupied by queries whose
+# CODE materially changed this round (re-verified under the driver
+# despite a fresh-ish receipt — r14 exercised this for the rekeyed probe
+# lane). test_window_policy exempts exactly these named slots from its
+# stalest-first structural assertion; an undeclared fresh receipt in the
+# window still fails, so clause (2) stays an explicit, reviewable claim
+# rather than a loophole (r15 self-review). Empty this round: every r15
+# code change shipped as a NEW query, and the refactored shared paths
+# (kernel unification) are covered by the new queries' driver slots plus
+# the local 203/203 oracle run.
+_WINDOW_CHANGED_CODE: tuple[str, ...] = ()
+
 
 def load_all_queries() -> dict[str, Query]:
     """Import every operator module so all queries register; return REGISTRY

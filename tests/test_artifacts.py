@@ -1073,3 +1073,38 @@ def test_ann_store_retrain_matches_fresh_build(spark, tmp_path):
     assert served.count() == 140
     assert cq_served.tolist() == m_fresh["ivf_scaled_centroids"]
     clear_session_caches()
+
+
+def test_store_health_survives_fully_compacted_store(spark, tmp_path):
+    """r15 self-review: a store whose ENTIRE corpus was tombstoned and
+    compacted (zero physical rows, centroids still in the manifest) is
+    the unhealthiest store there is — the health probe must report the
+    degenerate shape (occ 0/0/0, zero rows), not die on max() of an
+    empty occupancy list."""
+    from mapreduce_framework_api_spark.operators.artifacts import (
+        ann_store_health,
+        compact_ann_indexes,
+        persist_ann_indexes,
+        tombstone_ann_indexes,
+    )
+
+    store = str(tmp_path / "wiped_store")
+    clear_session_caches()
+    persist_ann_indexes(spark, SF_DIR, store)
+    everyone = spark.read.parquet(os.path.join(store, "vec_norms")).select(
+        "vec_id"
+    )
+    n = tombstone_ann_indexes(spark, everyone, store)
+    assert n > 0
+    removed = compact_ann_indexes(spark, store)
+    assert removed["vec_norms"] == n
+    report = ann_store_health(spark, store)
+    assert [h["index_name"] for h in report] == [
+        "ivf_fixed",
+        "ivf_scaled",
+        "ivf_trained",
+    ]
+    for h in report:
+        assert h["n_rows"] == 0
+        assert (h["occ_max"], h["occ_med"], h["occ_skew_x100"]) == (0, 0, 0)
+    clear_session_caches()

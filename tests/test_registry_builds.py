@@ -164,7 +164,23 @@ def test_window_policy():
     # (c) stalest-first: every scheduled verified member must be at least
     # as stale as every unscheduled one (ties allowed — a saturated stale
     # block displaced by policy-clause-(1) new queries is exactly a tie).
-    scheduled_receipts = [latest[n] for n in _WINDOW if n in latest]
+    # Policy clause (2) — re-verify queries whose CODE changed this round
+    # despite a fresh receipt — is a legitimate inversion, but only when
+    # DECLARED: slots listed in registry._WINDOW_CHANGED_CODE are exempt
+    # here (and must actually be scheduled); an undeclared fresh receipt
+    # in the window still fails, so the clause is an explicit reviewable
+    # claim, not a loophole.
+    from mapreduce_framework_api_spark.registry import _WINDOW_CHANGED_CODE
+
+    assert all(n in _WINDOW for n in _WINDOW_CHANGED_CODE), (
+        "_WINDOW_CHANGED_CODE declares clause-(2) re-verification for "
+        "queries that are not actually scheduled"
+    )
+    scheduled_receipts = [
+        latest[n]
+        for n in _WINDOW
+        if n in latest and n not in _WINDOW_CHANGED_CODE
+    ]
     unscheduled_receipts = {
         n: latest[n] for n in QUERIES if n not in _WINDOW and n in latest
     }

@@ -137,6 +137,16 @@ def main() -> None:
         corrections = {}  # corrections are sf0.1 cold-path methodology rows
         kind = "sf1"
     elif current.get("mode") == "from_store":
+        if current.get("sf") == 1:
+            # no sf1 from-store baseline exists; silently gating a 10x
+            # board against the sf0.1 store baseline would flag nearly
+            # every cell as a spurious cross-scale failure (r15
+            # self-review) — fail with the actual reason instead
+            raise SystemExit(
+                "sf1 from-store board but no sf1 store baseline is "
+                "recorded — adopt one (BENCH_SF1_STORE_BASELINE.json + "
+                "a compare branch) before gating this mode/scale"
+            )
         store_base = os.path.join(REPO, "BENCH_STORE_BASELINE.json")
         if not os.path.exists(store_base):
             raise SystemExit(
