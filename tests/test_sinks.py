@@ -84,10 +84,10 @@ def test_formatted_text_contract(spark, tmp_path):
 
 
 def test_lake_stub_guarded_without_jars(spark, tmp_path):
-    """The lake-format connectors are an optional extra: without the
-    delta/iceberg jars the probe says unavailable and the read path
-    raises the guarded NotImplementedError (never a raw JVM
-    ClassNotFound escaping); unknown formats are a ValueError."""
+    """The lake-format connectors without jars (r15 behavior): DELTA
+    falls back to the pure-Spark log resolver — a non-table path is its
+    named ValueError, never a raw JVM ClassNotFound; ICEBERG keeps the
+    guarded NotImplementedError; unknown formats are a ValueError."""
     import pytest
 
     from mapreduce_framework_api_spark.sources.readers import (
@@ -95,11 +95,13 @@ def test_lake_stub_guarded_without_jars(spark, tmp_path):
         read_lake,
     )
 
-    for fmt in ("delta", "iceberg"):
-        if lake_format_available(spark, fmt):
-            pytest.skip(f"{fmt} jars present; the real-path test covers this")
+    if lake_format_available(spark, "delta"):
+        pytest.skip("delta jars present; the real-path test covers this")
+    with pytest.raises(ValueError, match="no _delta_log"):
+        read_lake(spark, str(tmp_path / "t"), "delta")
+    if not lake_format_available(spark, "iceberg"):
         with pytest.raises(NotImplementedError, match="jars on the classpath"):
-            read_lake(spark, str(tmp_path / "t"), fmt)
+            read_lake(spark, str(tmp_path / "t"), "iceberg")
     with pytest.raises(ValueError, match="unsupported lake format"):
         read_lake(spark, str(tmp_path / "t"), "hudi")
     assert lake_format_available(spark, "hudi") is False
@@ -413,3 +415,237 @@ def test_compact_rejects_null_placeholder_collision(spark, tmp_path):
     ).write.parquet(p)  # unpartitioned: the literal survives on disk
     with pytest.raises(ValueError, match="null-partition placeholder"):
         compact_small_files(spark, p, partition_cols=["dt"])
+
+
+def _delta_commit(log_dir, version, actions):
+    import json
+
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _delta_protocol_and_meta(schema_json, part_cols=()):
+    return [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-000000000001",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": list(part_cols),
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+
+
+def test_delta_log_resolver_reads_multi_commit_snapshot(spark, tmp_path):
+    """The jarless Delta read path for REAL (r15, the carried lake gap):
+    a protocol-conformant hand-written log — protocol + metaData, two
+    adds, then a second commit that removes one file and adds another
+    (the OSS writer's rewrite-style update) — must resolve to exactly
+    the live snapshot with the log's schema. Exercised through
+    read_lake, which falls back to the resolver when the classpath has
+    no delta jar."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_api_spark.sources.readers import (
+        lake_format_available,
+        read_lake,
+    )
+
+    if lake_format_available(spark, "delta"):
+        pytest.skip("delta jars present; the jar path test covers this env")
+    tbl = str(tmp_path / "dtable")
+    log = os.path.join(tbl, "_delta_log")
+    os.makedirs(log)
+    schema_json = spark.createDataFrame([], "id long, v string").schema.json()
+
+    def data_file(name, ids):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "v": pa.array([f"v{i}" for i in ids], pa.string()),
+                }
+            ),
+            os.path.join(tbl, name),
+        )
+        return {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(tbl, name)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    _delta_commit(
+        log,
+        0,
+        _delta_protocol_and_meta(schema_json)
+        + [data_file("part-0001.parquet", [1, 2, 3]),
+           data_file("part-0002.parquet", [4, 5])],
+    )
+    _delta_commit(
+        log,
+        1,
+        [
+            {
+                "remove": {
+                    "path": "part-0002.parquet",
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            },
+            data_file("part-0003.parquet", [6]),
+        ],
+    )
+    got = read_lake(spark, tbl, "delta")
+    assert [f.simpleString() for f in got.schema.fields] == [
+        "id:bigint",
+        "v:string",
+    ]
+    assert sorted((r["id"], r["v"]) for r in got.collect()) == [
+        (1, "v1"),
+        (2, "v2"),
+        (3, "v3"),
+        (6, "v6"),
+    ]
+
+
+def test_delta_log_resolver_partitioned_and_empty(spark, tmp_path):
+    """Partition values live in the LOG, not the data files: the
+    resolver must re-attach them per file group, cast through the log
+    schema. And a snapshot whose every add was removed is an EMPTY
+    frame with the full schema, not an error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_api_spark.sources.readers import (
+        lake_format_available,
+        read_delta_log,
+    )
+
+    if lake_format_available(spark, "delta"):
+        pytest.skip("delta jars present; the jar path test covers this env")
+    tbl = str(tmp_path / "ptable")
+    log = os.path.join(tbl, "_delta_log")
+    os.makedirs(log)
+    schema_json = spark.createDataFrame(
+        [], "id long, label int, v string"
+    ).schema.json()
+
+    def pfile(name, ids, label):
+        os.makedirs(os.path.dirname(os.path.join(tbl, name)), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "v": pa.array([f"v{i}" for i in ids], pa.string()),
+                }
+            ),
+            os.path.join(tbl, name),
+        )
+        return {
+            "add": {
+                "path": name,
+                "partitionValues": {"label": str(label)},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    _delta_commit(
+        log,
+        0,
+        _delta_protocol_and_meta(schema_json, part_cols=["label"])
+        + [
+            pfile("label=1/part-0001.parquet", [1, 2], 1),
+            pfile("label=2/part-0002.parquet", [3], 2),
+        ],
+    )
+    got = read_delta_log(spark, tbl)
+    assert sorted((r["id"], r["label"], r["v"]) for r in got.collect()) == [
+        (1, 1, "v1"),
+        (2, 1, "v2"),
+        (3, 2, "v3"),
+    ]
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)[
+        "label"
+    ] == "int"
+
+    # empty snapshot: remove everything
+    _delta_commit(
+        log,
+        1,
+        [
+            {"remove": {"path": "label=1/part-0001.parquet", "dataChange": True}},
+            {"remove": {"path": "label=2/part-0002.parquet", "dataChange": True}},
+        ],
+    )
+    empty = read_delta_log(spark, tbl)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "label", "v"]
+
+
+def test_delta_log_resolver_refuses_outside_its_subset(spark, tmp_path):
+    """Never silently wrong: a checkpointed log, a v2+ reader protocol,
+    a deletion vector, and a non-parquet provider must each refuse with
+    a NAMED error (replaying past any of them from JSON alone would
+    produce incorrect snapshots)."""
+    from mapreduce_framework_api_spark.sources.readers import read_delta_log
+
+    schema_json = spark.createDataFrame([], "id long").schema.json()
+
+    def fresh(name):
+        tbl = str(tmp_path / name)
+        os.makedirs(os.path.join(tbl, "_delta_log"))
+        return tbl, os.path.join(tbl, "_delta_log")
+
+    tbl, log = fresh("ckpt")
+    _delta_commit(log, 0, _delta_protocol_and_meta(schema_json))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write('{"version": 0, "size": 1}')
+    with pytest.raises(NotImplementedError, match="checkpointed"):
+        read_delta_log(spark, tbl)
+
+    tbl, log = fresh("v3")
+    _delta_commit(
+        log,
+        0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}],
+    )
+    with pytest.raises(NotImplementedError, match="protocol"):
+        read_delta_log(spark, tbl)
+
+    tbl, log = fresh("dv")
+    _delta_commit(
+        log,
+        0,
+        _delta_protocol_and_meta(schema_json)
+        + [
+            {
+                "add": {
+                    "path": "f.parquet",
+                    "partitionValues": {},
+                    "dataChange": True,
+                    "deletionVector": {"storageType": "u"},
+                }
+            }
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        read_delta_log(spark, tbl)
+
+    tbl, log = fresh("orc")
+    meta = _delta_protocol_and_meta(schema_json)
+    meta[1]["metaData"]["format"]["provider"] = "orc"
+    _delta_commit(log, 0, meta)
+    with pytest.raises(NotImplementedError, match="parquet tables only"):
+        read_delta_log(spark, tbl)
