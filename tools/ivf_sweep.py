@@ -62,6 +62,21 @@ TIERS = {
         "q_sim_ivfpq_scaled_topk",
         "q_sim_ivfpq_scaled_recall",
     ),
+    # r15: the trained router shares the scaled point's nprobe knob
+    # (same derivation, same clamp); the residual point rides the HQ
+    # tier's knob (same router, same probe widths — only the encoding
+    # differs), so all four composed operating points sweep through
+    # the same protocol.
+    "ivfpq_trained": (
+        "SPARK_GRAFT_IVF_SCALED_NPROBE",
+        "q_sim_ivfpq_trained_topk",
+        "q_sim_ivfpq_trained_recall",
+    ),
+    "ivfpq_residual": (
+        "SPARK_GRAFT_IVFPQ_HQ_NPROBE",
+        "q_sim_ivfpq_residual_topk",
+        "q_sim_ivfpq_residual_recall",
+    ),
 }
 
 
