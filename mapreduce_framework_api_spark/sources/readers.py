@@ -9,8 +9,10 @@ handling built in, so the "source layer" here is a thin catalog over
 pruning from Catalyst for free, which is exactly what a 100 TB scan needs.
 
 Format support beyond the reference (parquet/csv/json/orc/text) is provided
-by ``read_any``; lake formats (delta/iceberg) need external jars and are
-gated behind import-try stubs.
+by ``read_any``. Lake formats: with runtime jars, ``read_lake`` uses the
+genuine DataSource; without them, DELTA reads through the pure-Spark
+transaction-log resolver (``read_delta_log`` — public-protocol subset,
+refuses loudly outside it) and ICEBERG stays a guarded stub.
 """
 
 from __future__ import annotations
