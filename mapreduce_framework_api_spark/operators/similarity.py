@@ -1766,6 +1766,7 @@ def _ivfpq_search(
     tier_tag: str,
     ivf_fn=None,
     index_ids: DataFrame | None = None,
+    cache_depth: int | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ search plan, shared by all registered
     operating points (the default 64×-compression tier, the
@@ -1781,10 +1782,25 @@ def _ivfpq_search(
     import numpy as np
     import pandas as pd
 
+    # ``cache_depth`` (r15 optimization): a topk point and its rerank
+    # sibling differ ONLY in how deep they read the SAME deterministic
+    # ADC ranking (top-3 vs the top-16 shortlist) — row_number over
+    # (adc_score DESC, neighbor_id ASC) is a total order, so the top-3
+    # slice of the 16-deep tier is byte-identical to a 3-deep build.
+    # Callers that share a family pass one tag + cache_depth=16 and the
+    # expensive cogroup scoring runs ONCE per family per session instead
+    # of once per registered query (guide §1.2: don't compute things
+    # twice). The per-list kernel cut and the global window both use the
+    # cached depth; the requested top_k is a post-filter on rk.
+    depth = max(top_k, cache_depth or top_k)
+
+    def _cut(tier: DataFrame) -> DataFrame:
+        return tier if depth == top_k else tier.filter(F.col("rk") <= top_k)
+
     cache_key = (*session_cache_key(spark, sf_dir, "embeddings"), tier_tag)
     cached = _TIER_OUT_CACHE.get(cache_key)
     if cached is not None:
-        return cached
+        return _cut(cached)
 
     idx = (ivf_fn or ivf_index)(spark, sf_dir)
     pq = pq_idx(spark, sf_dir)
@@ -1845,7 +1861,7 @@ def _ivfpq_search(
         # per-list top-k inside the kernel (a neighbor lives in exactly
         # one list — same containment argument as q_sim_ivf_topk), with
         # self-exclusion since the query set is the corpus itself.
-        rows, nids, scs = _rowwise_topk(score, x_ids, top_k, q_ids=q_ids)
+        rows, nids, scs = _rowwise_topk(score, x_ids, depth, q_ids=q_ids)
         return pd.DataFrame(
             {
                 "vec_id": q_ids[rows],
@@ -1864,16 +1880,18 @@ def _ivfpq_search(
             score_cluster, schema="vec_id long, neighbor_id long, adc_score long"
         )
     )
-    return _tier_cached(
-        tier_tag,
-        spark,
-        sf_dir,
-        lambda: _topk_rerank(
-            scored.dropDuplicates(["vec_id", "neighbor_id"]),
-            "vec_id",
-            "adc_score",
-            top_k,
-        ),
+    return _cut(
+        _tier_cached(
+            tier_tag,
+            spark,
+            sf_dir,
+            lambda: _topk_rerank(
+                scored.dropDuplicates(["vec_id", "neighbor_id"]),
+                "vec_id",
+                "adc_score",
+                depth,
+            ),
+        )
     )
 
 
@@ -2350,7 +2368,10 @@ def q_sim_ivfpq_hq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HQ_M,
         _HQ_SUB,
         _IVFPQ_TOP_K,
-        f"ivfpq_hq_topk@p{_hq_nprobe()}",
+        # one deep tier per family: the rerank sibling's 16-wide shortlist
+        # and this top-3 read share the tag (and the one cogroup pass)
+        f"ivfpq_hq_deep@p{_hq_nprobe()}",
+        cache_depth=_HQ_RERANK_R,
     )
 
 
@@ -2503,7 +2524,8 @@ def q_sim_ivfpq_hq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HQ_M,
         _HQ_SUB,
         _HQ_RERANK_R,
-        f"ivfpq_hq_short@p{_hq_nprobe()}",
+        f"ivfpq_hq_deep@p{_hq_nprobe()}",
+        cache_depth=_HQ_RERANK_R,
     ).select("vec_id", "neighbor_id")
     return _exact_refine(spark, sf_dir, short)
 
@@ -2914,8 +2936,9 @@ def q_sim_ivfpq_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HQ_M,
         _HQ_SUB,
         _IVFPQ_TOP_K,
-        f"ivfpq_scaled_topk@k{k}p{nprobe}",
+        f"ivfpq_scaled_deep@k{k}p{nprobe}",
         ivf_fn=ivf_scaled_index,
+        cache_depth=_HQ_RERANK_R,
     )
 
 
@@ -3001,8 +3024,9 @@ def q_sim_ivfpq_scaled_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HQ_M,
         _HQ_SUB,
         _HQ_RERANK_R,
-        f"ivfpq_scaled_short@k{k}p{nprobe}",
+        f"ivfpq_scaled_deep@k{k}p{nprobe}",
         ivf_fn=ivf_scaled_index,
+        cache_depth=_HQ_RERANK_R,
     ).select("vec_id", "neighbor_id")
     return _exact_refine(spark, sf_dir, short)
 
@@ -3187,20 +3211,30 @@ def _lloyd_refine(spark: SparkSession, e: DataFrame, cq0, iters: int):
                     }
                 )
 
-        p = e.mapInPandas(
-            partials, schema="cluster int, psum array<long>, n long"
-        ).localCheckpoint()
+        # ONE job per iteration: the partials feed a single hash aggregate
+        # that reduces counts AND all d element-wise sums together (64
+        # element_at sums — JVM codegen over K·partitions thin rows), and
+        # one K-row collect pulls the whole update. The previous shape ran
+        # three jobs per iteration (an eager localCheckpoint of the
+        # partials, a counts collect, a posexplode-sums collect); the
+        # checkpoint existed only because the partials had two consumers,
+        # which the fused aggregate removes (guide §2.4: two operations
+        # keyed the same way share one exchange — here one aggregate).
+        agg_cols = [F.sum("n").alias("n")] + [
+            F.sum(F.element_at("psum", i + 1)).alias(f"s{i}") for i in range(d)
+        ]
         counts = np.zeros(K, dtype=np.int64)
-        for r in p.groupBy("cluster").agg(F.sum("n").alias("n")).collect():
-            counts[r["cluster"]] = r["n"]
         sums = np.zeros((K, d), dtype=np.int64)
         for r in (
-            p.select("cluster", F.posexplode("psum").alias("dd", "s"))
-            .groupBy("cluster", "dd")
-            .agg(F.sum("s").alias("s"))
+            e.mapInPandas(partials, schema="cluster int, psum array<long>, n long")
+            .groupBy("cluster")
+            .agg(*agg_cols)
             .collect()
         ):
-            sums[r["cluster"], r["dd"]] = r["s"]
+            c = r["cluster"]
+            counts[c] = r["n"]
+            for i in range(d):
+                sums[c, i] = r[f"s{i}"]
         new = cq.copy()
         nz = counts > 0
         new[nz] = np.floor_divide(sums[nz], counts[nz, None])
@@ -3292,8 +3326,9 @@ def q_sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HQ_M,
         _HQ_SUB,
         _IVFPQ_TOP_K,
-        f"ivfpq_trained_topk@k{k}p{nprobe}",
+        f"ivfpq_trained_deep@k{k}p{nprobe}",
         ivf_fn=ivf_trained_index,
+        cache_depth=_HQ_RERANK_R,
     )
 
 
@@ -3345,8 +3380,9 @@ def q_sim_ivfpq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HQ_M,
         _HQ_SUB,
         _HQ_RERANK_R,
-        f"ivfpq_trained_short@k{k}p{nprobe}",
+        f"ivfpq_trained_deep@k{k}p{nprobe}",
         ivf_fn=ivf_trained_index,
+        cache_depth=_HQ_RERANK_R,
     ).select("vec_id", "neighbor_id")
     return _exact_refine(spark, sf_dir, short)
 
@@ -4780,23 +4816,52 @@ def q_sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state is None or s_cq is None:
         return spark.createDataFrame([], schema)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    base = e.filter(~_hash_split("pqsplit"))
-    arr = e.filter(_hash_split("pqsplit"))
-    counts = (
-        base.agg(F.count("*").cast("long").alias("n_base"))
-        .crossJoin(arr.agg(F.count("*").cast("long").alias("n_arrivals")))
-        .crossJoin(
-            base.filter(_hash_split("delsplit")).agg(
-                F.count("*").cast("long").alias("n_tombstoned")
-            )
+    # ONE conditional-aggregation scan for all three counters (guide §2.4:
+    # the previous three crossJoined single-row scans were three separate
+    # corpus passes for numbers one pass produces). Counts stay over the
+    # RAW table — the kernel's dirty-row drop must not change them.
+    counts = e.agg(
+        F.sum(F.when(~_hash_split("pqsplit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(_hash_split("pqsplit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_arrivals"),
+        F.sum(
+            F.when((~_hash_split("pqsplit")) & _hash_split("delsplit"), 1)
+            .otherwise(0)
         )
+        .cast("long")
+        .alias("n_tombstoned"),
     )
 
     def router_row(name: str, cq) -> DataFrame:
-        asg = ivfpq_append_check(
-            parallelized(base), cq, None, with_codes=False
-        ).select("cluster")
-        occ = asg.groupBy("cluster").agg(F.count("*").alias("sz"))
+        # ONE routing-kernel pass per router over the whole corpus,
+        # materialized thin (cluster, margin, is_new — never the
+        # embeddings), then every dashboard aggregate reads the
+        # materialized rows. The previous shape invoked the kernel
+        # separately for the base slice (occupancy) and the arrival
+        # slice (margins), and the occupancy subtree additionally fed
+        # two consumers (max + median) — Catalyst duplicates shared
+        # subtrees, so one logical pass executed as several physical
+        # corpus-sized Arrow passes (12 Python nodes / 22 exchanges in
+        # the before-plan; see plans/r15/q_sim_index_health_before.txt).
+        # The split flag is a pure function of vec_id (_hash_split), so
+        # it reattaches AFTER the kernel for free. Base rows' margins
+        # are a discarded kernel byproduct; arrival rows' occupancy
+        # likewise — same per-row work, computed once instead of twice.
+        asg = (
+            ivfpq_append_check(parallelized(e), cq, None, with_codes=False)
+            .select(
+                "cluster", "margin", _hash_split("pqsplit").alias("is_new")
+            )
+            .localCheckpoint()
+        )
+        occ = (
+            asg.filter(~F.col("is_new"))
+            .groupBy("cluster")
+            .agg(F.count("*").alias("sz"))
+        )
         # exact lower median over the occupied lists: K rows, one thin
         # single-partition window — never corpus-sized
         occ2 = occ.select(
@@ -4808,9 +4873,7 @@ def q_sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sz").alias("occ_med")
         )
         mx = occ.agg(F.max("sz").alias("occ_max"))
-        mar = ivfpq_append_check(
-            parallelized(arr), cq, None, with_codes=False
-        ).agg(
+        mar = asg.filter("is_new").agg(
             F.coalesce(F.min("margin"), F.lit(0)).cast("long").alias("margin_min"),
             F.coalesce(F.sum("margin"), F.lit(0)).cast("long").alias("margin_sum"),
         )
