@@ -556,12 +556,21 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
                     "label"
                 ),
+                # carried so the convergence flag below needs no re-join
+                # against the previous round's frame
+                F.col("label").alias("prev"),
             )
             .localCheckpoint()  # the jump self-join below reads it twice
         )
         # pointer jump: label <- label(label); every label IS a node id
         # (labels start as ids and only ever copy other labels), so the
         # left join matches except transiently — coalesce covers it.
+        # The convergence flag rides in the same projection the checkpoint
+        # materializes (the dedup label-propagation discipline), so
+        # detecting the fixed point is a filter over the already-
+        # checkpointed round output — not a jumped×labels join plus a
+        # broadcast per round (measured: that join was one of ~12 AQE
+        # jobs each round charged).
         jumped = (
             lowered.join(
                 F.broadcast(
@@ -572,17 +581,15 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "label",
                 "left",
             )
-            .select("node", F.coalesce("jlabel", "label").alias("label"))
+            .select(
+                "node",
+                F.coalesce("jlabel", "label").alias("label"),
+                (F.coalesce("jlabel", "label") != F.col("prev")).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = jumped.select("node", "label")
+        if jumped.filter("changed").limit(1).count() == 0:
             break
     else:
         raise RuntimeError(

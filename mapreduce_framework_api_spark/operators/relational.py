@@ -1878,28 +1878,38 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("c"))
     )
-    tot = r.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    # One window stage carries BOTH the cumulative count and the per-flag
+    # total (same partitioning, same exchange — the total is an unordered
+    # partition sum riding the cumulative window's shuffle), and ONE
+    # conditional aggregation picks both percentile thresholds. The
+    # previous shape ran `tot` as a separate aggregate branch broadcast
+    # back in, and `lo`/`hi` as two filtered aggregations over two copies
+    # of the window subtree — 13 exchanges / 5 broadcast joins for a
+    # 3-row result (PLANS.txt r15-before); this form states the sharing
+    # structurally (guide §2.4: window functions partitioned like a
+    # preceding aggregation need no second shuffle).
     cum_w = (
         W.partitionBy("flag").orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = r.join(F.broadcast(tot), "flag").withColumn(
-        "cc", F.sum("c").over(cum_w).cast("long")
+    cum = r.select(
+        "flag",
+        "cents",
+        "c",
+        F.sum("c").over(cum_w).cast("long").alias("cc"),
+        F.sum("c").over(W.partitionBy("flag")).cast("long").alias("n"),
     )
-    lo = (
-        cum.filter(F.col("cc") >= F.expr("(n * 5 + 99) div 100"))
-        .groupBy("flag")
-        .agg(F.min("cents").alias("p05_cents"))
-    )
-    hi = (
-        cum.filter(F.col("cc") >= F.expr("(n * 95 + 99) div 100"))
-        .groupBy("flag")
-        .agg(F.min("cents").alias("p95_cents"))
+    lohi = cum.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cc") >= F.expr("(n * 5 + 99) div 100"), F.col("cents"))
+        ).alias("p05_cents"),
+        F.min(
+            F.when(F.col("cc") >= F.expr("(n * 95 + 99) div 100"), F.col("cents"))
+        ).alias("p95_cents"),
     )
     clipped_val = F.least(F.greatest(F.col("cents"), F.col("p05_cents")), F.col("p95_cents"))
     out = (
-        r.join(F.broadcast(tot), "flag")
-        .join(F.broadcast(lo), "flag")
-        .join(F.broadcast(hi), "flag")
+        r.join(F.broadcast(lohi), "flag")
         .groupBy("flag", "n", "p05_cents", "p95_cents")
         .agg(
             F.sum(F.when(F.col("cents") < F.col("p05_cents"), F.col("c")).otherwise(0))

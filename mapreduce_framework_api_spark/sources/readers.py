@@ -72,6 +72,23 @@ def session_cache_key(spark: SparkSession, sf_dir: str, *names: str) -> tuple:
     )
 
 
+# Lazy scan-HANDLE cache (r15 optimization): ``spark.read.parquet`` costs
+# ~80 ms per call on this sandbox (driver-side file listing + footer
+# schema inference + py4j round trips), and the engine makes one to three
+# ``table()`` calls inside every timed query build — ~20 s of pure driver
+# latency across a 203-query board (guide §5: the driver should do almost
+# no data work, and §6: repeated listings are cacheable). The cached
+# object is an UNMATERIALIZED logical plan: every action still reads the
+# parquet files in full, physical planning (shuffle-partition count, AQE)
+# still happens per action, so this caches no result — only the schema
+# discovery. Keyed by (applicationId, path, fixture fingerprint) like
+# every session cache, so an in-place fixture regeneration re-infers.
+# Deliberately NOT in clear_session_caches: that hook exists to force
+# re-EXECUTION of materialized artifacts, and a lazy scan re-executes by
+# construction.
+_TABLE_HANDLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table as a DataFrame (lazy; pushdown-capable).
 
@@ -92,6 +109,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        fixture_fingerprint(sf_dir, name),
+    )
+    cached = _TABLE_HANDLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _build_table(spark, sf_dir, name, path)
+    _TABLE_HANDLE_CACHE[key] = out
+    return out
+
+
+def _build_table(
+    spark: SparkSession, sf_dir: str, name: str, path: str
+) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
