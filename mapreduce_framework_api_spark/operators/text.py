@@ -855,40 +855,43 @@ def _bpe_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFram
             .groupBy("pair")
             .agg(F.sum("freq").cast("long").alias("c"))
         )
-        top1 = (
-            pc.orderBy(F.desc("c"), F.asc("pair"))
-            .limit(1)
-            .select(
-                "pair",
-                "c",
-                # '·a··b·' search / '·ab·' replacement: boundary-safe merge
-                F.concat(
-                    F.lit(_BPE_SEP),
-                    F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit(dbl)),
-                    F.lit(_BPE_SEP),
-                ).alias("search"),
-                F.concat(
-                    F.lit(_BPE_SEP),
-                    F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")),
-                    F.lit(_BPE_SEP),
-                ).alias("merged"),
+        # The round winner is ONE row — pull it as a scalar control value
+        # (the convergence-count discipline: a driver decision, not data
+        # movement) instead of the old per-round localCheckpoint +
+        # broadcast crossJoin. The per-round words update then applies
+        # LITERAL search/replace strings — a pure vocabulary-sized
+        # projection with no join, no broadcast, and no shuffle, so the
+        # intermediate words frames need no checkpoint either: each
+        # round's pair-count aggregate recomputes at most three cheap
+        # string replaces above the ONE checkpointed corpus aggregate
+        # (jobs per training run: 7 → 4; guide §1.2 / §2.4).
+        top1 = pc.orderBy(F.desc("c"), F.asc("pair")).limit(1).first()
+        if top1 is None:
+            # No mergeable pair (empty or single-symbol vocabulary): the
+            # pre-r15 shape crossJoined words with the EMPTY winner frame,
+            # which empties both the merge row and the vocabulary —
+            # replicated literally so the fixed-unroll oracle replay and
+            # the property tests see identical frames.
+            merges.append(
+                spark.createDataFrame(
+                    [], "step long, merged_pair string, pair_count long"
+                )
             )
-            .localCheckpoint()
-        )
+            words = words.filter(F.lit(False))
+            continue
+        pair, cnt = top1["pair"], top1["c"]
+        # '·a··b·' search / '·ab·' replacement: boundary-safe merge
+        search = _BPE_SEP + pair.replace(_BPE_SEP, dbl) + _BPE_SEP
+        merged = _BPE_SEP + pair.replace(_BPE_SEP, "") + _BPE_SEP
         merges.append(
-            top1.select(
-                F.lit(step).cast("long").alias("step"),
-                F.col("pair").alias("merged_pair"),
-                F.col("c").alias("pair_count"),
+            spark.createDataFrame(
+                [(step, pair, cnt)],
+                "step long, merged_pair string, pair_count long",
             )
         )
-        words = (
-            words.crossJoin(F.broadcast(top1.select("search", "merged")))
-            .select(
-                F.replace(F.col("sym"), F.col("search"), F.col("merged")).alias("sym"),
-                "freq",
-            )
-            .localCheckpoint()
+        words = words.select(
+            F.replace(F.col("sym"), F.lit(search), F.lit(merged)).alias("sym"),
+            "freq",
         )
     _BPE_RUN_CACHE[key] = (words, merges)
     return words, merges
