@@ -80,82 +80,67 @@ _LOADED = False
 # the suite is green at the round boundary too — the structural
 # cross-boundary red of rounds 7-8 is gone by construction.
 #
-# Round-15 window, by the standing policy (rotate-first commit):
-# (3) staleness retirement — ALL 50 remaining r11-era receipts (the exact
-# list the r01..r14 receipt union yields at the round-14 boundary,
-# recomputed from CORRECTNESS_r*.json this round; the VERDICT r14 task-5
-# block). This round the geometry is SATURATED: the stale block is exactly
-# window-sized, so per standing policy clause (1) each NEW round-15 query
-# swaps into a slot as it lands, displacing the alphabetically-LAST
-# remaining r11 row back out. Displaced rows keep their r11 receipt — the
-# maximum staleness this produces (re-verified r16, 5 rounds old) is
-# exactly the ceil(N/50)-round steady-state bound for a registry that has
-# outgrown 200 queries, which test_window_policy now derives from the
-# registry size instead of hard-coding 3 rounds (see its docstring for
-# the derivation). Displacement order is deterministic: reverse-
-# alphabetical from the end of the retirement block below.
+# Round-16 window, by the standing policy (rotate-first commit):
+# (3) staleness retirement — the 50 stalest receipts at the round-15
+# boundary, recomputed from CORRECTNESS_r*.json: the 9 remaining r11-era
+# rows displaced by round-15's saturation swap (q_pipe_split_assign,
+# q_pipe_split_by_cluster, q_text_fingerprint, q_text_repetition,
+# q_text_surprisal, q_text_tokens, q_text_zipf, q_win_range_frame,
+# q_win_topk_group) plus the alphabetically-first 41 of the r12-receipt
+# block (ties at equal staleness are allowed by test_window_policy's
+# clause (c); alphabetical keeps the choice deterministic). No query is
+# receipt-less this round (clause (1) vacuous).
 _WINDOW: tuple[str, ...] = (
-    "q_agg_basic",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_mode",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_agg_skew_salted",
-    "q_dedup_containment",
-    "q_dedup_containment_est",
-    "q_dedup_containment_est_recall",
-    "q_dedup_exact",
-    "q_dedup_latest",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_prefix",
-    "q_dedup_semdedup",
-    "q_dedup_semdedup_recall_planted",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_fn_json",
-    "q_join_full_outer",
-    "q_join_inner",
-    "q_join_interval_overlap",
-    "q_join_left",
-    "q_join_multi",
-    "q_join_range_binned",
-    "q_join_semi",
-    "q_join_skew_salted",
-    "q_join_star",
-    "q_join_temporal",
-    "q_join_theta_range",
-    "q_multimodal_audio_real",
-    "q_multimodal_image_real",
-    "q_multimodal_meta",
-    "q_multimodal_stats",
-    "q_multimodal_video_real",
-    "q_pipe_keep_first",
-    "q_pipe_length_hist",
-    "q_pipe_pii_scrub",
-    "q_pipe_quota_cap",
-    "q_pipe_sample_hash",
-    # (1) new round-15 queries, no driver receipt yet — each displaced
-    # one reverse-alphabetical r11 row (q_win_topk_group,
-    # q_win_range_frame, q_text_zipf, q_text_tokens, q_text_surprisal,
-    # q_text_repetition) per the saturation note above: the scaled
-    # router composed with exact rerank (VERDICT r14 task 2) and the
-    # TRAINED quantizer family (task 1 — integer Lloyd refinement)
-    # with its own rerank composition.
-    "q_sim_ivfpq_scaled_rerank",
-    "q_sim_ivfpq_scaled_rerank_recall",
-    "q_sim_ivfpq_trained_topk",
-    "q_sim_ivfpq_trained_recall",
-    "q_sim_ivfpq_trained_rerank",
-    "q_sim_ivfpq_trained_rerank_recall",
-    # ... and residual PQ encoding with a Lloyd-trained codebook (task
-    # 3), displacing q_text_fingerprint and q_pipe_split_by_cluster.
-    "q_sim_ivfpq_residual_topk",
-    "q_sim_ivfpq_residual_recall",
-    # ... and the store-health dashboard row (task 7), displacing
-    # q_pipe_split_assign.
-    "q_sim_index_health",
+    "q_agg_corr_exact",
+    "q_agg_mad",
+    "q_agg_rollup_reuse",
+    "q_agg_string_agg",
+    "q_agg_unpivot",
+    "q_agg_weighted_median",
+    "q_agg_winsorized",
+    "q_dedup_canonical",
+    "q_dedup_containment_bk",
+    "q_dedup_containment_bk_recall",
+    "q_dedup_embedding",
+    "q_dedup_minhash_recall",
+    "q_dedup_minhash_verified",
+    "q_dedup_semdedup_recall",
+    "q_dedup_simhash",
+    "q_dedup_simhash_recall",
+    "q_graph_components",
+    "q_limit_offset",
+    "q_pipe_mixture",
+    "q_pipe_split_assign",
+    "q_pipe_split_by_cluster",
+    "q_privacy_ldiversity",
+    "q_scan_project",
+    "q_set_ops",
+    "q_sim_maxsim_topk",
+    "q_sketch_bloom",
+    "q_sketch_cms",
+    "q_sketch_hll",
+    "q_sort_multi",
+    "q_stream_attrib",
+    "q_stream_late",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_subquery_corr_agg",
+    "q_subquery_exists",
+    "q_subquery_scalar",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_ngrams",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_surprisal",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_text_wordcount",
+    "q_text_wordcount_rdd",
+    "q_text_zipf",
+    "q_win_range_frame",
+    "q_win_topk_group",
 )
 
 # Policy clause (2) declarations: window slots occupied by queries whose

