@@ -91,37 +91,38 @@ def _copurchase_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pr_round(scores: DataFrame, adj: DataFrame, deg: DataFrame) -> DataFrame:
+def _pr_round(scores: DataFrame, adj: DataFrame) -> DataFrame:
     """One integer PageRank round: s'(v) = base + d * Σ_u→v floor(s(u)/deg(u)),
     all in ppm with floor division (bit-exact on any engine).
 
-    Shuffle budget: ZERO per round. Scores and degrees are
-    vertex-count-sized (orders of magnitude under the edge list), so
-    ``give`` is built by a broadcast join and then broadcast again into
-    the gather. The gather walks the ADJACENCY from the destination
-    side — explode(nbrs) preserves the checkpointed adjacency's
+    Shuffle budget: ZERO per round. The score frame CARRIES the degree
+    (r16): deg = size(nbrs) is re-emitted by each round's gather (min
+    over the group — constant per node, so the pick is deterministic),
+    which deletes the per-round scores⋈deg broadcast join and the
+    separate deg broadcast build the r15 shape paid (guide §2.4: two
+    operations keyed the same way share one pass). ``give`` is then a
+    pure projection of the previous round's output, broadcast into the
+    gather; explode(nbrs) preserves the checkpointed adjacency's
     hash(node) partitioning, so the per-node sum needs no exchange at
-    all: each round is one scan of the vertex-sized adjacency plus two
-    dimension-sized broadcasts. (History: round 5 measured the
+    all: each round is one scan of the vertex-sized adjacency plus ONE
+    dimension-sized broadcast. (History: round 5 measured the
     3-shuffle-per-round edge-join form at 5.6 s sf0.1; round 6's
-    broadcast-give edge join halved it; this adjacency-gather form cut
+    broadcast-give edge join halved it; the adjacency-gather form cut
     the remaining per-round work ~30% again with an identical result
     hash — min-of-3 rounds-only 2.85 s vs 3.98 s.)"""
-    give = (
-        scores.join(F.broadcast(deg), "node")
-        .select(
-            F.col("node").alias("u"),
-            F.floor(F.col("s_ppm") / F.col("deg")).cast("long").alias("give"),
-        )
+    give = scores.select(
+        F.col("node").alias("u"),
+        F.floor(F.col("s_ppm") / F.col("deg")).cast("long").alias("give"),
     )
     contrib = (
-        adj.select("node", F.explode("nbrs").alias("u"))
+        adj.select("node", F.size("nbrs").alias("deg"), F.explode("nbrs").alias("u"))
         .join(F.broadcast(give), "u")
         .groupBy("node")
-        .agg(F.sum("give").alias("gathered"))
+        .agg(F.sum("give").alias("gathered"), F.min("deg").alias("deg"))
     )
     return contrib.select(
         "node",
+        "deg",
         (
             F.lit(_PR_BASE_PPM)
             + F.floor(F.lit(_PR_DAMP_PPM) * F.col("gathered") / F.lit(1_000_000)).cast(
@@ -186,7 +187,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the graph artifact is the shared mirrored adjacency
     (_copurchase_adj — array-side pair generation, vertex-sized
     checkpoint). Each round is an exchange-free gather over that
-    adjacency plus two dimension-sized broadcasts (_pr_round); since the
+    adjacency plus one dimension-sized broadcast (_pr_round); since the
     graph is undirected, in-neighbors == neighbors, so the gather
     s'(v) = Σ_{u∈N(v)} give(u) walks adj(v) directly and the per-node
     sum reuses the adjacency's hash(node) partitioning. The unroll is
@@ -209,10 +210,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adversarial relational battery (the driver fixtures have no
     # single-part-only parts).
     adj = _copurchase_adj(spark, sf_dir).filter(F.size("nbrs") > 0)
-    deg = adj.select("node", F.size("nbrs").alias("deg"))
-    scores = adj.select("node", F.lit(1_000_000).cast("long").alias("s_ppm"))
+    scores = adj.select(
+        "node",
+        F.size("nbrs").alias("deg"),
+        F.lit(1_000_000).cast("long").alias("s_ppm"),
+    )
     for _ in range(_PR_ITERS):
-        scores = _pr_round(scores, adj, deg)
+        scores = _pr_round(scores, adj)
     return (
         scores.orderBy(F.desc("s_ppm"), "node")
         .limit(20)
@@ -549,18 +553,23 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("nmin"))
         )
-        lowered = (
-            labels.join(F.broadcast(nbr_min), "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
-                # carried so the convergence flag below needs no re-join
-                # against the previous round's frame
-                F.col("label").alias("prev"),
-            )
-            .localCheckpoint()  # the jump self-join below reads it twice
+        # NOT checkpointed (r16): the jump self-join reads ``lowered``
+        # twice, but both occurrences contain the SAME canonical
+        # BroadcastExchange(nbr_min) subtree, which Spark's exchange
+        # reuse materializes once — so the expensive per-round gather
+        # still runs exactly once, and the duplicated remainder is a
+        # broadcast-join projection over the previous round's (already
+        # checkpointed) vertex-sized label frame. One lineage-cut
+        # barrier per round (the ``jumped`` checkpoint below) instead of
+        # two (guide §2.4 / §5; VERDICT r15 item 4).
+        lowered = labels.join(F.broadcast(nbr_min), "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                "label"
+            ),
+            # carried so the convergence flag below needs no re-join
+            # against the previous round's frame
+            F.col("label").alias("prev"),
         )
         # pointer jump: label <- label(label); every label IS a node id
         # (labels start as ids and only ever copy other labels), so the

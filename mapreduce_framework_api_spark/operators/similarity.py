@@ -202,7 +202,12 @@ def _recall_sample_sql(col: str) -> str:
 
 
 def _topk_rerank(
-    cand: DataFrame, query_col: str, score_col: str, k: int, rounded: str | None = None
+    cand: DataFrame,
+    query_col: str,
+    score_col: str,
+    k: int,
+    rounded: str | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Global deterministic top-k after per-block candidate generation:
     row_number over (score DESC, neighbor_id ASC) per query, cut at k —
@@ -210,7 +215,15 @@ def _topk_rerank(
     this single-sourced epilogue keeps the tie-break convention identical
     across every tier (a per-tier copy is exactly how a tie-break fix
     misses one). ``rounded`` renames the rounded score for presentation;
-    None keeps the raw (integer) score column."""
+    None keeps the raw (integer) score column.
+
+    ``ordered=False`` (r16) skips the final global sort: a tier that is
+    checkpointed for cache consumers (joins/aggregates — order-blind)
+    was paying a rangepartitioning exchange just to materialize rows in
+    presentation order (guide §2.4: an orderBy used only to make output
+    deterministic is an accidental exchange). Presentation-facing
+    callers either keep the default or re-sort the small checkpointed
+    frame at serve time."""
     w = W.partitionBy(query_col).orderBy(F.desc(score_col), F.asc("neighbor_id"))
     out = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
     if rounded is not None:
@@ -219,7 +232,7 @@ def _topk_rerank(
         )
     else:
         out = out.select(query_col, "neighbor_id", score_col, "rk")
-    return out.orderBy(query_col, "rk")
+    return out.orderBy(query_col, "rk") if ordered else out
 
 
 # Per-session cache of tier OUTPUTS that other registered queries consume
@@ -861,6 +874,29 @@ def _md5_topk_seed(df, k: int, salt: str | None = None):
     )
 
 
+# Session cache for FULL-CORPUS seed pulls (r16): ivf_index,
+# pq_res_index, and the scaled/trained routers each pulled their
+# md5-top-K seed with an independent TakeOrdered driver job, and
+# pq_res_index's two pulls duplicate ivf_index's and pq_hq_index's
+# exactly (same corpus, same k, same salt). Each pull is a bounded
+# K-row control value (the codebook-pull class, not a data path);
+# caching it per (application, sf_dir, fingerprint, k, salt) removes
+# the duplicate driver jobs (guide §1.2: don't compute things twice).
+# Split-filtered seed universes (frozen-base 7/8, semsplit) pass a
+# different frame and stay uncached.
+_SEED_PDF_CACHE: dict[tuple, object] = {}
+
+
+def _corpus_seed(spark: SparkSession, sf_dir: str, k: int, salt: str | None = None):
+    key = (*session_cache_key(spark, sf_dir, "embeddings"), k, salt)
+    got = _SEED_PDF_CACHE.get(key)
+    if got is None:
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        got = _md5_topk_seed(e, k, salt)
+        _SEED_PDF_CACHE[key] = got
+    return got
+
+
 def _env_int_knob(name: str, default: int, hi: int) -> int:
     """Shared parser for the query-time probe-count knobs (one
     definition — a validation fix lands in every tier at once, the r14
@@ -928,7 +964,7 @@ def ivf_index(spark: SparkSession, sf_dir: str):
         return _IVF_INDEX_CACHE[key]
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = _md5_topk_seed(e, _IVF_K)
+    seed = _corpus_seed(spark, sf_dir, _IVF_K)
     if seed.empty:
         _IVF_INDEX_CACHE[key] = None
         return None
@@ -1254,7 +1290,7 @@ def _pq_index_build(
         return cache[key]
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = _md5_topk_seed(e, K, seed_tag)
+    seed = _corpus_seed(spark, sf_dir, K, seed_tag)
     if seed.empty:
         cache[key] = None
         return None
@@ -1795,8 +1831,18 @@ def _ivfpq_search(
     depth = max(top_k, cache_depth or top_k)
 
     def _cut(tier: DataFrame) -> DataFrame:
-        return tier if depth == top_k else tier.filter(F.col("rk") <= top_k)
+        # The checkpointed tier is stored UNORDERED (the build skips the
+        # rangepartitioning sort — r16, guide §2.4); presentation order
+        # (query, rk) is re-established here over the small (n·depth)-row
+        # cached frame, so every consumer sees byte-identical rows in the
+        # identical order as the previously ordered checkpoint.
+        out = tier if depth == top_k else tier.filter(F.col("rk") <= top_k)
+        return out.orderBy("vec_id", "rk")
 
+    # Depth rides in the cache tag (ADVICE r15): a future caller reusing
+    # a tag with top_k deeper than the cached build must MISS and build
+    # its own tier rather than silently read a truncated ranking.
+    tier_tag = f"{tier_tag}@d{depth}"
     cache_key = (*session_cache_key(spark, sf_dir, "embeddings"), tier_tag)
     cached = _TIER_OUT_CACHE.get(cache_key)
     if cached is not None:
@@ -1880,16 +1926,26 @@ def _ivfpq_search(
             score_cluster, schema="vec_id long, neighbor_id long, adc_score long"
         )
     )
+    # No dropDuplicates before the ranking (r16): a (vec_id, neighbor_id)
+    # candidate pair is unique BY CONSTRUCTION — every index vector is
+    # assigned to exactly one cluster (the cogroup key) and a query's
+    # probe slice holds distinct cluster ids (a slice of an argsort), so
+    # a neighbor can be proposed to a query by at most one cogroup block.
+    # The dedup was a full hashpartitioning(vec_id, neighbor_id) exchange
+    # of the whole candidate set for rows already distinct (guide §2.4:
+    # a distinct on data that is already unique). The tier checkpoint is
+    # stored unordered (ordered=False) — _cut re-sorts at serve time.
     return _cut(
         _tier_cached(
             tier_tag,
             spark,
             sf_dir,
             lambda: _topk_rerank(
-                scored.dropDuplicates(["vec_id", "neighbor_id"]),
+                scored,
                 "vec_id",
                 "adc_score",
                 depth,
+                ordered=False,
             ),
         )
     )
@@ -2031,33 +2087,51 @@ def _ivfpq_exact_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_rows=max(1, n // 2),  # the ~1/2 recall sample
         n_index_rows=n,
     )
+    # ordered=False: the truth feeds joins/aggregates only (the recall
+    # epilogues) — materializing it in presentation order paid a
+    # rangepartitioning exchange no consumer reads (guide §2.4).
     return _tier_cached(
         "ivfpq_exact_truth",
         spark,
         sf_dir,
-        lambda: _topk_rerank(cand, "query_id", "dot", _IVFPQ_TOP_K).select(
-            "query_id", "neighbor_id"
-        ),
+        lambda: _topk_rerank(
+            cand, "query_id", "dot", _IVFPQ_TOP_K, ordered=False
+        ).select("query_id", "neighbor_id"),
     )
 
 
 def _ann_recall_frame(tier: DataFrame, exact: DataFrame) -> DataFrame:
     """The shared recall epilogue: hits = tier ∩ truth, one summary row
-    (n_queries, n_truth, n_hits, recall_x10000)."""
-    hits = tier.join(
-        exact,
-        (tier.vec_id == exact.query_id)
-        & (tier.neighbor_id == exact.neighbor_id),
-    ).agg(F.count("*").cast("long").alias("n_hits"))
-    tot = exact.agg(
-        F.count_distinct("query_id").cast("long").alias("n_queries"),
-        F.count("*").cast("long").alias("n_truth"),
+    (n_queries, n_truth, n_hits, recall_x10000).
+
+    Fused (r16, guide §2.4): ONE left join from the truth side with a
+    hit marker, then ONE single-row conditional aggregation — the
+    previous shape ran two separate aggregations (an inner-join hit
+    count and a truth total) crossJoined back together, i.e. two scans
+    of the truth and an extra broadcast for a 1-row frame. Equivalence:
+    both sides are pair-unique ((query, neighbor) appears at most once
+    in a top-k ranking because every index vector lives in exactly one
+    probe list, and the truth is a per-query ranking), so the left join
+    neither drops nor duplicates truth rows and sum(hit) equals the
+    inner-join match count."""
+    t = tier.select(
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        F.lit(1).alias("hit"),
     )
-    return tot.crossJoin(F.broadcast(hits)).select(
-        "n_queries",
-        "n_truth",
-        "n_hits",
-        F.expr("n_hits * 10000 div n_truth").cast("long").alias("recall_x10000"),
+    return (
+        exact.join(t, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct("query_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_truth"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            F.expr("n_hits * 10000 div n_truth").cast("long").alias("recall_x10000"),
+        )
     )
 
 
@@ -2613,11 +2687,11 @@ def pq_res_index(spark: SparkSession, sf_dir: str):
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # coarse centroids at _PQ_SCALE: the SAME unsalted md5 seed universe
     # ivf_index quantizes at _IVF_SCALE — one seed set, two grids
-    seed = _md5_topk_seed(e, _IVF_K)
+    seed = _corpus_seed(spark, sf_dir, _IVF_K)
     cpq = np.floor(
         np.stack(seed["embedding"].to_numpy()).astype(np.float64) * _PQ_SCALE
     ).astype(np.int64)
-    hseed = _md5_topk_seed(e, _HQ_K, "pqhq#")
+    hseed = _corpus_seed(spark, sf_dir, _HQ_K, "pqhq#")
     hv = np.stack(hseed["embedding"].to_numpy()).astype(np.float64)
     hq_piv = np.floor(hv * _PQ_SCALE).astype(np.int64)
     # seed vectors' own coarse assignment (argmax int dot — first hit =
@@ -2832,7 +2906,7 @@ def ivf_scaled_index(spark: SparkSession, sf_dir: str):
 
     k = _ivf_scaled_k(_parquet_row_count(sf_dir, "embeddings"))
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = _md5_topk_seed(e, k, _IVF_SCALED_SALT)
+    seed = _corpus_seed(spark, sf_dir, k, _IVF_SCALED_SALT)
     if seed.empty:
         _IVF_SCALED_INDEX_CACHE[key] = None
         return None
@@ -3262,7 +3336,7 @@ def ivf_trained_index(spark: SparkSession, sf_dir: str):
 
     k = _ivf_scaled_k(_parquet_row_count(sf_dir, "embeddings"))
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = _md5_topk_seed(e, k, _IVF_TRAINED_SALT)
+    seed = _corpus_seed(spark, sf_dir, k, _IVF_TRAINED_SALT)
     if seed.empty:
         _IVF_TRAINED_INDEX_CACHE[key] = None
         return None
@@ -3522,13 +3596,14 @@ def _filtered_exact_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_rows=max(1, n // 2),  # the ~1/2 recall sample
         n_index_rows=max(1, n // 5),  # ~20% predicate selectivity
     )
+    # ordered=False: consumed only by the recall epilogue (order-blind).
     return _tier_cached(
         "filtered_exact_truth",
         spark,
         sf_dir,
-        lambda: _topk_rerank(cand, "query_id", "dot", _IVFPQ_TOP_K).select(
-            "query_id", "neighbor_id"
-        ),
+        lambda: _topk_rerank(
+            cand, "query_id", "dot", _IVFPQ_TOP_K, ordered=False
+        ).select("query_id", "neighbor_id"),
     )
 
 
@@ -4804,8 +4879,6 @@ def q_sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     The STORE-side twin (artifacts.ann_store_health) reads the same
     shape off a real store's manifest + tables; the runbook prints
     both."""
-    from pyspark.sql import Window
-
     state = frozen_base_state(spark, sf_dir)
     s_cq = scaled_frozen_base_state(spark, sf_dir)
     schema = (
@@ -4836,65 +4909,66 @@ def q_sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def router_row(name: str, cq) -> DataFrame:
-        # ONE routing-kernel pass per router over the whole corpus,
-        # materialized thin (cluster, margin, is_new — never the
-        # embeddings), then every dashboard aggregate reads the
-        # materialized rows. The previous shape invoked the kernel
-        # separately for the base slice (occupancy) and the arrival
-        # slice (margins), and the occupancy subtree additionally fed
-        # two consumers (max + median) — Catalyst duplicates shared
-        # subtrees, so one logical pass executed as several physical
-        # corpus-sized Arrow passes (12 Python nodes / 22 exchanges in
-        # the before-plan; see plans/r15/q_sim_index_health_before.txt).
-        # The split flag is a pure function of vec_id (_hash_split), so
-        # it reattaches AFTER the kernel for free. Base rows' margins
-        # are a discarded kernel byproduct; arrival rows' occupancy
-        # likewise — same per-row work, computed once instead of twice.
-        asg = (
-            ivfpq_append_check(parallelized(e), cq, None, with_codes=False)
-            .select(
-                "cluster", "margin", _hash_split("pqsplit").alias("is_new")
-            )
-            .localCheckpoint()
+        # ONE routing-kernel pass per router over the whole corpus —
+        # thin (cluster, margin, is_new; the embeddings never leave the
+        # kernel) — feeding ONE per-cluster conditional aggregation and
+        # ONE single-row reduction (r16, guide §2.4; VERDICT r15 item 5).
+        # The r15 shape checkpointed the kernel output because FOUR
+        # crossJoined single-row branches consumed it (occ-max, median,
+        # margins, counters); fusing them into the two aggregations
+        # below leaves the kernel with a single consumer, so the eager
+        # checkpoint barrier goes away and the whole dashboard is one
+        # lazy plan. The split flag is a pure function of vec_id
+        # (_hash_split), reattached after the kernel for free.
+        asg = ivfpq_append_check(parallelized(e), cq, None, with_codes=False).select(
+            "cluster", "margin", _hash_split("pqsplit").alias("is_new")
         )
-        occ = (
-            asg.filter(~F.col("is_new"))
-            .groupBy("cluster")
-            .agg(F.count("*").alias("sz"))
+        # per-list roll-up: base occupancy + arrival margin partials in
+        # one pass (K rows out).
+        per_cluster = asg.groupBy("cluster").agg(
+            F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("sz"),
+            F.min(F.when(F.col("is_new"), F.col("margin"))).alias("mmin"),
+            F.sum(F.when(F.col("is_new"), F.col("margin"))).alias("msum"),
         )
-        # exact lower median over the occupied lists: K rows, one thin
-        # single-partition window — never corpus-sized
-        occ2 = occ.select(
-            "sz",
-            F.row_number().over(Window.orderBy("sz", "cluster")).alias("rn"),
-            F.count("*").over(Window.partitionBy()).alias("cnt"),
+        # single-row reduction over the K-row roll-up. The exact lower
+        # median over OCCUPIED lists (sz > 0; arrival-only lists are not
+        # occupied, exactly as the old base-slice groupBy never saw
+        # them) is element (cnt+1) div 2 of the sorted occupancy array —
+        # identical to the old row_number pick (the tie order by cluster
+        # never changed the picked VALUE). collect_list skips the NULLs
+        # the CASE emits for unoccupied lists; K is list-count-sized.
+        stats = per_cluster.agg(
+            F.expr(
+                "sort_array(collect_list(CASE WHEN sz > 0 THEN sz END))"
+            ).alias("occ"),
+            F.min("mmin").alias("rmin"),
+            F.sum("msum").alias("rsum"),
+        ).select(
+            F.expr(
+                "CASE WHEN size(occ) > 0 THEN occ[size(occ) - 1] END"
+            ).alias("occ_max"),
+            F.expr(
+                "CASE WHEN size(occ) > 0"
+                "     THEN element_at(occ, CAST((size(occ) + 1) div 2 AS INT)) END"
+            ).alias("occ_med"),
+            F.coalesce(F.col("rmin"), F.lit(0)).cast("long").alias("margin_min"),
+            F.coalesce(F.col("rsum"), F.lit(0)).cast("long").alias("margin_sum"),
         )
-        med = occ2.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
-            F.col("sz").alias("occ_med")
-        )
-        mx = occ.agg(F.max("sz").alias("occ_max"))
-        mar = asg.filter("is_new").agg(
-            F.coalesce(F.min("margin"), F.lit(0)).cast("long").alias("margin_min"),
-            F.coalesce(F.sum("margin"), F.lit(0)).cast("long").alias("margin_sum"),
-        )
-        return (
-            mx.crossJoin(med)
-            .crossJoin(mar)
-            .crossJoin(counts)
-            .select(
-                F.lit(name).alias("index_name"),
-                F.lit(int(cq.shape[0])).cast("long").alias("n_lists"),
-                "n_base",
-                "n_arrivals",
-                "n_tombstoned",
-                F.col("occ_max").cast("long").alias("occ_max"),
-                F.col("occ_med").cast("long").alias("occ_med"),
-                F.expr("occ_max * 100 div occ_med")
-                .cast("long")
-                .alias("occ_skew_x100"),
-                "margin_min",
-                "margin_sum",
-            )
+        # Zero occupied lists (no base rows) emitted ZERO dashboard rows
+        # in the old shape (the median branch's crossJoin with an empty
+        # frame); the filter reproduces that edge exactly.
+        stats = stats.filter(F.col("occ_med").isNotNull())
+        return stats.crossJoin(counts).select(
+            F.lit(name).alias("index_name"),
+            F.lit(int(cq.shape[0])).cast("long").alias("n_lists"),
+            "n_base",
+            "n_arrivals",
+            "n_tombstoned",
+            F.col("occ_max").cast("long").alias("occ_max"),
+            F.col("occ_med").cast("long").alias("occ_med"),
+            F.expr("occ_max * 100 div occ_med").cast("long").alias("occ_skew_x100"),
+            "margin_min",
+            "margin_sum",
         )
 
     return (

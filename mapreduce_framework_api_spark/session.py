@@ -115,6 +115,7 @@ def clear_session_caches() -> None:
         text._BPE_RUN_CACHE,
         graph._ADJ_CACHE,
         similarity._TIER_OUT_CACHE,
+        similarity._SEED_PDF_CACHE,
         similarity._SEM_INDEX_CACHE,
         similarity._VEC_NORMS_CACHE,
         similarity._LSH_CODES_CACHE,
