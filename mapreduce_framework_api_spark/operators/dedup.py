@@ -2329,17 +2329,22 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts and a floor division — integer end to end
     (recall_x10000 = floor(hit * 10000 / max(truth, 1)))."""
+    # Fused epilogue (r16): one full-outer join + one conditional
+    # aggregation — see similarity._pair_recall_frame for the shape and
+    # the pair-uniqueness argument (both sides are deduped pair tables).
     truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     cand = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
-    n_hit = (
-        truth.join(cand, ["doc_a", "doc_b"])
-        .agg(F.count("*").cast("long").alias("n_hit"))
+    j = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
     return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        j.agg(
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum(F.col("t") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
         .select(
             "n_truth",
             "n_candidates",
@@ -2643,17 +2648,22 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generator a 100 TB pipeline runs first. Plan adds one
     pair-keyed equi-join over two thin pair tables + three single-row
     broadcast-crossed aggregates."""
+    # Fused epilogue (r16): one full-outer join + one conditional
+    # aggregation — see similarity._pair_recall_frame for the shape and
+    # the pair-uniqueness argument (both sides are deduped pair tables).
     truth = jaccard_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     cand = simhash_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
-    n_hit = (
-        truth.join(cand, ["doc_a", "doc_b"])
-        .agg(F.count("*").cast("long").alias("n_hit"))
+    j = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
     return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        j.agg(
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum(F.col("t") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
         .select(
             "n_truth",
             "n_candidates",

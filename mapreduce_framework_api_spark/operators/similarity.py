@@ -1696,18 +1696,25 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_rows=max(1, n // 16),
         n_index_rows=max(1, n - n // 8),
     )
-    exact = _topk_rerank(cand, "query_id", "dot", _PQ_TOP_K).select(
-        "query_id", "neighbor_id"
-    )
-    hits = pq.join(exact, ["query_id", "neighbor_id"]).agg(
-        F.count("*").cast("long").alias("n_hits")
-    )
-    tot = exact.agg(
-        F.count_distinct("query_id").cast("long").alias("n_queries"),
-        F.count("*").cast("long").alias("n_truth"),
-    )
+    # ordered=False + fused epilogue (r16, guide §2.4): the truth is a
+    # join/aggregate input only, so it skips the presentation sort; ONE
+    # left join from the truth side with a hit marker + ONE single-row
+    # aggregation replaces the two aggregate branches (which duplicated
+    # the truth subtree past its last shared exchange) and the crossJoin.
+    # Both sides are pair-unique rankings, so the left join neither drops
+    # nor duplicates truth rows and sum(hit) equals the inner-join count.
+    exact = _topk_rerank(
+        cand, "query_id", "dot", _PQ_TOP_K, ordered=False
+    ).select("query_id", "neighbor_id")
     return (
-        tot.crossJoin(F.broadcast(hits))
+        exact.join(
+            pq.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .agg(
+            F.count_distinct("query_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_truth"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
         .select(
             "n_queries",
             "n_truth",
@@ -5233,7 +5240,9 @@ def exact_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_query_rows=max(1, n // 2),
             n_index_rows=n,
         )
-        return _topk_rerank(cand, "vec_id", "cos_raw", k).select(
+        # ordered=False: this truth tier feeds the recall epilogues'
+        # joins/aggregates only (order-blind) — guide §2.4.
+        return _topk_rerank(cand, "vec_id", "cos_raw", k, ordered=False).select(
             "vec_id", "neighbor_id", "rk"
         )
 
@@ -5334,17 +5343,18 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
     )
     ivf = q_sim_ivf_topk(spark, sf_dir).select("vec_id", "neighbor_id")
-    n_queries = truth.agg(
-        F.count_distinct("vec_id").cast("long").alias("n_queries")
-    )
-    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    n_hits = (
-        truth.join(ivf, ["vec_id", "neighbor_id"])
-        .agg(F.count("*").cast("long").alias("n_hits"))
-    )
+    # Fused epilogue (r16): one left join + one aggregation — the three
+    # aggregate branches scanned the truth three times. Both sides are
+    # pair-unique rankings (see _ann_recall_frame).
     return (
-        n_queries.crossJoin(F.broadcast(n_truth))
-        .crossJoin(F.broadcast(n_hits))
+        truth.join(
+            ivf.withColumn("hit", F.lit(1)), ["vec_id", "neighbor_id"], "left"
+        )
+        .agg(
+            F.count_distinct("vec_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_truth"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
         .select(
             "n_queries",
             "n_truth",
@@ -5411,17 +5421,19 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
     )
     lsh = q_sim_ann_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
-    n_queries = truth.agg(
-        F.count_distinct("vec_id").cast("long").alias("n_queries")
-    )
-    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    n_hits = (
-        truth.join(lsh, ["vec_id", "neighbor_id"])
-        .agg(F.count("*").cast("long").alias("n_hits"))
-    )
+    # Fused epilogue (r16): one left join + one aggregation — the three
+    # aggregate branches scanned the truth three times. Both sides are
+    # pair-unique rankings (the LSH candidates are dropDuplicates'd
+    # before scoring, so the ranked tier holds each pair once).
     return (
-        n_queries.crossJoin(F.broadcast(n_truth))
-        .crossJoin(F.broadcast(n_hits))
+        truth.join(
+            lsh.withColumn("hit", F.lit(1)), ["vec_id", "neighbor_id"], "left"
+        )
+        .agg(
+            F.count_distinct("vec_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_truth"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
         .select(
             "n_queries",
             "n_truth",
@@ -5738,18 +5750,29 @@ def q_dedup_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_recall_frame(truth: DataFrame, cand: DataFrame) -> DataFrame:
-    """The single-row pair-recall epilogue shared by the SemDeDup recall
-    queries: |truth|, |candidates|, |truth ∩ candidates|, and
-    floor(hit/truth * 10⁴) — one pair-keyed join plus three
-    broadcast-crossed single-row aggregates."""
-    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
-    n_hit = truth.join(cand, ["vec_a", "vec_b"]).agg(
-        F.count("*").cast("long").alias("n_hit")
+    """The single-row pair-recall epilogue shared by the SemDeDup and
+    containment recall queries: |truth|, |candidates|,
+    |truth ∩ candidates|, and floor(hit/truth * 10⁴).
+
+    Fused (r16, guide §2.4): ONE full-outer join on the pair key + ONE
+    conditional aggregation — the previous shape ran three aggregate
+    branches (two single-table counts and an inner-join count)
+    crossJoined together, scanning each side twice. Equivalence: both
+    sides are pair-unique (deduped pair tables / exact tiers), so the
+    full-outer join holds exactly |truth ∪ cand| rows, sum(t) counts
+    truth rows, sum(c) candidate rows, and sum(t*c) (non-NULL only when
+    both sides matched) the intersection."""
+    j = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["vec_a", "vec_b"], "full_outer"
     )
     return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        j.agg(
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum(F.col("t") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
         .select(
             "n_truth",
             "n_candidates",
