@@ -111,9 +111,18 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bigrams are built array-side with ``zip_with`` over two slices — no
     self-join, no extra shuffle beyond the final count agg.
-    """
-    docs = parallelized(table(spark, sf_dir, "documents"))
-    toks = tokens_nonempty("text")
+
+    The tokenize runs in its own projection BEFORE the explode (r16,
+    guide §1.2 per-task work): the generator seed references ``toks``
+    four times (two sizes, two slices), and GenerateExec evaluates its
+    seed expression without the subexpression elimination ProjectExec
+    gets — inlining the regex split made every document pay for
+    tokenization four times (measured 2.6× on the noop-sink kernel at
+    sf0.1)."""
+    docs = parallelized(table(spark, sf_dir, "documents")).select(
+        tokens_nonempty("text").alias("toks")
+    )
+    toks = F.col("toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.zip_with(

@@ -131,6 +131,22 @@ def test_chunk_dedup_tokenizes_exactly_once(spark, queries):
     )
 
 
+def test_ngrams_tokenizes_exactly_once(spark, queries):
+    """Regression guard for the round-16 finding: q_text_ngrams' bigram
+    seed references the token array four times (two sizes, two slices),
+    and GenerateExec evaluates its seed without ProjectExec's
+    subexpression elimination — inlining the regex split made every
+    document pay for tokenization repeatedly (measured 2.6× on the
+    noop-sink kernel at sf0.1). The optimized plan must contain exactly
+    one split(): the dedicated tokenize projection below the explode."""
+    df = queries["q_text_ngrams"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, (
+        f"tokenize evaluated {plan.count('split(')} times — bind the token "
+        "array to a column before the generator seed captures it"
+    )
+
+
 def test_prefix_self_join_is_bodiless(spark, queries):
     """The round-7 judge's scale-killer finding: q_dedup_prefix's self-join
     used to carry full document bodies on BOTH sides, so at 100 TB the
