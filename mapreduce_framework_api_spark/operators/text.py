@@ -873,7 +873,12 @@ def _bpe_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFram
         # intermediate words frames need no checkpoint either: each
         # round's pair-count aggregate recomputes at most three cheap
         # string replaces above the ONE checkpointed corpus aggregate
-        # (jobs per training run: 7 → 4; guide §1.2 / §2.4).
+        # (jobs per training run: 7 → 4; guide §1.2 / §2.4). This
+        # no-checkpoint shape assumes _BPE_STEPS stays small: round k
+        # replays k-1 prior replaces, O(steps²) replace evaluations per
+        # run (and cached-vocabulary consumers replay all of them per
+        # action) — fine at 3 steps; re-checkpoint words every N rounds
+        # if the budget is ever raised.
         top1 = pc.orderBy(F.desc("c"), F.asc("pair")).limit(1).first()
         if top1 is None:
             # No mergeable pair (empty or single-symbol vocabulary): the
